@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for the target execution profile.
+
+Local mode here (one JVM, N threads) but every default is chosen for
+multi-executor scale: AQE on (runtime re-planning, skew-join splitting,
+partition coalescing), shuffle partitions sized to cores rather than
+the 200 default, Arrow enabled for any Pandas-UDF path, and UTC session
+time so timestamp semantics are deployment-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "aws_csp_datapipeline_spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores. On a
+    real cluster the master/memory settings come from spark-submit and
+    these builder calls are inert; the sql.* tuning still applies.
+    """
+    if cpus is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    n_threads = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", n_threads)
+        )
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,76 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate:
+row-count + column-name set + order-insensitive value comparison,
+with float rounding so engine-order summation drift can't flake.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+
+import duckdb
+
+from aws_csp_datapipeline_spark.catalog import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # absorb last-bit drift beyond the explicit ROUNDs in queries
+        return round(v, 6)
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def compare(spark_df, sql: str, sf_dir: str) -> None:
+    """Assert the Spark result and the DuckDB oracle result match."""
+    con = duck_connection(sf_dir)
+    try:
+        rel = con.sql(sql)
+        exp_cols = list(rel.columns)
+        exp_rows = rel.fetchall()
+    finally:
+        con.close()
+
+    got_cols = list(spark_df.columns)
+    got_rows = [tuple(r) for r in spark_df.collect()]
+
+    assert sorted(got_cols) == sorted(exp_cols), (
+        f"column mismatch: spark={sorted(got_cols)} oracle={sorted(exp_cols)}"
+    )
+    assert len(got_rows) == len(exp_rows), (
+        f"row count mismatch: spark={len(got_rows)} oracle={len(exp_rows)}"
+    )
+    got_n = _normalize(got_rows, got_cols)
+    exp_n = _normalize(exp_rows, exp_cols)
+    if got_n != exp_n:
+        diffs = [(g, e) for g, e in zip(got_n, exp_n) if g != e][:5]
+        raise AssertionError(f"value mismatch; first diffs (spark, oracle): {diffs}")
