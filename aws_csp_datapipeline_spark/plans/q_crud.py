@@ -1,0 +1,196 @@
+"""Oracle-paired queries for the mutation layer (SURVEY.md §2.8).
+
+Each query stages a mutation over the immutable test tables and
+returns the post-state (or the guarded split), with the oracle
+restating the same semantics in ANSI SQL. This mirrors FIXTURES.md
+§F-D's golden CRUD sequence on driver-provided data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.operators import cleaning as C
+from aws_csp_datapipeline_spark.operators import crud as M
+from aws_csp_datapipeline_spark.operators import relational as R
+from aws_csp_datapipeline_spark.plans.registry import register
+
+
+@register(
+    "m1_serial_insert",
+    """
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, n_regionkey
+    FROM nation
+    UNION ALL
+    SELECT (SELECT MAX(n_nationkey) FROM nation)
+             + ROW_NUMBER() OVER (ORDER BY r_name) AS n_nationkey,
+           r_name AS n_name, r_regionkey AS n_regionkey
+    FROM region
+    """,
+)
+def m1_serial_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: serial-key insert — COALESCE(MAX(key),0)+row_number over
+    the new batch only (lambda_function.py:258-333). The existing
+    table is never windowed; its max is a scalar aggregate."""
+    nation = load_table(spark, sf_dir, "nation").withColumn(
+        "n_nationkey", F.col("n_nationkey").cast("long")
+    )
+    new_rows = load_table(spark, sf_dir, "region").select(
+        F.lit(None).cast("long").alias("n_nationkey"),
+        F.col("r_name").alias("n_name"),
+        F.col("r_regionkey").alias("n_regionkey"),
+    )
+    return M.insert_with_serial_keys(nation, new_rows, "n_nationkey")
+
+
+@register(
+    "m2_insert_if_absent",
+    """
+    WITH incoming AS (
+      SELECT n_nationkey + 15 AS n_nationkey, n_name, n_regionkey FROM nation
+    )
+    SELECT i.* FROM incoming i
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = i.n_nationkey)
+    """,
+)
+def m2_insert_if_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: uniqueness-guarded insert (check_And_Insert,
+    lambda_function.py:338-396) — one anti-join drops already-present
+    keys from the incoming batch."""
+    nation = load_table(spark, sf_dir, "nation")
+    incoming = nation.select(
+        (F.col("n_nationkey") + 15).alias("n_nationkey"), "n_name", "n_regionkey"
+    )
+    return M.insert_if_absent(nation, incoming, "n_nationkey")
+
+
+@register(
+    "m3_update_by_key",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey = 5 THEN 'RENAMED' ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def m3_update_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: keyed single-row update (update_tool_data,
+    lambda_function.py:399-462) as a conditional column rewrite."""
+    return M.update_by_key(
+        load_table(spark, sf_dir, "nation"), "n_nationkey", 5, {"n_name": "RENAMED"}
+    )
+
+
+@register(
+    "m3_update_from_batch",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey % 5 = 0 THEN upper(n_name) || '_U'
+                ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def m3_update_from_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 at scale: a batch of keyed updates applied via one broadcast
+    left join + coalesce (the Delta-MERGE shape) — the big side never
+    shuffles."""
+    nation = load_table(spark, sf_dir, "nation")
+    updates = nation.filter(F.col("n_nationkey") % 5 == 0).select(
+        "n_nationkey", F.concat(F.upper("n_name"), F.lit("_U")).alias("n_name")
+    )
+    return M.update_from_batch(nation, updates, "n_nationkey")
+
+
+@register(
+    "m4_soft_delete_visible",
+    """
+    SELECT n_nationkey, n_name, n_regionkey, TRUE AS is_display
+    FROM nation WHERE n_nationkey <> 3
+    """,
+)
+def m4_soft_delete_visible(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: soft delete + visibility view — the row is flagged
+    is_display=FALSE (soft_delete_tool, lambda_function.py:549-592)
+    and every read filters on the flag (lambda_function.py:31)."""
+    nation = C.add_column_default(load_table(spark, sf_dir, "nation"), "is_display", True)
+    return R.visible(M.soft_delete(nation, "n_nationkey", 3))
+
+
+@register(
+    "m5_hard_delete",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey <> 7",
+)
+def m5_hard_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: hard delete (``DELETE FROM t WHERE s_no=18`` shape,
+    sql/ddl_create_tables.sql:61-62)."""
+    return M.hard_delete(load_table(spark, sf_dir, "nation"), "n_nationkey", 7)
+
+
+@register(
+    "m6_guarded_update",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey >= 20 THEN 'GUARDED_' || n_name
+                ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation
+    """,
+)
+def m6_guarded_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: guarded update — updates for keys 20..29; only existing
+    keys (20..24) apply, the rest are rejected (check_And_Update 404
+    path, lambda_function.py:466-546)."""
+    nation = load_table(spark, sf_dir, "nation")
+    updates = spark.range(20, 30).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.lit("PLACEHOLDER").alias("n_name"),
+    )
+    # rebuild the updated name from the table side so the semantics
+    # (prefix existing name) are visible in the oracle
+    upd = updates.join(
+        nation.select("n_nationkey", F.col("n_name").alias("__old")), "n_nationkey"
+    ).select("n_nationkey", F.concat(F.lit("GUARDED_"), F.col("__old")).alias("n_name"))
+    updated, _rejected = M.guarded_update(nation, upd, "n_nationkey")
+    return updated
+
+
+@register(
+    "m6_guarded_rejected",
+    """
+    WITH updates AS (SELECT UNNEST(range(20, 30)) AS n_nationkey)
+    SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey FROM updates u
+    WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = u.n_nationkey)
+    """,
+)
+def m6_guarded_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 404 path: the update keys that matched nothing
+    (check_And_Update, lambda_function.py:468-475)."""
+    nation = load_table(spark, sf_dir, "nation")
+    updates = spark.range(20, 30).select(F.col("id").alias("n_nationkey"))
+    rejected = updates.join(
+        nation.withColumn("n_nationkey", F.col("n_nationkey").cast("long")),
+        "n_nationkey",
+        "left_anti",
+    )
+    return rejected.select("n_nationkey")
+
+
+@register(
+    "m7_dedup_by_keys",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY event_id) = 1
+    """,
+)
+def m7_dedup_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: duplicate-load avoidance (README.md:56) — deterministic
+    keep-first-by-order dedup via a per-key window (reproducible,
+    unlike dropDuplicates). One shuffle on the dedup keys."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return M.dedup_by_keys(ev, ["user_id", "event_type"], "event_id")

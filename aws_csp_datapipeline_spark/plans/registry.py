@@ -44,15 +44,32 @@ def register(name: str, oracle: str | None = None):
 
 
 def specs() -> list[QuerySpec]:
+    _load_plan_modules()
     return list(_REGISTRY)
 
 
+_LOADED = False
+
+
+def _load_plan_modules() -> None:
+    """Import the plan modules exactly once so their @register calls
+    populate the registry (kept lazy to avoid circular imports)."""
+    global _LOADED
+    if _LOADED:
+        return
+    _LOADED = True
+    from aws_csp_datapipeline_spark.plans import (  # noqa: F401
+        q_cleaning,
+        q_crud,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {s.name: s.fn for s in _REGISTRY}
+    return {s.name: s.fn for s in specs()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {s.name: s.oracle for s in _REGISTRY if s.oracle is not None}
+    return {s.name: s.oracle for s in specs() if s.oracle is not None}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

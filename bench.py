@@ -1,0 +1,65 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (count() action → all partitions
+materialize) and timed after a warm-up of the session + parquet
+footer reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "a5_group_count_2key",
+    "j2_star_agg",
+    "o3_topk",
+    "p9_exists_semijoin",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from aws_csp_datapipeline_spark.session import get_spark
+    from aws_csp_datapipeline_spark.plans import registry
+
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # include any extra headline queries registered later
+    extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
+    names += [n for n in extra.split(",") if n and n in qs and n not in names]
+
+    # Warm-up: touch the session and parquet footers once, not timed.
+    qs[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
