@@ -1,0 +1,239 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- ``exact``: group by a 128-bit content hash — one shuffle keyed by
+  the hash (narrow rows), never by the text itself.
+- ``ngram_jaccard_pairs``: the *exact* near-dup algorithm as an
+  inverted-index self-join on shingles. Correct at any scale but the
+  join fan-out is quadratic in per-shingle document frequency — it is
+  the verification oracle and the small/medium-scale path.
+- ``minhash_lsh_pairs``: the 100-TB path. Per-doc signature (k min
+  hashes) computed in ONE groupBy over the exploded shingles; banding
+  turns near-dup search into an equi-join on (band, band_hash);
+  candidates are then exact-verified. Tunable (k, bands) for the
+  recall/cost trade-off; deterministic (xxhash64, fixed seed).
+- ``simhash``: 64-bit signed-projection fingerprint; hamming-band
+  join for candidates. Cheapest signature, weakest recall — kept for
+  surface completeness.
+
+No Python UDFs anywhere — signatures are built from xxhash64 /
+array expressions inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.functions.text import fingerprint, tokens
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of lowered text (array column)."""
+    tok = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tok) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per content fingerprint.
+    Shuffles (hash, id) pairs only — bytes-per-row is constant no
+    matter how large the documents are."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return (
+        df.filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via the inverted-index
+    self-join: explode distinct shingles, equi-join on shingle,
+    count common shingles per pair, then J = common / (|A|+|B|-common).
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = _shingle_table(df, text_col, id_col, n).cache()
+    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 48, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature: k min-hash values computed as k
+    min-aggregates over the exploded shingle table — ONE shuffle total
+    (groupBy doc), constant row width. Hash family: xxhash64 of
+    (perm-index, shingle)."""
+    ex = _shingle_table(df, text_col, id_col, n).select(
+        "doc", F.explode("sh").alias("s")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"mh{j}") for j in range(k)
+    ]
+    return ex.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    k: int = 48,
+    bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified.
+
+    banding: k/bands rows per band; band key = xxhash64 of the band's
+    minhashes → candidate pairs are an equi-join on (band, key).
+    With k=48, b=16, r=3: P(candidate | J=0.8) ≈ 1-1e-5, and false
+    candidates are removed by the exact-Jaccard verification join, so
+    the output equals ``ngram_jaccard_pairs`` with near-certainty —
+    at a fraction of the join fan-out on large corpora.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc", F.explode(band_cols).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of candidates only
+    sh = _shingle_table(df, text_col, id_col, n)
+    sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sha, "doc_a")
+        .join(shb, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document: token hash sign-votes per bit,
+    assembled into a BIGINT. One explode + one groupBy (64 small sum
+    aggregates) — single shuffle, constant width."""
+    ex = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
+    ).withColumn("h", F.xxhash64("t"))
+    votes = ex.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(63):  # keep bit 63 clear to stay in signed range
+        sim = sim + F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (2**i)).otherwise(0)
+    return votes.select("doc", sim.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit fingerprint into
+    ``max_hamming + 1`` chunks (pigeonhole: any pair within the
+    hamming budget shares at least one identical chunk), equi-join on
+    (chunk-index, chunk), then filter by true hamming distance."""
+    nbands = max_hamming + 1
+    width = 64 // nbands
+    sig = simhash64(df, text_col, id_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("chunk"),
+            )
+            for b in range(nbands)
+        ]
+    )
+    banded = sig.select("doc", "simhash", F.explode(chunks).alias("c")).select(
+        "doc", "simhash", F.col("c.band").alias("band"), F.col("c.chunk").alias("chunk")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.simhash").alias("sh_a"),
+            F.col("y.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return cand.select("doc_a", "doc_b", "hamming")

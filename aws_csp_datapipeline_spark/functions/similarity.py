@@ -1,0 +1,186 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k for one query vector —
+  the correctness baseline. A narrow projection + TakeOrderedAndProject:
+  scales linearly, no shuffle of the vectors.
+- ``knn_join``: exact k-NN for a (small, broadcast) probe set.
+- ``lsh_topk``: the scale path — random-hyperplane LSH buckets
+  (deterministic planes), candidates from bucket equality (with
+  multiprobe via all bands), exact re-rank within candidates.
+
+Dot products run through ``F.zip_with`` + ``F.aggregate`` — JVM-side
+array expressions, no Python. For 100-TB corpora the bucketed variant
+turns all-pairs scoring into an equi-join keyed by (band, bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — fixed evaluation order so the oracle's
+    sequential sum matches bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def query_vector(df: DataFrame, id_col: str, vec_col: str, vec_id) -> list[float]:
+    """Fetch ONE parameter vector driver-side (a scalar parameter, not
+    a data-path collect)."""
+    row = df.filter(F.col(id_col) == vec_id).select(vec_col).head()
+    if row is None:
+        raise KeyError(f"no vector with {id_col}={vec_id}")
+    return [float(x) for x in row[0]]
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+    Rounded before ordering so ties rank identically in the oracle."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = F.round(cosine(_as_double(F.col(vec_col)), q), 4)
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    probes: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-NN join: every probe row against the corpus, keep top-k
+    per probe. Probe side is broadcast — the corpus never shuffles;
+    ranking is a per-probe window over the scored join."""
+    from pyspark.sql import Window
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("pv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 4))
+        .select("probe_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (numpy PCG64, fixed
+    seed) — reproducible across runs and engines."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(v) for v in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from random hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_tables(vec: Column, planes: list[list[float]], n_tables: int) -> Column:
+    """Multi-table LSH keys: split the planes into ``n_tables`` bands
+    of sign bits; returns array<struct<table:int, bucket:long>>. A
+    pair is a candidate if ANY table agrees — the standard L-tables
+    OR-construction that trades candidate volume for recall."""
+    bits_per = len(planes) // n_tables
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0).cast("long")
+        for i in range(bits_per):
+            p = F.array(*[F.lit(x) for x in planes[t * bits_per + i]])
+            bucket = bucket + F.when(
+                dot(vec, p) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        entries.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    return F.array(*entries)
+
+
+def lsh_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+    n_planes: int = 24,
+    n_tables: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate k-NN via multi-table hyperplane LSH: candidates
+    from (table, bucket) equality in ANY of the L tables, exact
+    cosine re-rank within candidates. With 6 tables × 4 bits, a
+    neighbor at cos≈0.75 (sign-agreement p≈0.77/plane) is a candidate
+    with P ≈ 1-(1-p^4)^6 ≈ 0.93. At scale the corpus is written
+    bucketed by (table, bucket) once; probe joins are shuffle-free."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).select(
+        "neighbor_id", "cv", F.explode(lsh_tables(F.col("cv"), planes, n_tables)).alias("tb")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("pv")
+    ).select(
+        "probe_id", "pv", F.explode(lsh_tables(F.col("pv"), planes, n_tables)).alias("tb")
+    )
+    cand = (
+        c.join(F.broadcast(p), c.tb == p.tb)
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select("probe_id", "pv", "neighbor_id", "cv")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 4)
+    ).select("probe_id", "neighbor_id", "cos_sim")
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

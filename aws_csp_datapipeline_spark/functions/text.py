@@ -1,0 +1,100 @@
+"""Text-analysis operators over a document corpus.
+
+All hot-path logic is built-in column expressions (JVM-side, inside
+whole-stage codegen) — no Python UDFs. Each op is deterministic and
+ANSI-SQL-expressible so the DuckDB oracle can restate it exactly.
+
+Designed for a ``documents(doc_id, text, ...)`` table of arbitrary
+size: everything here is a narrow projection — no shuffle at all until
+an (optional) aggregation, so it scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language marker patterns: tiny stopword lexicons as word-boundary
+# alternations. RE2 (DuckDB) and java.util.regex (Spark) agree on this
+# subset of syntax, which keeps the oracle exact.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|is|in|that|it)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein|zu)\b",
+    "es": r"\b(el|la|los|las|de|que|es|un)\b",
+    "fr": r"\b(le|les|des|et|est|une|dans|pour)\b",
+    "zh": r"[一-鿿]",
+}
+
+STOPWORD_PATTERN = r"\b(the|and|of|to|is|in|that|it|a|for)\b"
+PUNCT_PATTERN = r"[.,!?;:'\"()\[\]{}-]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of trimmed, lowered text."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Token count; empty string counts 0."""
+    return F.when(F.trim(col) == "", F.lit(0)).otherwise(F.size(tokens(col)))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count word-piece-like units (runs of
+    letters, digits, or single punctuation), the common pre-tokenizer
+    regex shape."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+
+
+def marker_hits(col: Column, pattern: str) -> Column:
+    """How many times a marker lexicon fires in the text."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 0))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    return {lang: marker_hits(col, pat) for lang, pat in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of marker hits with a fixed
+    tie-break order (en, de, es, fr, zh); 'und' when nothing fires.
+    Deterministic → same CASE chain runs in the oracle."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(PUNCT_PATTERN), 0))
+    return F.when(n > 0, n_punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: Column) -> Column:
+    n_tok = token_count(col)
+    hits = marker_hits(col, STOPWORD_PATTERN)
+    return F.when(n_tok > 0, hits.cast("double") / n_tok.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]-ish: rewards stopword density
+    and moderate length, penalizes punctuation soup. Fixed weights so
+    the oracle reproduces it bit-for-bit (same double expression
+    tree)."""
+    length_component = F.least(F.length(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    return (
+        F.lit(0.4) * stopword_ratio(col)
+        + F.lit(0.4) * length_component
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0)))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the lower-cased text — identical
+    hex in every engine; the exact-dedup key."""
+    return F.md5(F.lower(col))

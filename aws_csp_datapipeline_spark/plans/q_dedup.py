@@ -1,0 +1,96 @@
+"""Oracle-paired dedup queries over the documents table.
+
+The exact-Jaccard SQL below is also the oracle for the MinHash+LSH
+variant: with k=48/b=16/r=3 the LSH candidate set provably contains a
+J≥0.8 pair with probability ≈ 1-1e-5, and exact verification removes
+false candidates — so on this corpus (pairs are either ≥0.8 or <0.1)
+the approximate path reproduces the exact answer deterministically
+(fixed xxhash64 seeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.functions import dedup as D
+from aws_csp_datapipeline_spark.plans.registry import register
+
+_JACCARD_SQL = """
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE), 4) AS jaccard
+    FROM common
+    JOIN sz x ON common.doc_a = x.doc_id
+    JOIN sz y ON common.doc_b = y.doc_id
+    WHERE CAST(c AS DOUBLE) / CAST(x.n + y.n - c AS DOUBLE) >= 0.8
+    """
+
+
+@register(
+    "d1_exact_dedup",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(lower(text))
+                               ORDER BY doc_id) = 1
+    """,
+)
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep lowest doc_id per content fingerprint. The
+    shuffle carries (128-bit hash, id), never the document bodies."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "text", "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register("d2_ngram_jaccard_pairs", _JACCARD_SQL)
+def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (J ≥ 0.8) via the
+    inverted-index self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.8, n=3)
+
+
+@register("d3_minhash_lsh_pairs", _JACCARD_SQL)
+def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(48) + LSH(16 bands × 3) near-dup pairs with exact
+    verification — the 100-TB path; see module docstring for why the
+    exact-Jaccard SQL is a valid oracle here."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=48, bands=16, n=3)
+
+
+@register("d4_simhash_candidates", None)
+def d4_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) hamming-≤3 candidate pairs (rows-only: the
+    signature depends on Spark's xxhash64, which DuckDB can't
+    reproduce)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_candidate_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@register("d5_minhash_signatures", None)
+def d5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash signature table (rows-only: engine-specific hash
+    family) — the reusable artifact a corpus-scale pipeline persists
+    and re-bands against."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, "text", "doc_id", k=48, n=3)

@@ -1,0 +1,97 @@
+"""Oracle-paired similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.functions import similarity as S
+from aws_csp_datapipeline_spark.plans.registry import register
+
+
+@register(
+    "s1_cosine_topk",
+    """
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id,
+           ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 4) AS cos_sim
+    FROM e, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for one query vector (vec_id=0):
+    the exact ANN baseline. Linear scan + TakeOrderedAndProject."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = S.query_vector(e, "vec_id", "embedding", 0)
+    return S.cosine_topk(e.filter(F.col("vec_id") != 0), "embedding", "vec_id", q, k=10)
+
+
+@register(
+    "s2_knn_join",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             ROUND(list_dot_product(e.v, p.pv)
+                   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))),
+                   4) AS cos_sim
+      FROM e, p WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cos_sim DESC, neighbor_id) <= 3
+    """,
+)
+def s2_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join (k=3) for a 5-vector probe set — probe side
+    broadcast, corpus never shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return S.knn_join(probes, e, "embedding", "vec_id", k=3)
+
+
+@register("s3_lsh_ann_topk", None)
+def s3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (rows-only: approximate by design) —
+    bucketed candidate generation + exact re-rank, the shape that
+    scales to corpus-sized ANN via bucketed storage."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(probes, e, "embedding", "vec_id", k=3, n_planes=24, n_tables=6, dim=64)
+
+
+@register(
+    "s4_centroid_per_label",
+    """
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (SELECT label, unnest(v) AS val,
+                 generate_subscripts(v, 1) AS dim
+          FROM e)
+    SELECT label, COUNT(DISTINCT dim) AS n_dims,
+           ROUND(SUM(val) / 64.0, 4) AS mass
+    FROM x GROUP BY label
+    """,
+)
+def s4_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding mass (posexplode + aggregate) — the
+    IVF-style centroid-build shape: one shuffle keyed by label."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), F.col("val").cast("double"))
+    return ex.groupBy("label").agg(
+        F.countDistinct("dim").alias("n_dims"),
+        F.round(F.sum("val") / F.lit(64.0), 4).alias("mass"),
+    )

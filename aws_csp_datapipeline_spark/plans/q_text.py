@@ -1,0 +1,116 @@
+"""Oracle-paired text-analysis queries over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.functions import text as X
+from aws_csp_datapipeline_spark.plans.registry import register
+
+_SW = X.STOPWORD_PATTERN
+_PUNCT = X.PUNCT_PATTERN.replace("'", "''")
+
+
+@register(
+    "t1_token_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish pre-tokenizer
+    regex count. Pure projection — no shuffle, scales linearly."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        X.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "t2_quality_score",
+    f"""
+    SELECT doc_id,
+      ROUND(
+        0.4 * (CASE WHEN len(regexp_split_to_array(trim(lower(text)),'\\s+')) > 0
+                    THEN CAST(len(regexp_extract_all(lower(text), '{_SW}')) AS DOUBLE)
+                         / CAST(len(regexp_split_to_array(trim(lower(text)),'\\s+')) AS DOUBLE)
+                    ELSE 0.0 END)
+        + 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        + 0.2 * (1.0 - least(
+            (CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END) * 5.0, 1.0)),
+        4) AS quality
+    FROM documents
+    """,
+)
+def t2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword density + length + punctuation-soup
+    penalty, fixed weights (the heuristics of large-corpus filtering
+    pipelines). Identical double expression tree in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(X.quality_score(F.col("text")), 4).alias("quality")
+    )
+
+
+def _lang_case_sql() -> str:
+    scores = {
+        lang: f"len(regexp_extract_all(lower(text), '{pat}'))"
+        for lang, pat in X.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n        ".join(
+        f"WHEN {scores[lang]} = __best AND __best > 0 THEN '{lang}'"
+        for lang in X.LANG_MARKERS
+    )
+    return f"""
+    WITH scored AS (
+      SELECT lang, {best} AS __best, text FROM documents
+    )
+    SELECT lang,
+      CASE {whens} ELSE 'und' END AS pred_lang,
+      COUNT(*) AS cnt
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@register("t3_lang_id_confusion", _lang_case_sql())
+def t3_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-marker argmax, fixed tie-break)
+    summarized as a (truth, prediction) confusion matrix."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", X.lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "t4_fingerprint_stats",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(lower(text))) AS n_distinct_fp
+    FROM documents GROUP BY source
+    """,
+)
+def t4_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (md5 of normalized text) + per-source
+    distinct counts — the exact-dup rate monitor."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(X.fingerprint(F.col("text"))).alias("n_distinct_fp"),
+    )

@@ -61,6 +61,9 @@ def _load_plan_modules() -> None:
     from aws_csp_datapipeline_spark.plans import (  # noqa: F401
         q_cleaning,
         q_crud,
+        q_dedup,
+        q_similarity,
+        q_text,
     )
 
 
