@@ -1,0 +1,111 @@
+"""Multimodal columns: media as opaque binary + typed metadata.
+
+Pattern for image/audio/video at corpus scale: the payload is a
+``binary`` column (or a (path, offset, length) pointer into object
+storage), metadata is a typed struct, and decode / feature-extract /
+resize / frame-sample run as Arrow-batched ``mapInPandas`` stages —
+per-batch Python cost, never per-row, and the batch size bounds
+executor memory regardless of corpus size.
+
+The actual codec calls are STUBBED here (no PIL/ffmpeg in this
+environment): ``decode_image_meta`` raises ``NotImplementedError``
+unless ``fake=True``, in which case it produces a deterministic fake
+decode derived from the payload bytes — the Spark-side plumbing
+(schemas, batching, partitioning) is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, mime string, n_bytes long"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, mean_byte double, width int, height int, channels int"
+)
+
+
+def to_media_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media table from a text corpus by treating the UTF-8
+    bytes as an opaque payload (the stand-in for real image bytes):
+    (id, payload:binary, mime, n_bytes)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image_meta(payload: bytes, fake: bool) -> tuple[int, int, int]:
+    """Decode → (width, height, channels).
+
+    STUB: real decoding needs an image codec (PIL / libjpeg) that is
+    not in this container. With ``fake=True`` returns a deterministic
+    fake derived from the payload so the pipeline shape is testable.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires a codec library (PIL); not available here"
+        )
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) & 0x7FFFFFFF
+    return (64 + h % 192, 64 + (h >> 8) % 192, 3 if h % 4 else 1)
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Feature extraction over media batches via mapInPandas: byte
+    stats (real) + decoded dimensions (stubbed codec). Arrow moves
+    whole batches; Python touches each batch once."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [decode_image_meta(p, fake_decode) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "mean_byte": [
+                        float(sum(p)) / len(p) if len(p) else 0.0 for p in payloads
+                    ],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "channels": [d[2] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(per_batch, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """'Frame sampling' over the opaque payload: emit every Nth slice
+    as a frame row (id, frame_idx, frame:binary) — the 1→N explode
+    shape of video frame extraction, as a pure column expression."""
+    idx = F.sequence(F.lit(0), F.least(
+        F.floor(F.length("payload") / every_n_bytes).cast("int") - 1,
+        F.lit(max_frames - 1),
+    ))
+    frames = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("frame_idx"),
+            F.substring(F.col("payload"), i * every_n_bytes + 1, every_n_bytes).alias(
+                "frame"
+            ),
+        ),
+    )
+    return (
+        media.filter(F.length("payload") >= every_n_bytes)
+        .select("doc_id", F.explode(frames).alias("f"))
+        .select("doc_id", F.col("f.frame_idx").alias("frame_idx"), F.col("f.frame").alias("frame"))
+    )

@@ -1,0 +1,110 @@
+"""Streaming + multimodal queries.
+
+``st1`` drives an actual Structured Streaming job (checkpointed
+availableNow file stream + foreachBatch dedup → parquet sink) —
+rows-only, since a streaming run isn't a SQL expression. ``st2`` is
+the same windowed aggregation expression a stream would run, executed
+on the batch table, so it DOES get an oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from aws_csp_datapipeline_spark.catalog import load_table, table_path
+from aws_csp_datapipeline_spark.functions import multimodal as MM
+from aws_csp_datapipeline_spark.plans.registry import register
+from aws_csp_datapipeline_spark.streaming.ingest import windowed_event_counts
+
+_RAW_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@register("st1_stream_ingest_dedup", None)
+def st1_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest (README.md:42-56 restated): checkpointed
+    file-source stream over the events landing file, per-batch
+    keep-first dedup on (user_id, event_type) inside foreachBatch,
+    parquet append sink. Returns the ingested result."""
+    from aws_csp_datapipeline_spark.operators.crud import dedup_by_keys
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink_dir = tempfile.mkdtemp(prefix="ingest_sink_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    # the file source streams a landing DIRECTORY (the reference's S3
+    # prefix); stage the test file into one
+    landing_dir = tempfile.mkdtemp(prefix="ingest_landing_")
+    os.symlink(
+        table_path(sf_dir, "events"), os.path.join(landing_dir, "events.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(landing_dir)
+    )
+
+    def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        deduped = dedup_by_keys(
+            batch_df.select("event_id", "user_id", "event_type", "value"),
+            ["user_id", "event_type"],
+            "event_id",
+        )
+        deduped.write.mode("append").parquet(sink_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)
+
+
+@register(
+    "st2_windowed_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st2_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window counts — the streaming
+    aggregation expression (windowed_event_counts) run on the batch
+    table, where it is oracle-checkable."""
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "ts", "event_type", "1 hour")
+
+
+@register("mm1_media_features", None)
+def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: documents → opaque binary payloads → Arrow-batched
+    mapInPandas feature extraction (byte stats real; image decode
+    STUBBED with a deterministic fake — no codec libs here)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_column(d, "doc_id", "text")
+    return MM.extract_features(media, fake_decode=True)
+
+
+@register("mm2_frame_sample", None)
+def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: frame-sampling explode over binary payloads (the
+    1→N video-frame shape) as pure column expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_column(d, "doc_id", "text")
+    return MM.frame_sample(media, every_n_bytes=64, max_frames=8)

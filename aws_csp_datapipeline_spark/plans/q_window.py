@@ -1,0 +1,117 @@
+"""Window-function queries (SURVEY.md §2.4 + the common OLAP shapes).
+
+The reference's only windowing use-case is serial-key assignment
+(covered by m1_serial_insert); these add the standard analytical
+window surface: ranking, running aggregates, lag deltas, and
+sessionization — each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.plans.registry import register
+
+
+@register(
+    "w1_topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def w1_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority — rank-filter window. One
+    shuffle on the partition key; AQE splits skewed keys."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "w2_running_sum",
+    """
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 4) AS run_total
+    FROM events
+    """,
+)
+def w2_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total ordered by event id — cumulative frame
+    window (same sequential fold order in both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).alias("run_total")
+    )
+
+
+@register(
+    "w3_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def w3_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a 30-min inactivity gap starts a new session
+    (lag + cumulative flag — the batch form of session_window).
+    Millisecond granularity on both sides (ns→ms truncation composes
+    identically)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap_ms > 1800000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("is_new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "w4_lag_delta",
+    """
+    SELECT event_id, user_id,
+           ROUND(value - lag(value) OVER (PARTITION BY user_id ORDER BY event_id),
+                 4) AS delta
+    FROM events
+    """,
+)
+def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value delta vs the previous event (lag window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )

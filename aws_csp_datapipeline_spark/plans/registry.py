@@ -63,7 +63,9 @@ def _load_plan_modules() -> None:
         q_crud,
         q_dedup,
         q_similarity,
+        q_streaming,
         q_text,
+        q_window,
     )
 
 

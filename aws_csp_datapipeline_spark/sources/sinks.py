@@ -1,0 +1,56 @@
+"""Sinks (SURVEY.md §2.1 S5-S6).
+
+The reference materializes results as a ``{total_count, records}``
+JSON envelope (lambda/lambda_function.py:96-102, 814-823) and loads
+tables row-by-row (README.md:55). Here: the envelope is a collect-side
+convenience for small results; table persistence is batch columnar
+writes with layout control replacing Redshift's DISTSTYLE/SORTKEY
+(sql/ddl_create_tables.sql:26).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def json_envelope(df: DataFrame, limit: int | None = None) -> str:
+    """``{total_count, records}`` envelope. total_count is computed
+    distributed; only ``limit`` records are collected (the reference
+    caps interactive results at LIMIT 150,
+    sql/ddl_create_tables.sql:36)."""
+    total = df.count()
+    rows = (df.limit(limit) if limit else df).toJSON().collect()
+    return json.dumps({"total_count": total, "records": [json.loads(r) for r in rows]})
+
+
+def json_lines(df: DataFrame) -> DataFrame:
+    """Distributed JSON serialization: one JSON string per row —
+    ``F.to_json(F.struct('*'))``, no driver collect."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("json"))
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    sort_key: str | None = None,
+    partition_by: list[str] | None = None,
+    target_partitions: int | None = None,
+) -> None:
+    """Warehouse-table sink: batch parquet append replacing the
+    reference's 1-row-per-transaction INSERT loop
+    (lambda/lambda_function.py:266-273). ``sort_key`` reproduces
+    SORTKEY semantics — rows sorted within files → parquet min/max
+    row-group pruning on that key at read time."""
+    out = df
+    if target_partitions:
+        out = out.repartition(target_partitions)
+    if sort_key:
+        out = out.sortWithinPartitions(sort_key)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

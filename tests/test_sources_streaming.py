@@ -1,0 +1,81 @@
+"""Sources, sinks, and streaming-ingest tests against
+reference-shaped fixtures (FIXTURES.md §F-C quirks)."""
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.sources.csv_source import read_messy_csv
+from aws_csp_datapipeline_spark.sources.sinks import json_envelope, json_lines
+
+# Reproduces every hazard in the reference's sample CSV: quoted commas,
+# embedded newlines, doubled quotes, N/A and empty nulls, messy dates,
+# trailing-space enums.
+MESSY_CSV = (
+    's_no,team_name,tool_name,description,created_date,reused\n'
+    '1,FCS,Tool A,"plain text",23-Dec,yes\n'
+    '2,GCSS,Tool B,"has, a comma and ""quoted"" words",Feb-25,No\n'
+    '3,CMS,Tool C,"multi\nline\ncell",2013,N/A\n'
+    '4,CCS,Tool D,,-,"Internal "\n'
+)
+
+
+def _write_fixture(tmpdir: str) -> str:
+    path = os.path.join(tmpdir, "messy.csv")
+    with open(path, "w") as f:
+        f.write(MESSY_CSV)
+    return path
+
+
+def test_messy_csv_roundtrip(spark):
+    with tempfile.TemporaryDirectory() as d:
+        df = read_messy_csv(spark, _write_fixture(d))
+        rows = {r["s_no"]: r.asDict() for r in df.collect()}
+        # 4 logical rows despite embedded newlines
+        assert len(rows) == 4
+        assert rows["2"]["description"] == 'has, a comma and "quoted" words'
+        assert rows["3"]["description"] == "multi\nline\ncell"
+        # N/A and empty become NULL at parse time
+        assert rows["3"]["reused"] is None
+        assert rows["4"]["description"] is None
+        # trailing-space enum survives parsing (folding is a cleaning op)
+        assert rows["4"]["reused"] == "Internal "
+
+
+def test_json_envelope(spark, sf_smoke):
+    nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    env = json.loads(json_envelope(nation.filter(F.col("n_nationkey") < 3)))
+    assert env["total_count"] == 3
+    assert {r["n_nationkey"] for r in env["records"]} == {0, 1, 2}
+
+
+def test_json_lines_distributed(spark, sf_smoke):
+    region = spark.read.parquet(f"{sf_smoke}/region.parquet")
+    out = json_lines(region)
+    assert out.count() == 5
+    parsed = json.loads(out.head()[0])
+    assert "r_regionkey" in parsed
+
+
+def test_stream_ingest_matches_batch_dedup(spark, sf_smoke):
+    """The streaming ingest (checkpoint + foreachBatch dedup) must
+    land exactly the batch dedup result — the exactly-once contract."""
+    from aws_csp_datapipeline_spark.plans.registry import queries
+
+    qs = queries()
+    streamed = qs["st1_stream_ingest_dedup"](spark, sf_smoke)
+    batch = qs["m7_dedup_by_keys"](spark, sf_smoke)
+    assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_multimodal_features_shape(spark, sf_smoke):
+    from aws_csp_datapipeline_spark.plans.registry import queries
+
+    feats = queries()["mm1_media_features"](spark, sf_smoke)
+    rows = feats.collect()
+    assert len(rows) > 0
+    r = rows[0]
+    assert r["n_bytes"] > 0 and 0.0 <= r["mean_byte"] <= 255.0
+    assert 64 <= r["width"] <= 255 and r["channels"] in (1, 3)
