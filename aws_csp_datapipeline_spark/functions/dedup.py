@@ -30,15 +30,30 @@ from aws_csp_datapipeline_spark.functions.text import fingerprint, tokens
 
 
 def word_shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of lowered text (array column)."""
-    tok = tokens(col)
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(tok) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tok, i + j + 1) for j in range(n)]
+    """Distinct word n-gram shingles of lowered text (array column).
+
+    The token array is bound ONCE per row through a single-element
+    array-transform wrapper: referencing the split() expression
+    directly inside the inner lambda would inline it, re-running the
+    regex split for every element access (projection collapse defeats
+    a plain two-step select). The wrapper keeps everything in
+    whole-stage codegen with exactly one split per row.
+    """
+    def shingles_of(t):
+        return F.when(
+            F.size(t) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+                    ),
+                )
             ),
-        )
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(
+        F.transform(F.array(tokens(col)), shingles_of), 1
     )
 
 
@@ -57,9 +72,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    # shingle expr guards short docs itself → exactly ONE regex split
+    # per row; the too-short docs drop on the (cheap) array-size check
     return (
-        df.filter(F.size(tokens(F.col(text_col))) >= n)
-        .select(F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh"))
+        df.select(
+            F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
     )
 
 
@@ -131,7 +150,13 @@ def minhash_lsh_pairs(
     at a fraction of the join fan-out on large corpora.
     """
     r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n)
+    # the shingle table feeds the signature build AND both sides of
+    # the verification join — materialize it once (spills if large)
+    sh = _shingle_table(df, text_col, id_col, n).cache()
+    ex = sh.select("doc", F.explode("sh").alias("s"))
+    sig = ex.groupBy("doc").agg(
+        *[F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"mh{j}") for j in range(k)]
+    )
     band_cols = F.array(
         *[
             F.struct(
@@ -156,7 +181,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact verification of candidates only
-    sh = _shingle_table(df, text_col, id_col, n)
     sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (

@@ -21,6 +21,16 @@ HEADLINE = [
     "j2_star_agg",
     "o3_topk",
     "p9_exists_semijoin",
+    "w1_topk_per_group",
+    "w3_sessionize",
+    "m7_dedup_by_keys",
+    "t1_token_stats",
+    "t2_quality_score",
+    "d1_exact_dedup",
+    "d3_minhash_lsh_pairs",
+    "s1_cosine_topk",
+    "s2_knn_join",
+    "st2_windowed_counts",
 ]
 
 
