@@ -1,0 +1,74 @@
+"""As-of (point-in-time) join — an operator Spark has no native form
+for, composed from built-ins (preference (a) of the custom-operator
+ladder; no Pandas UDF needed).
+
+For each left row, attach the latest right row with the same key and
+``right.ts <= left.ts``. Implementation: tag and union both sides,
+then one per-key window carries the last-seen right payload forward
+(``last(..., ignorenulls=True)`` over rows-between-unbounded-preceding).
+Cost: ONE shuffle on the key — same as any keyed join — regardless of
+how unbalanced the two sides are; no range-explosion, no per-group
+Python. This is the scalable form of pandas ``merge_asof``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    left_cols: list[str] | None = None,
+    suffix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the payload of the most
+    recent right row at-or-before its timestamp (NULLs when none).
+
+    Tie handling: a right row at exactly left.ts IS visible
+    (inclusive), ordered before the left row in the union; among
+    right rows sharing a timestamp the highest payload-order row wins
+    deterministically via the trailing sort key.
+    """
+    lcols = left_cols or [c for c in left.columns if c not in (key, left_ts)]
+    tagged_l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts"), F.col("__is_left"), F.col(f"__r_{right_payload[0]}"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{suffix}{c}")
+            for c in right_payload
+        ],
+    )
+    return (
+        carried.filter(F.col("__is_left") == 1)
+        .select(
+            F.col("__k").alias(key),
+            F.col("__ts").alias(left_ts),
+            *[F.col(c) for c in lcols],
+            *[F.col(f"{suffix}{c}") for c in right_payload],
+        )
+    )

@@ -1,0 +1,91 @@
+"""FIXTURES.md §F-D golden CRUD sequence, run against the engine
+facade — the reference's documented lifecycle semantics:
+
+1. insert new unique tool_name → s_no = COALESCE(MAX,0)+1
+2. insert duplicate tool_name → 400, state unchanged
+3. update s_no=5 → only those fields change
+4. soft-delete s_no=3 → hidden from reads, still counted in MAX
+5. hard-delete s_no=7 → gap; next insert still MAX+1
+6. update/delete non-existent s_no=99 → 404, no-op
+7. insert into EMPTY table → s_no=1 (COALESCE edge)
+"""
+
+import pytest
+
+from aws_csp_datapipeline_spark.engine import CSP_TOOLS_SCHEMA, CspToolsEngine
+
+
+def _seed(spark, n=10):
+    rows = [
+        {
+            "s_no": i,
+            "team_name": ["FCS", "GCSS", "CMS"][i % 3],
+            "tool_name": f"tool_{i}",
+            "description": f"desc {i}",
+            "created_date": "23-Dec",
+            "active_inactive": "Active" if i % 2 else "Inactive",
+            "can_be_reused_across_csp_teams": "yes" if i % 2 else "No",
+            "login": "aravran" if i % 2 else "sasanjay",
+            "is_display": True,
+        }
+        for i in range(1, n + 1)
+    ]
+    return CspToolsEngine(spark, spark.createDataFrame(rows, CSP_TOOLS_SCHEMA))
+
+
+@pytest.fixture(scope="module")
+def seeded(spark):
+    return _seed(spark)
+
+
+def test_step1_insert_assigns_max_plus_one(seeded):
+    res = seeded.create_tool({"tool_name": "tool_new", "team_name": "CCS"})
+    assert res.status == 201 and res.s_no == 11
+    assert res.engine.total_count() == 11
+
+
+def test_step2_duplicate_insert_rejected(seeded):
+    res = seeded.create_tool({"tool_name": "tool_5"})
+    assert res.status == 400
+    assert res.engine.total_count() == 10  # unchanged
+
+
+def test_step3_update_changes_only_given_fields(seeded):
+    res = seeded.update_tool(5, {"description": "UPDATED"})
+    assert res.status == 200
+    row = res.engine.get_tools(s_no=5).head()
+    assert row["description"] == "UPDATED"
+    assert row["tool_name"] == "tool_5"  # untouched
+
+
+def test_step4_soft_delete_hides_but_counts_in_max(seeded):
+    res = seeded.delete_tool(3)
+    assert res.status == 200
+    eng = res.engine
+    assert eng.get_tools(s_no=3).count() == 0          # hidden from reads
+    assert eng.total_count() == 9
+    assert eng.summary() == (1, 10, 10)                # still physically present
+    nxt = eng.create_tool({"tool_name": "tool_after_sd"})
+    assert nxt.s_no == 11                              # MAX counts hidden rows
+
+
+def test_step5_hard_delete_leaves_gap(seeded):
+    res = seeded.delete_tool(7, hard=True)
+    eng = res.engine
+    assert eng.summary() == (1, 10, 9)                 # row 7 gone
+    nxt = eng.create_tool({"tool_name": "tool_after_hd"})
+    assert nxt.s_no == 11                              # still MAX+1, gap remains
+    keys = {r["s_no"] for r in nxt.engine.get_tools().collect()}
+    assert 7 not in keys and 11 in keys
+
+
+def test_step6_missing_key_is_404_noop(seeded):
+    assert seeded.update_tool(99, {"description": "x"}).status == 404
+    assert seeded.delete_tool(99).status == 404
+    assert seeded.total_count() == 10
+
+
+def test_step7_empty_table_first_key_is_one(spark):
+    eng = CspToolsEngine(spark)
+    res = eng.create_tool({"tool_name": "first"})
+    assert res.status == 201 and res.s_no == 1
