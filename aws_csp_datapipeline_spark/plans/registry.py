@@ -64,6 +64,7 @@ def _load_plan_modules() -> None:
         q_cleaning,
         q_crud,
         q_dedup,
+        q_range,
         q_similarity,
         q_streaming,
         q_text,

@@ -32,6 +32,20 @@ def json_lines(df: DataFrame) -> DataFrame:
     return df.select(F.to_json(F.struct(*df.columns)).alias("json"))
 
 
+def paginate(df: DataFrame, page_size: int = 1000):
+    """S4: paginated result fetch (the reference's NextToken loop,
+    lambda/lambda_function.py:65-91) — ``toLocalIterator`` streams one
+    partition at a time to the driver; yields row-dict pages."""
+    page: list[dict] = []
+    for row in df.toLocalIterator():
+        page.append(row.asDict())
+        if len(page) >= page_size:
+            yield page
+            page = []
+    if page:
+        yield page
+
+
 def write_table(
     df: DataFrame,
     path: str,
