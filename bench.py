@@ -31,6 +31,11 @@ HEADLINE = [
     "s1_cosine_topk",
     "s2_knn_join",
     "st2_windowed_counts",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "x1_asof_join",
+    "x2_interval_join",
+    "g3_time_rollup",
 ]
 
 

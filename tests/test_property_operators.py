@@ -1,0 +1,139 @@
+"""Property-based checks for the custom (non-Catalyst-native)
+operators, against independent reference implementations on random
+inputs — covers edges the fixed testdata can't."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_EVENT = st.tuples(
+    st.integers(0, 3),                    # user key
+    st.integers(0, 10_000),               # seconds offset
+    st.floats(-100, 100, allow_nan=False),
+)
+
+
+def _mk_events(rows, base=dt.datetime(2024, 1, 1)):
+    return [
+        (i, k, base + dt.timedelta(seconds=s), float(v))
+        for i, (k, s, v) in enumerate(rows)
+    ]
+
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("v", T.DoubleType()),
+    ]
+)
+
+
+@given(left=st.lists(_EVENT, min_size=1, max_size=25),
+       right=st.lists(_EVENT, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_asof_join_matches_merge_asof(spark, left, right):
+    from aws_csp_datapipeline_spark.operators.asof import asof_join
+
+    lrows, rrows = _mk_events(left), _mk_events(right)
+    # merge_asof needs unique, sorted ts per key side; drop exact
+    # (k, ts) duplicates the same way on both paths
+    lpd = (
+        pd.DataFrame(lrows, columns=["id", "k", "ts", "v"])
+        .drop_duplicates(subset=["k", "ts"])
+    )
+    rpd = (
+        pd.DataFrame(rrows, columns=["id", "k", "ts", "v"])
+        .drop_duplicates(subset=["k", "ts"])
+    )
+    ldf = spark.createDataFrame(lpd, _SCHEMA)
+    rdf = spark.createDataFrame(rpd, _SCHEMA)
+
+    got = {
+        (r["id"], r["asof_id"])
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            right_payload=["id", "v"], left_cols=["id"], suffix="asof_",
+        ).collect()
+    }
+    exp_df = pd.merge_asof(
+        lpd.sort_values("ts"),
+        rpd.sort_values("ts").rename(columns={"id": "asof_id", "v": "asof_v"}),
+        on="ts", by="k", direction="backward",
+    )
+    exp = {
+        (int(r.id), None if pd.isna(r.asof_id) else int(r.asof_id))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
+
+
+@given(points=st.lists(_EVENT, min_size=1, max_size=25),
+       intervals=st.lists(_EVENT, min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_interval_join_matches_bruteforce(spark, points, intervals):
+    from aws_csp_datapipeline_spark.operators.range_join import interval_join
+
+    prow = _mk_events(points)
+    irow = [
+        (i, k, ts, ts + dt.timedelta(hours=13))
+        for (i, k, ts, _) in _mk_events(intervals)
+    ]
+    pdf = spark.createDataFrame(
+        [(i, k, ts) for (i, k, ts, _) in prow], "id long, k long, ts timestamp"
+    )
+    idf = spark.createDataFrame(
+        irow, "iid long, ik long, start timestamp, stop timestamp"
+    )
+    got = {
+        (r["id"], r["iid"])
+        for r in interval_join(
+            pdf, idf, point_ts="ts", start_ts="start", end_ts="stop",
+            key=("k", "ik"), bucket_days=1,
+        ).collect()
+    }
+    exp = {
+        (pid, iid)
+        for (pid, pk, pts, _) in prow
+        for (iid, ik, s, e) in irow
+        if pk == ik and s <= pts < e
+    }
+    assert got == exp
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("23-Dec", dt.date(2000, 12, 23)),
+        ("2-Jan", dt.date(2000, 1, 2)),
+        ("Feb-25", dt.date(2025, 2, 1)),
+        ("2013", dt.date(2013, 1, 1)),
+        ("-", None),
+        ("", None),
+        ("31-Xxx", None),
+        ("garbage", None),
+        (" 24-Jun ", dt.date(2000, 6, 24)),
+    ],
+)
+def test_messy_date_cases(spark, raw, expected):
+    from aws_csp_datapipeline_spark.operators.cleaning import parse_messy_date
+
+    row = (
+        spark.createDataFrame([(raw,)], "raw string")
+        .select(parse_messy_date(F.col("raw")).alias("d"))
+        .head()
+    )
+    assert row["d"] == expected
