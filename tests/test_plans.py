@@ -1,0 +1,89 @@
+"""Plan-regression tests: the physical plans that make these
+operators scale are asserted, not assumed — pushdown reaching the
+scan, top-k avoiding a global sort, dimension joins broadcasting,
+bucketed joins eliminating the shuffle."""
+
+
+
+
+from aws_csp_datapipeline_spark.plans.registry import queries
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_oracle):
+    df = queries()["p4_point_lookup"](spark, sf_oracle)
+    plan = _optimized(df)
+    assert "PushedFilters" in plan and "EqualTo(o_orderkey,42)" in plan
+
+
+def test_column_pruning(spark, sf_oracle):
+    df = queries()["o3_topk"](spark, sf_oracle)
+    plan = _optimized(df)
+    # the scan must read only the 3 projected columns
+    assert "o_orderstatus" not in plan.split("ReadSchema")[1][:300]
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf_oracle):
+    plan = _plan(queries()["o3_topk"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_oracle):
+    plan = _plan(queries()["j2_star_agg"](spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_exists_is_semi_join(spark, sf_oracle):
+    plan = _plan(queries()["p9_exists_semijoin"](spark, sf_oracle))
+    assert "LeftSemi" in plan
+
+
+def test_q1_partial_aggregation(spark, sf_oracle):
+    plan = _plan(queries()["q1_pricing_summary"](spark, sf_oracle))
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_oracle):
+    """Write both sides bucketed by the join key → the equi-join
+    needs no Exchange at all (the co-located-join contract that makes
+    repeated large-scale joins affordable)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+        c = spark.read.parquet(f"{sf_oracle}/customer.parquet")
+        (o.write.mode("overwrite").bucketBy(8, "o_custkey")
+           .sortBy("o_custkey").saveAsTable("b_orders"))
+        (c.write.mode("overwrite").bucketBy(8, "c_custkey")
+           .sortBy("c_custkey").saveAsTable("b_customer"))
+        bo, bc = spark.table("b_orders"), spark.table("b_customer")
+        j = bo.join(bc, bo.o_custkey == bc.c_custkey).select("o_orderkey", "c_name")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_sql_api_same_result(spark, sf_oracle):
+    from aws_csp_datapipeline_spark.sql_api import sql
+
+    df = sql(
+        spark,
+        sf_oracle,
+        """
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY o_orderpriority
+        """,
+    )
+    dfapi = queries()["a4_group_count"](spark, sf_oracle)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, dfapi.collect()))
