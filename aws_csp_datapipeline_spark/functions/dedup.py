@@ -115,18 +115,42 @@ def ngram_jaccard_pairs(
     )
 
 
+def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the universal-hash family
+    h_j(x) = (a_j * x + b_j) mod 2^31, a_j odd."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, 1 << 30)) * 2 + 1, int(rng.integers(0, 1 << 31)))
+        for _ in range(k)
+    ]
+
+
+_MASK31 = (1 << 31) - 1
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 48, n: int = 3
 ) -> DataFrame:
-    """Per-doc MinHash signature: k min-hash values computed as k
-    min-aggregates over the exploded shingle table — ONE shuffle total
-    (groupBy doc), constant row width. Hash family: xxhash64 of
-    (perm-index, shingle)."""
-    ex = _shingle_table(df, text_col, id_col, n).select(
-        "doc", F.explode("sh").alias("s")
+    """Per-doc MinHash signature: k min-hash values in ONE groupBy over
+    the exploded shingle table — a single shuffle, constant row width.
+
+    Hash family: each shingle is string-hashed ONCE (xxhash64), then
+    the k permutations are integer universal hashes
+    (a_j·x + b_j) mod 2^31 — 48 multiply-adds instead of 48 string
+    hashes per shingle. Products stay < 2^62 so ANSI-mode long
+    arithmetic never overflows."""
+    ex = (
+        _shingle_table(df, text_col, id_col, n)
+        .select("doc", F.explode("sh").alias("s"))
+        .withColumn("h", F.xxhash64("s").bitwiseAND(F.lit(_MASK31)))
     )
     aggs = [
-        F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"mh{j}") for j in range(k)
+        F.min(
+            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(1 << 31))
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(_perm_constants(k))
     ]
     return ex.groupBy("doc").agg(*aggs)
 
