@@ -32,6 +32,7 @@ CSP_TOOLS_SCHEMA = T.StructType(
         T.StructField("team_name", T.StringType()),
         T.StructField("tool_name", T.StringType(), False),
         T.StructField("description", T.StringType()),
+        T.StructField("tool_script", T.StringType()),
         T.StructField("created_date", T.StringType()),
         T.StructField("active_inactive", T.StringType()),
         T.StructField("can_be_reused_across_csp_teams", T.StringType()),
@@ -128,3 +129,31 @@ class CspToolsEngine:
 
     def _key_exists(self, s_no: int) -> bool:
         return self.table.filter(F.col("s_no") == s_no).limit(1).count() > 0
+
+    # ---------------------------------------------------------- analytics
+
+    def dashboard(self) -> dict[str, DataFrame]:
+        """The QuickSight dashboard's five datasets
+        (quicksight/Quicksight Dashboard.png; README.md:87-90), over
+        visible rows only:
+
+        1. count by tool_script (pie)
+        2. count of tools by team (pie)
+        3. count by can_be_reused flag (pie, case drift preserved as
+           the dashboard shows all four spellings as distinct groups)
+        4. team × active_inactive counts (grouped bar → pivot)
+        5. the 6-column detail table projection
+        """
+        v = R.visible(self.table)
+        return {
+            "by_tool_script": R.group_count(v, ["tool_script"]),
+            "by_team": R.group_count(v, ["team_name"]),
+            "by_reused": R.group_count(v, ["can_be_reused_across_csp_teams"]),
+            "team_by_active": R.pivot_count(
+                v, "team_name", "active_inactive", ["Active", "Inactive"]
+            ).na.fill(0, ["Active", "Inactive"]),
+            "detail": v.select(
+                "s_no", "team_name", "tool_name", "active_inactive",
+                "created_date", "can_be_reused_across_csp_teams",
+            ),
+        }

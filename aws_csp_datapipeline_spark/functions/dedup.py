@@ -221,6 +221,52 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs → (doc, group_id)
+    with group_id = min doc id in the component — the canonical-doc
+    selection step after pair finding (keep one doc per group).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label in its neighborhood; converges in O(component
+    diameter) rounds (near-dup components are tiny — pairs, triples).
+    The loop is driver-side CONTROL only; data stays distributed, and
+    each round is one aggregation on the edge list.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("doc")).distinct().withColumn(
+        "grp", F.col("doc")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.doc)
+            .groupBy(F.col("a").alias("doc"))
+            .agg(F.min("grp").alias("nbr_grp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("grp"), F.coalesce("nbr_grp", "grp")).alias("grp"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.grp") != F.col("o.grp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("doc"), F.col("grp").alias("group_id"))
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: token hash sign-votes per bit,
     assembled into a BIGINT. One explode + one groupBy (64 small sum

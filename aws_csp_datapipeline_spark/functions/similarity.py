@@ -117,6 +117,86 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    probes: DataFrame,
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate k-NN: cluster the corpus into
+    ``n_cells`` KMeans cells once, then each probe searches only its
+    ``n_probe`` nearest cells — the classic coarse-quantizer index.
+
+    At corpus scale the cell assignment is written once (partitioned
+    by cell); a probe touches n_probe/n_cells of the data. Recall is
+    tunable via n_probe. Deterministic: fixed KMeans seed.
+    Falls back to brute force if pyspark.ml is unavailable.
+    """
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+    except ImportError:  # pragma: no cover
+        return knn_join(probes, corpus, vec_col, id_col, k)
+
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("features", array_to_vector("cv"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(c)
+    assigned = model.transform(c).select(
+        "neighbor_id", "cv", F.col("prediction").alias("cell")
+    )
+    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+
+    # each probe ranks the (tiny, literal) center list → n_probe cells
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("pv")
+    )
+    center_lit = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(x) for x in ctr]).alias("ctr"),
+            )
+            for i, ctr in enumerate(centers)
+        ]
+    )
+    # rank cells by the SAME metric KMeans assigned with (euclidean):
+    # argmin |p-c|^2 = argmin (|c|^2 - 2 p·c), |p|^2 constant per probe
+    ranked = p.select(
+        "probe_id", "pv", F.explode(center_lit).alias("c")
+    ).withColumn(
+        "cdist",
+        dot(F.col("c.ctr"), F.col("c.ctr")) - F.lit(2.0) * dot(F.col("pv"), F.col("c.ctr")),
+    )
+    wc = Window.partitionBy("probe_id").orderBy("cdist")
+    pcells = (
+        ranked.withColumn("__rc", F.row_number().over(wc))
+        .filter(F.col("__rc") <= n_probe)
+        .select("probe_id", "pv", F.col("c.cell").alias("cell"))
+    )
+
+    scored = (
+        assigned.join(F.broadcast(pcells), "cell")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("cv")), 4))
+        .select("probe_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def lsh_tables(vec: Column, planes: list[list[float]], n_tables: int) -> Column:
     """Multi-table LSH keys: split the planes into ``n_tables`` bands
     of sign bits; returns array<struct<table:int, bucket:long>>. A

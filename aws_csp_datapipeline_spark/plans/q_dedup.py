@@ -87,6 +87,17 @@ def d4_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_candidate_pairs(d, "text", "doc_id", max_hamming=3)
 
 
+@register("d6_neardup_groups", None)
+def d6_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the LSH pair
+    set (iterative min-label propagation — a genuinely iterative
+    algorithm, hence rows-only), yielding (doc, group_id) for
+    keep-one-per-group dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=48, bands=16, n=3)
+    return D.neardup_groups(pairs)
+
+
 @register("d5_minhash_signatures", None)
 def d5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw MinHash signature table (rows-only: engine-specific hash

@@ -72,6 +72,17 @@ def s3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(probes, e, "embedding", "vec_id", k=3, n_planes=24, n_tables=6, dim=64)
 
 
+@register("s5_ivf_ann_topk", None)
+def s5_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate k-NN (rows-only: index-dependent): KMeans
+    coarse quantizer (16 cells, fixed seed), probes search their 4
+    nearest cells only — the index shape that bounds per-query work
+    to n_probe/n_cells of the corpus."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(probes, e, "embedding", "vec_id", k=3, n_cells=16, n_probe=4)
+
+
 @register(
     "s4_centroid_per_label",
     """

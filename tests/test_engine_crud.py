@@ -22,6 +22,7 @@ def _seed(spark, n=10):
             "team_name": ["FCS", "GCSS", "CMS"][i % 3],
             "tool_name": f"tool_{i}",
             "description": f"desc {i}",
+            "tool_script": ["Script", "Tool", "Dashboard", "Cradle Job"][i % 4],
             "created_date": "23-Dec",
             "active_inactive": "Active" if i % 2 else "Inactive",
             "can_be_reused_across_csp_teams": "yes" if i % 2 else "No",
@@ -89,3 +90,23 @@ def test_step7_empty_table_first_key_is_one(spark):
     eng = CspToolsEngine(spark)
     res = eng.create_tool({"tool_name": "first"})
     assert res.status == 201 and res.s_no == 1
+
+
+def test_dashboard_datasets(seeded):
+    """The five QuickSight chart datasets (dashboard PNG shapes) over
+    the seeded table, cross-checked against hand counts."""
+    dash = seeded.dashboard()
+    by_team = {r["team_name"]: r["cnt"] for r in dash["by_team"].collect()}
+    assert by_team == {"FCS": 3, "GCSS": 4, "CMS": 3}
+    by_script = {r["tool_script"]: r["cnt"] for r in dash["by_tool_script"].collect()}
+    assert sum(by_script.values()) == 10
+    pivot = {r["team_name"]: (r["Active"], r["Inactive"])
+             for r in dash["team_by_active"].collect()}
+    assert sum(a + i for a, i in pivot.values()) == 10
+    assert dash["detail"].columns == [
+        "s_no", "team_name", "tool_name", "active_inactive",
+        "created_date", "can_be_reused_across_csp_teams",
+    ]
+    # soft-deleted rows disappear from every dashboard dataset
+    eng2 = seeded.delete_tool(1).engine
+    assert sum(r["cnt"] for r in eng2.dashboard()["by_team"].collect()) == 9
