@@ -60,6 +60,7 @@ def _load_plan_modules() -> None:
     _LOADED = True
     from aws_csp_datapipeline_spark.plans import (  # noqa: F401
         q_analytics,
+        q_analytics2,
         q_asof,
         q_cleaning,
         q_crud,
