@@ -59,16 +59,21 @@ def word_shingles(col, n: int = 3):
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-id row per content fingerprint.
-    Shuffles (hash, id) pairs only — bytes-per-row is constant no
-    matter how large the documents are."""
-    from pyspark.sql import Window
 
-    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    Two-phase narrow form: (1) aggregate (fingerprint → min id) over a
+    (hash, id) projection — the only shuffle, constant bytes/row no
+    matter how large the documents are; (2) semi-join the original
+    rows on the keep-ids. Document bodies NEVER pass through a
+    shuffle (a fingerprint-partitioned window would move them); when
+    storage is bucketed by the id the semi-join itself is
+    shuffle-free, and AQE broadcasts small keep-sets."""
+    keep = (
+        df.select(fingerprint(F.col(text_col)).alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
     )
+    return df.join(keep, id_col, "left_semi")
 
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:

@@ -1,0 +1,67 @@
+"""Empty-input and degenerate-edge behavior of the custom operators —
+the cases the fixed testdata never produces."""
+
+from pyspark.sql import functions as F
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_dedup_ops_on_empty(spark):
+    from aws_csp_datapipeline_spark.functions import dedup as D
+
+    e = _empty_docs(spark)
+    assert D.exact_dedup(e, "text", "doc_id").count() == 0
+    assert D.ngram_jaccard_pairs(e, "text", "doc_id").count() == 0
+    assert D.minhash_lsh_pairs(e, "text", "doc_id").count() == 0
+    assert D.simhash_candidate_pairs(e, "text", "doc_id").count() == 0
+
+
+def test_short_and_empty_docs_drop_from_shingles(spark):
+    from aws_csp_datapipeline_spark.functions import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "one two three"),
+         (5, "one two three")],
+        "doc_id long, text string",
+    )
+    # only docs 4 and 5 have >=3 tokens; they are identical → 1 pair
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in pairs] == [(4, 5, 1.0)]
+    # exact dedup keeps the lower id of the identical pair
+    kept = {r["doc_id"] for r in D.exact_dedup(docs, "text", "doc_id").collect()}
+    assert kept == {1, 2, 3, 4}
+
+
+def test_asof_join_empty_right(spark):
+    from aws_csp_datapipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00")], "id long, k long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame([], "id long, k long, ts timestamp, v double")
+    out = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload=["id", "v"], left_cols=["id"],
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_id"] is None
+
+
+def test_serial_insert_into_empty_table(spark):
+    from aws_csp_datapipeline_spark.operators import crud as M
+
+    table = spark.createDataFrame([], "s_no long, name string")
+    new = spark.createDataFrame([(0, "a"), (0, "b")], "s_no long, name string")
+    out = M.insert_with_serial_keys(table, new, "s_no").collect()
+    assert sorted((r["s_no"], r["name"]) for r in out) == [(1, "a"), (2, "b")]
+
+
+def test_dedup_by_keys_single_rows(spark):
+    from aws_csp_datapipeline_spark.operators.crud import dedup_by_keys
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)], "id long, k string, v double"
+    )
+    out = dedup_by_keys(df, ["k"], "id").collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
