@@ -91,6 +91,56 @@ def st2_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_counts(ev, "ts", "event_type", "1 hour")
 
 
+@register(
+    "st3_stateful_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value, MAX(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def st3_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals via
+    applyInPandasWithState, driven to completion over the events
+    landing file. The drained final state must equal the batch
+    aggregate — which is exactly what the oracle states."""
+    from aws_csp_datapipeline_spark.streaming.stateful import running_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    landing = tempfile.mkdtemp(prefix="st3_landing_")
+    ckpt = tempfile.mkdtemp(prefix="st3_ckpt_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(landing, "events.parquet"))
+
+    stream = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(landing)
+    )
+    out = running_user_totals(stream.select("user_id", "value"))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("st3_totals")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per user = final state (n_events is monotone)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table("st3_totals")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "max_value",
+        )
+    )
+
+
 @register("mm1_media_features", None)
 def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: documents → opaque binary payloads → Arrow-batched
