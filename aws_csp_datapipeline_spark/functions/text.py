@@ -98,3 +98,35 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the lower-cased text — identical
     hex in every engine; the exact-dedup key."""
     return F.md5(F.lower(col))
+
+
+def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprints (the rolling-hash selection scheme of
+    MOSS): hash every character k-gram, then keep the minimum of each
+    w-length window of consecutive hashes. Guarantees any shared
+    substring ≥ k+w-1 chars yields a shared fingerprint — the
+    plagiarism/near-dup detection primitive at document granularity.
+
+    Entirely array expressions: the lowered text is bound once, the
+    k-gram hash array once; O(len·k) substring hashing + O(len·w)
+    window minima per row, inside codegen.
+    """
+    def windows_of(h):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(h) - w),
+                lambda j: F.array_min(F.slice(h, j + 1, w)),
+            )
+        )
+
+    def grams_of(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(t) - k + 1),
+            lambda i: F.xxhash64(F.substring(t, i, k)),
+        )
+
+    t = F.lower(col)
+    return F.when(F.length(t) >= k + w - 1, F.element_at(
+        F.transform(F.array(F.element_at(F.transform(F.array(t), grams_of), 1)), windows_of),
+        1,
+    )).otherwise(F.array().cast("array<bigint>"))

@@ -72,6 +72,52 @@ def s3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(probes, e, "embedding", "vec_id", k=3, n_planes=24, n_tables=6, dim=64)
 
 
+@register(
+    "s6_l2_normalize",
+    """
+    WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    u AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n)
+    SELECT vec_id, generate_subscripts(v, 1) AS dim,
+           ROUND(unnest(v) / nrm, 4) + 0.0 AS val
+    FROM u
+    """,
+)
+def s6_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-L2 normalization of the embedding column (exploded to
+    scalar cells for the compare) — the preprocessing step that turns
+    cosine into plain dot product downstream."""
+    from aws_csp_datapipeline_spark.functions.vectors import l2_normalize
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode(l2_normalize(F.col("embedding"))).alias("dim0", "val")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+
+
+@register(
+    "s7_quantize_uint8",
+    """
+    WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM n)
+    SELECT vec_id, generate_subscripts(v, 1) AS dim,
+           CASE WHEN mx = mn THEN 0
+                ELSE least(255, CAST(FLOOR((unnest(v) - mn) * 255.999 / (mx - mn)) AS INT))
+           END AS q
+    FROM m
+    """,
+)
+def s7_quantize_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector min-max uint8 quantization (4× storage compression
+    for ANN candidate sets), FLOOR-based so cast semantics are
+    engine-portable."""
+    from aws_csp_datapipeline_spark.functions.vectors import quantize_uint8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode(quantize_uint8(F.col("embedding"))).alias("dim0", "q")
+    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "q")
+
+
 @register("s5_ivf_ann_topk", None)
 def s5_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate k-NN (rows-only: index-dependent): KMeans

@@ -98,6 +98,17 @@ def t3_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("t5_winnow_fingerprints", None)
+def t5_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints per document (rows-only:
+    xxhash64 family): (doc_id, n_fingerprints, fingerprint set size) —
+    the MOSS-style substring-match primitive. Overlap quality is
+    pinned by tests/test_approx_quality.py."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", X.winnow_fingerprints(F.col("text")).alias("fps"))
+    return fp.select("doc_id", F.size("fps").alias("n_fps"))
+
+
 @register(
     "t4_fingerprint_stats",
     """

@@ -30,6 +30,8 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # fold -0.0: engines disagree on its sign
         # absorb last-bit drift beyond the explicit ROUNDs in queries
         return round(v, 6)
     if isinstance(v, datetime):

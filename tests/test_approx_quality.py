@@ -36,6 +36,69 @@ def test_simhash_finds_jaccard_dups(spark, sf_oracle):
     assert len(true_pairs & sim_pairs) >= len(true_pairs) * 0.5
 
 
+def test_winnow_fingerprints_separate_dups_from_unrelated(spark, sf_oracle):
+    """Near-dup pairs (J>=0.8) must share a large fraction of winnow
+    fingerprints; unrelated pairs almost none — the separation that
+    makes winnowing a usable dedup signal."""
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.functions.text import winnow_fingerprints
+    from pyspark.sql import functions as F
+
+    qs = queries()
+    dup_pairs = [(r[0], r[1]) for r in qs["d2_ngram_jaccard_pairs"](spark, sf_oracle).collect()]
+    d = load_table(spark, sf_oracle, "documents")
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in d.select(
+            "doc_id", winnow_fingerprints(F.col("text")).alias("fps")
+        ).collect()
+    }
+
+    def overlap(a, b):
+        inter = len(fps[a] & fps[b])
+        return inter / max(1, min(len(fps[a]), len(fps[b])))
+
+    dup_overlaps = [overlap(a, b) for a, b in dup_pairs]
+    assert min(dup_overlaps) >= 0.5, min(dup_overlaps)
+    ids = sorted(fps)[:30]
+    dup_set = set(dup_pairs)
+    unrelated = [
+        overlap(a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (a, b) not in dup_set
+    ]
+    # word-salad corpora share vocabulary, so unrelated overlap isn't
+    # zero — but it must stay well below the near-dup band
+    assert max(unrelated) <= 0.35, max(unrelated)
+    assert min(dup_overlaps) > max(unrelated)
+
+
+def test_salted_join_on_skewed_data(spark):
+    """One hot key carrying 50k of 51k rows: the salted join must
+    still equal the plain join exactly."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(51_000).select(
+        F.when(F.col("id") < 50_000, 7).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    )
+    n_salts = 8
+    b = big.withColumn("__salt", F.pmod(F.xxhash64("rowid"), F.lit(n_salts)))
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    salted = b.join(
+        s, (b["k"] == s["k"]) & (b["__salt"] == s["__salt"])
+    ).select("rowid", "v")
+    plain = big.join(small, "k").select("rowid", "v")
+    assert salted.count() == plain.count() == 51_000
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_neardup_groups_match_union_find(spark, sf_oracle):
     """Distributed min-label propagation == driver-side union-find on
     the same pair set."""
