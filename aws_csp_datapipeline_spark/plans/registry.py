@@ -61,6 +61,7 @@ def _load_plan_modules() -> None:
     from aws_csp_datapipeline_spark.plans import (  # noqa: F401
         q_analytics,
         q_analytics2,
+        q_analytics3,
         q_asof,
         q_cleaning,
         q_crud,

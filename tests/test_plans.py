@@ -74,6 +74,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_oracle):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_partition_pruning(spark, sf_oracle):
+    """Writing partitioned-by-day and filtering on the partition
+    column must prune at planning time (PartitionFilters on the scan,
+    only matching partition directories read)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="part_events_")
+    from aws_csp_datapipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_oracle, "events").withColumn(
+        "dt", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("dt").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("dt") == "2024-01-03")
+    plan = _optimized(back)
+    assert "PartitionFilters" in plan and "2024-01-03" in plan
+    n_days = ev.select("dt").distinct().count()
+    assert back.select("dt").distinct().count() == 1 and n_days > 1
+
+
 def test_sql_api_same_result(spark, sf_oracle):
     from aws_csp_datapipeline_spark.sql_api import sql
 
