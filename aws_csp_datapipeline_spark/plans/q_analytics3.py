@@ -79,6 +79,99 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f10_json_extract",
+    """
+    SELECT CAST(props->>'k' AS INT) // 10 AS k_bucket,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def f10_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-column extraction (S2 parity: the reference ingests JSON
+    bodies, lambda_function.py:972): pull a typed field out of the
+    events.props JSON string and aggregate on it. get_json_object is
+    JVM-side (Jackson), no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_bucket",
+            (F.get_json_object("props", "$.k").cast("int") / 10).cast("int"),
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an ON-clause filter, then a
+    histogram of per-customer counts (COUNT(col) skips the NULLs of
+    unmatched customers — the 0-orders bucket)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q22_inactive_high_balance",
+    """
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment, COUNT(*) AS n_custs,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-subquery threshold (global average as a
+    broadcast 1-row cross join) + anti-join, grouped."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__a")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__a")
+    )
+    inactive = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "m8_scd2_versioning",
     """
     WITH dim AS (
