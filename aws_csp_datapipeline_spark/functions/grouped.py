@@ -1,0 +1,35 @@
+"""Grouped-map Pandas operators (applyInPandas) — the per-group
+escape hatch for logic that needs a whole group in memory at once.
+Used sparingly (SURVEY.md §2.10: UDFs are the slow path); groups are
+Arrow-shipped whole, so the group size — not the corpus size — bounds
+executor memory."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+
+def zscore_per_group(
+    df: DataFrame, group_col: str, value_col: str, id_col: str, decimals: int = 4
+) -> DataFrame:
+    """Per-group z-score normalization of ``value_col`` (sample
+    stddev). Groups of size 1 get NULL. Output: (id, group, z)."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col]
+        s = v.std(ddof=1)
+        m = v.mean()
+        z = ((v - m) / s).round(decimals) if s and s == s else pd.Series(
+            [float("nan")] * len(v), index=v.index
+        )
+        out = pd.DataFrame(
+            {id_col: pdf[id_col], group_col: pdf[group_col], "z": z}
+        )
+        # NaN → None so the engine emits SQL NULL like the oracle
+        return out.where(out.notna(), None)
+
+    return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
+        per_group, schema=f"{id_col} long, {group_col} long, z double"
+    )

@@ -172,6 +172,75 @@ def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ap1_zscore_per_user",
+    """
+    SELECT event_id, user_id,
+           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY user_id)
+    """,
+)
+def ap1_zscore_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user z-score normalization —
+    the Arrow-batched per-group escape hatch, checked against the
+    pure-SQL window formulation."""
+    from aws_csp_datapipeline_spark.functions.grouped import zscore_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_per_group(ev, "user_id", "value", "event_id")
+
+
+@register(
+    "q2_min_per_group_lookup",
+    """
+    SELECT p.p_type, p.p_partkey, p.p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_type = p.p_type)
+    """,
+)
+def q2_min_per_group_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery (cheapest part per
+    type) decorrelated into a grouped-min + join — ties all kept,
+    exactly like the subquery form."""
+    p = load_table(spark, sf_dir, "part")
+    mins = p.groupBy(F.col("p_type").alias("__t")).agg(
+        F.min("p_retailprice").alias("__min_price")
+    )
+    return (
+        p.join(
+            F.broadcast(mins),
+            (p.p_type == mins.__t) & (p.p_retailprice == mins.__min_price),
+        )
+        .select("p_type", "p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "q21_exists_not_exists",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q21_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: chained EXISTS + NOT EXISTS (customers with
+    orders but none finished) as semi-join then anti-join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    of = o.filter(F.col("o_orderstatus") == "F")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    none_finished = with_orders.join(
+        of, with_orders.c_custkey == of.o_custkey, "left_anti"
+    )
+    return none_finished.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
     "m8_scd2_versioning",
     """
     WITH dim AS (
