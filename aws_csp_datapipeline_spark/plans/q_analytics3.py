@@ -172,6 +172,72 @@ def q22_inactive_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x3_explode_tokens",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+          FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 100
+    """,
+)
+def x3_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/UNNEST as a user-facing operator: token frequency table
+    (the word-count of corpus engineering) — explode + group-count
+    with a HAVING floor."""
+    from aws_csp_datapipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+@register(
+    "a10_median_percentile",
+    """
+    SELECT o_orderpriority,
+           ROUND(MEDIAN(o_totalprice), 2) AS med_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a10_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median (plus min/max) — the order-statistics
+    aggregate; Spark's median() is exact (approx_percentile is the
+    scale path when a full sort per group is too dear)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 2).alias("med_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "a11_string_agg",
+    """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct string aggregation (collect_set → sort →
+    join) — deterministic despite collect_set's arbitrary order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        )
+    )
+
+
+@register(
     "ap1_zscore_per_user",
     """
     SELECT event_id, user_id,
