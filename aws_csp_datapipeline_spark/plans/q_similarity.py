@@ -118,6 +118,35 @@ def s7_quantize_uint8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "q")
 
 
+@register(
+    "s8_cosine_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+)
+def s8_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold — brute-force
+    all-pairs here (exact baseline); at corpus scale the same
+    threshold query runs over LSH buckets (s3's bucketing) so the
+    join touches candidate pairs only."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), S._as_double(F.col("embedding")).alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), S._as_double(F.col("embedding")).alias("vb"))
+    j = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        j.filter(sim >= 0.45)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("cos_sim"))
+    )
+
+
 @register("s5_ivf_ann_topk", None)
 def s5_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate k-NN (rows-only: index-dependent): KMeans
