@@ -76,6 +76,45 @@ def test_stateful_running_totals_across_batches(spark):
         assert got_final == expected
 
 
+def test_checkpoint_restart_exactly_once(spark):
+    """Exactly-once across a stop/restart: process file 1, stop the
+    query, land file 2, restart with the SAME checkpoint and sink —
+    file 1 must not be reprocessed, file 2 must land once."""
+    with tempfile.TemporaryDirectory() as td:
+        landing = os.path.join(td, "landing")
+        sink = os.path.join(td, "sink")
+        ckpt = os.path.join(td, "ckpt")
+        os.makedirs(landing)
+
+        def land(df, name):
+            src = os.path.join(td, name)
+            df.coalesce(1).write.parquet(src)
+            for f in os.listdir(src):
+                if f.endswith(".parquet"):
+                    os.symlink(
+                        os.path.join(src, f), os.path.join(landing, f"{name}.parquet")
+                    )
+
+        def run_once():
+            stream = spark.readStream.schema("id long, v double").parquet(landing)
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        land(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"), "b1")
+        run_once()
+        land(spark.createDataFrame([(3, 3.0)], "id long, v double"), "b2")
+        run_once()
+
+        rows = sorted(r["id"] for r in spark.read.parquet(sink).collect())
+        assert rows == [1, 2, 3]  # each row exactly once across restarts
+
+
 def test_watermark_drops_late_rows(spark):
     """Append-mode windowed agg with a watermark: a row arriving far
     behind the watermark in a later batch is dropped."""
