@@ -70,6 +70,31 @@ def test_stream_ingest_matches_batch_dedup(spark, sf_smoke):
     assert sorted(map(tuple, streamed.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_orc_roundtrip(spark, sf_smoke):
+    from aws_csp_datapipeline_spark.sources.formats import read_orc, write_orc
+
+    with tempfile.TemporaryDirectory() as d:
+        nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+        write_orc(nation, f"{d}/nation_orc")
+        back = read_orc(spark, f"{d}/nation_orc")
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, nation.collect())
+        )
+
+
+def test_gated_formats_raise_cleanly(spark, sf_smoke):
+    import pytest as _pytest
+
+    from aws_csp_datapipeline_spark.sources.formats import read_avro, write_delta
+
+    with tempfile.TemporaryDirectory() as d:
+        nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+        with _pytest.raises(NotImplementedError, match="avro"):
+            read_avro(spark, f"{d}/nope.avro")
+        with _pytest.raises(NotImplementedError, match="delta"):
+            write_delta(nation, f"{d}/delta_out")
+
+
 def test_multimodal_features_shape(spark, sf_smoke):
     from aws_csp_datapipeline_spark.plans.registry import queries
 
