@@ -185,6 +185,32 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a12_regression_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4)        AS r,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)  AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)  AS cov,
+           ROUND(stddev_samp(l_quantity), 4)                  AS sd_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a12_regression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: correlation, least-squares slope and
+    intercept, sample covariance and stddev per group — all native
+    single-pass aggregates (Welford-style merge), no second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("r"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("icept"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+    )
+
+
+@register(
     "q16_not_in_subquery",
     """
     SELECT p_brand, COUNT(DISTINCT p_type) AS n_types
