@@ -1,0 +1,126 @@
+"""Fifth analytics batch: the last TPC-H silhouettes this schema can
+express — profit rollup across a 4-way star (Q9), argmax-by-scalar-
+subquery (Q15), and IN-against-aggregated-subquery (Q20)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.plans.registry import register
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     - 0.4 * p_retailprice * l_quantity), 2) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey  = p_partkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus a cost proxy) per
+    (supplier nation, order year) across a 4-way star. The selective
+    part filter is applied BEFORE the join so the fact rows that
+    survive are only those touching '%red%' parts; all dimension
+    sides broadcast, so the fact table never shuffles for the joins —
+    only the tiny (nation, year) grouped result does. At 100 TB the
+    same plan holds: dims stay broadcast-size, and the one shuffle is
+    bounded by |nations| x |years|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
+        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return j.groupBy(
+        "n_name", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(F.round(F.sum(profit), 2).alias("profit"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly
+    revenue — a grouped aggregate compared against its own scalar MAX
+    (the reference's MAX high-water idiom, lambda_function.py:299,
+    lifted from keys to measures). The scalar max is a 1-row
+    broadcast cross join, so the plan is two passes over the small
+    grouped result, not a re-scan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    top = rev.agg(F.max("total_rev").alias("__max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("__max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    """
+    SELECT s_suppkey, s_name, s_nationkey FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%blue%'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 2000
+    )
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN against an aggregated subquery — suppliers
+    who shipped more than a threshold quantity of the filtered parts.
+    Done as filter -> broadcast part join -> grouped HAVING ->
+    left-semi back to supplier; the semi-join probe side is the tiny
+    HAVING survivors, broadcast to the supplier scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 2000)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(shipped), s.s_suppkey == shipped.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_nationkey")

@@ -63,6 +63,7 @@ def _load_plan_modules() -> None:
         q_analytics2,
         q_analytics3,
         q_analytics4,
+        q_analytics5,
         q_asof,
         q_cleaning,
         q_crud,
