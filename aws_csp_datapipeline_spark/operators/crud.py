@@ -106,6 +106,30 @@ def update_from_batch(
     return out.drop(*[f"__u_{c}" for c in upd_cols])
 
 
+def merge_upsert(table: DataFrame, batch: DataFrame, key: str) -> DataFrame:
+    """M8/MERGE: SCD1 upsert — ``WHEN MATCHED THEN UPDATE, WHEN NOT
+    MATCHED THEN INSERT`` (the transactional generalization of the
+    reference's probe-then-insert/update flows,
+    lambda/lambda_function.py:338-396 + 399-462, collapsed into one
+    relational expression).
+
+    Matched rows take the batch's column values (broadcast left join +
+    coalesce — the big table never shuffles); unmatched batch rows are
+    appended, with any table columns missing from the batch filled
+    with NULL. Against Delta storage this is ``MERGE INTO``; here it
+    stays a pure snapshot transformation.
+    """
+    updated = update_from_batch(table, batch, key)
+    inserts = batch.join(table, key, "left_anti")
+    cols = []
+    for f in table.schema.fields:
+        if f.name in inserts.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return updated.unionByName(inserts.select(*cols))
+
+
 def soft_delete(table: DataFrame, key: str, key_value, flag: str = "is_display") -> DataFrame:
     """M4: soft delete — ``UPDATE ... SET is_display=FALSE WHERE
     s_no=k`` (soft_delete_tool, lambda/lambda_function.py:549-592).

@@ -179,6 +179,46 @@ def m6_guarded_rejected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m9_merge_upsert",
+    """
+    WITH batch AS (
+      SELECT n_nationkey, 'MERGED_' || n_name AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT r_regionkey + 100 AS n_nationkey, r_name AS n_name,
+             r_regionkey AS n_regionkey
+      FROM region
+    )
+    SELECT t.n_nationkey,
+           COALESCE(b.n_name, t.n_name) AS n_name,
+           COALESCE(b.n_regionkey, t.n_regionkey) AS n_regionkey
+    FROM nation t LEFT JOIN batch b ON t.n_nationkey = b.n_nationkey
+    UNION ALL
+    SELECT b.n_nationkey, b.n_name, b.n_regionkey FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM nation t WHERE t.n_nationkey = b.n_nationkey)
+    """,
+)
+def m9_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert (SCD1): one batch carrying both updates (keys
+    0..4, renamed) and inserts (keys 100+), applied in a single
+    merge_upsert — update-matched via broadcast join + coalesce,
+    insert-unmatched via anti-join append."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    updates = nation.filter(F.col("n_nationkey") < 5).select(
+        "n_nationkey",
+        F.concat(F.lit("MERGED_"), F.col("n_name")).alias("n_name"),
+        "n_regionkey",
+    )
+    inserts = region.select(
+        (F.col("r_regionkey") + 100).alias("n_nationkey"),
+        F.col("r_name").alias("n_name"),
+        F.col("r_regionkey").alias("n_regionkey"),
+    )
+    return M.merge_upsert(nation, updates.unionByName(inserts), "n_nationkey")
+
+
+@register(
     "m7_dedup_by_keys",
     """
     SELECT event_id, user_id, event_type, value FROM events

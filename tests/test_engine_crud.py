@@ -110,3 +110,18 @@ def test_dashboard_datasets(seeded):
     # soft-deleted rows disappear from every dashboard dataset
     eng2 = seeded.delete_tool(1).engine
     assert sum(r["cnt"] for r in eng2.dashboard()["by_team"].collect()) == 9
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    from aws_csp_datapipeline_spark.operators.crud import merge_upsert
+
+    table = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, name string, v double"
+    )
+    # batch lacks the 'v' column: matched row keeps its old v, new row gets NULL
+    batch = spark.createDataFrame([(2, "B"), (3, "c")], "k int, name string")
+    out = {r["k"]: r for r in merge_upsert(table, batch, "k").collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["name"] == "a" and out[1]["v"] == 10.0  # untouched
+    assert out[2]["name"] == "B" and out[2]["v"] == 20.0  # updated, v kept
+    assert out[3]["name"] == "c" and out[3]["v"] is None  # inserted, v NULL
