@@ -1,0 +1,77 @@
+"""Deterministic sampling / dataset-split operators.
+
+A training-data pipeline needs reproducible splits: the same row must
+land in the same split on every run, on every engine, regardless of
+partitioning — so ``df.sample``/``sampleBy`` (seeded per-partition RNG,
+partitioning-dependent) are the wrong tool. Everything here derives the
+split from a **content hash of a key column** (md5, identical hex in
+every engine), making the assignment a pure function of the data:
+stable under repartitioning, under engine swap (the DuckDB oracle runs
+the same expression), and under incremental re-runs (new rows don't
+reshuffle old ones — the property that keeps a 100 TB corpus's
+train/test split frozen while it grows).
+
+All expressions are built-in (JVM-side, codegen); no UDFs, no RNG.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: Column) -> Column:
+    """A uniform 256-bucket assignment: the first two hex chars of
+    md5(key-as-string). Kept as the two-char hex STRING — lexicographic
+    order on fixed-width lowercase hex equals numeric order, and string
+    compare is what ANSI SQL restates exactly."""
+    return F.substring(F.md5(key.cast("string")), 1, 2)
+
+
+def _threshold(frac: float) -> str:
+    """frac → two-char hex threshold t such that P(bucket < t) ≈ frac
+    (exact multiples of 1/256)."""
+    n = max(0, min(256, round(frac * 256)))
+    return format(n, "02x")
+
+
+def split_assign(
+    key: Column, train_frac: float = 0.75, labels: tuple[str, str] = ("train", "test")
+) -> Column:
+    """Split label column: hash-bucket the key, compare against the
+    fraction threshold."""
+    return F.when(_bucket(key) < F.lit(_threshold(train_frac)), F.lit(labels[0])).otherwise(
+        F.lit(labels[1])
+    )
+
+
+def hash_split(
+    df: DataFrame, key_col: str, train_frac: float = 0.75, split_col: str = "split"
+) -> DataFrame:
+    """Deterministic train/test split: adds ``split_col`` with
+    'train'/'test' as a pure function of ``key_col``. Narrow (no
+    shuffle); filter on the label afterwards to materialize one side."""
+    return df.withColumn(split_col, split_assign(F.col(key_col), train_frac))
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, fracs: Mapping[str, float]
+) -> DataFrame:
+    """Deterministic per-stratum downsample: keep a row iff its hash
+    bucket falls under its stratum's fraction threshold (strata absent
+    from ``fracs`` are dropped). The 100-TB use case is class
+    rebalancing — e.g. downsample dominant languages — with an
+    assignment that is reproducible row-for-row, unlike
+    ``sampleBy``'s partitioning-dependent RNG. Narrow, no shuffle."""
+    bucket = _bucket(F.col(key_col))
+    thresh = None
+    for stratum, frac in fracs.items():
+        cond = F.lit(_threshold(frac))
+        thresh = (
+            F.when(F.col(strata_col) == stratum, cond)
+            if thresh is None
+            else thresh.when(F.col(strata_col) == stratum, cond)
+        )
+    return df.filter(bucket < thresh.otherwise(F.lit("00")))

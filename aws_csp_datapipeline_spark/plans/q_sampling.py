@@ -1,0 +1,71 @@
+"""Oracle-paired queries for deterministic sampling / dataset splits
+(the training-data pipeline layer: reproducible train/test splits and
+per-class downsampling over the documents corpus)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.functions import sampling as SMP
+from aws_csp_datapipeline_spark.plans.registry import register
+
+
+@register(
+    "tt1_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def tt1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/25 train/test split by content hash of the
+    key — stable under repartitioning and corpus growth (a frozen
+    split at 100 TB). Pure narrow projection, no shuffle, no RNG."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SMP.hash_split(docs, "doc_id", train_frac=0.75).select("doc_id", "split")
+
+
+@register(
+    "tt2_split_balance",
+    """
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                THEN 'train' ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def tt2_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-quality audit: per-(split, language) document counts —
+    the check that a hash split didn't skew any class. One constant-
+    size shuffle of (2 x |langs|) groups at any corpus size."""
+    docs = SMP.hash_split(load_table(spark, sf_dir, "documents"), "doc_id", 0.75)
+    return docs.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "tt3_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          CASE lang WHEN 'en' THEN '40' WHEN 'de' THEN 'c0'
+                    WHEN 'es' THEN 'c0' WHEN 'fr' THEN 'c0'
+                    WHEN 'zh' THEN 'ff' ELSE '00' END
+    """,
+)
+def tt3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample for class rebalancing:
+    keep 25% of dominant 'en', 75% of mid classes, ~all of rare 'zh'
+    — assignment reproducible row-for-row (unlike sampleBy's
+    partitioning-dependent RNG). Narrow, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = SMP.stratified_sample(
+        docs, "lang", "doc_id",
+        {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 255 / 256},
+    )
+    return sampled.select("doc_id", "lang")

@@ -69,6 +69,7 @@ def _load_plan_modules() -> None:
         q_crud,
         q_dedup,
         q_range,
+        q_sampling,
         q_similarity,
         q_streaming,
         q_text,
