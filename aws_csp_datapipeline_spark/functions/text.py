@@ -94,6 +94,37 @@ def quality_score(col: Column) -> Column:
     )
 
 
+# PII masking patterns, applied in order (emails before phones so a
+# phone pattern can't nibble digits out of an address). Syntax kept to
+# the java.util.regex ∩ RE2 subset so the DuckDB oracle (with the 'g'
+# flag — DuckDB replaces only the first match by default) is exact.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    (r"https?://\S+", "<URL>"),
+    (r"\+?[0-9][0-9-]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask emails, URLs, and phone-like digit runs — the standard
+    pre-training scrub pass. Chained regexp_replace, all JVM-side."""
+    out = col
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def repetition_ratio(col: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    1 - distinct/total. High values flag boilerplate / spam docs —
+    a core quality-filter signal. Pure array expressions."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the lower-cased text — identical
     hex in every engine; the exact-dedup key."""

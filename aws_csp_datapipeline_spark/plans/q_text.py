@@ -125,3 +125,58 @@ def t4_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(X.fingerprint(F.col("text"))).alias("n_distinct_fp"),
     )
+
+
+@register(
+    "t6_pii_scrub",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or https://site'
+                  || CAST(doc_id % 10 AS VARCHAR)
+                  || '.example.org tel +1-555-0100',
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             'https?://\S+', '<URL>', 'g'),
+             '\+?[0-9][0-9-]{7,}[0-9]', '<PHONE>', 'g') AS clean
+    FROM documents
+    """,
+)
+def t6_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (pre-training corpus hygiene): mask emails, URLs and
+    phone-like digit runs via chained regexp_replace. The PII is
+    synthesized deterministically per doc (the corpus itself has
+    none), so the masking path is genuinely exercised. Narrow, no
+    shuffle, codegen-friendly."""
+    d = load_table(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or https://site"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".example.org tel +1-555-0100"),
+    )
+    return d.select("doc_id", X.scrub_pii(with_pii).alias("clean"))
+
+
+@register(
+    "t7_repetition_ratio",
+    r"""
+    SELECT doc_id,
+           ROUND(CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0
+                 THEN 1.0 - CAST(len(list_distinct(
+                        regexp_split_to_array(trim(lower(text)), '\s+'))) AS DOUBLE)
+                      / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 ELSE 0.0 END, 6) + 0.0 AS rep_ratio
+    FROM documents
+    """,
+)
+def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token repetition ratio (1 - distinct/total) — the boilerplate
+    /spam signal in quality filtering. Array expressions only."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.round(X.repetition_ratio(F.col("text")), 6) + 0.0).alias("rep_ratio"),
+    )

@@ -115,3 +115,43 @@ def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
     )
+
+
+@register(
+    "w5_rank_battery",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           ntile(4)       OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cdist,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey)  OVER (PARTITION BY o_orderpriority
+                                         ORDER BY o_totalprice DESC, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND UNBOUNDED FOLLOWING) AS last_key
+    FROM orders
+    WHERE o_orderkey <= 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w5_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking-window battery: ntile / percent_rank /
+    cume_dist / first_value / last_value per priority partition, with
+    a unique (price, key) sort so every function is deterministic.
+    last_value gets an explicit whole-partition frame — the default
+    running frame is a classic wrong-answer trap in both engines."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+    )
