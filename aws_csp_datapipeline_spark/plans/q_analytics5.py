@@ -124,3 +124,81 @@ def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         F.broadcast(shipped), s.s_suppkey == shipped.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name", "s_nationkey")
+
+
+@register(
+    "g4_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def g4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind cube/rollup):
+    detail, per-flag subtotal, and grand total in one pass — Spark
+    expands the sets in a single Expand + aggregate, one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "x4_gap_fill",
+    """
+    WITH m AS (
+      SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+             ROUND(SUM(o_totalprice), 2) AS rev
+      FROM orders WHERE o_totalprice > 450000 GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT o_orderpriority,
+             min(date_trunc('month', o_orderdate)) AS lo,
+             max(date_trunc('month', o_orderdate)) AS hi
+      FROM orders WHERE o_totalprice > 450000 GROUP BY 1
+    ),
+    grid AS (
+      SELECT o_orderpriority,
+             unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+      FROM span
+    )
+    SELECT g.o_orderpriority, CAST(g.month AS DATE) AS month,
+           COALESCE(m.rev, 0.0) AS rev
+    FROM grid g
+    LEFT JOIN m ON g.o_orderpriority = m.o_orderpriority AND g.month = m.month
+    """,
+)
+def x4_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per-group monthly revenue on a dense
+    month grid (sequence + explode between each group's min and max
+    month), missing months zero-filled via left join. The grid is
+    |groups| x |months| — tiny at any fact-table scale, so it
+    broadcasts; the fact side aggregates down before joining."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    monthly = o.groupBy("o_orderpriority", month.alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    span = o.groupBy("o_orderpriority").agg(
+        F.min(month).alias("lo"), F.max(month).alias("hi")
+    )
+    grid = span.select(
+        "o_orderpriority",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month"),
+    )
+    return (
+        F.broadcast(grid)
+        .join(monthly, ["o_orderpriority", "month"], "left")
+        .select(
+            "o_orderpriority",
+            F.col("month").cast("date").alias("month"),
+            F.coalesce("rev", F.lit(0.0)).alias("rev"),
+        )
+    )
