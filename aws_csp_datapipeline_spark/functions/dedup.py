@@ -135,21 +135,18 @@ def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
 _MASK31 = (1 << 31) - 1
 
 
-def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 48, n: int = 3
-) -> DataFrame:
-    """Per-doc MinHash signature: k min-hash values in ONE groupBy over
-    the exploded shingle table — a single shuffle, constant row width.
+def _signature_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    """k-wide MinHash signature from a (doc, sh-array) table in ONE
+    groupBy over the exploded shingles — a single shuffle, constant
+    row width.
 
     Hash family: each shingle is string-hashed ONCE (xxhash64), then
     the k permutations are integer universal hashes
-    (a_j·x + b_j) mod 2^31 — 48 multiply-adds instead of 48 string
+    (a_j·x + b_j) mod 2^31 — k multiply-adds instead of k string
     hashes per shingle. Products stay < 2^62 so ANSI-mode long
     arithmetic never overflows."""
-    ex = (
-        _shingle_table(df, text_col, id_col, n)
-        .select("doc", F.explode("sh").alias("s"))
-        .withColumn("h", F.xxhash64("s").bitwiseAND(F.lit(_MASK31)))
+    ex = sh.select("doc", F.explode("sh").alias("s")).withColumn(
+        "h", F.xxhash64("s").bitwiseAND(F.lit(_MASK31))
     )
     aggs = [
         F.min(
@@ -158,6 +155,14 @@ def minhash_signatures(
         for j, (a, b) in enumerate(_perm_constants(k))
     ]
     return ex.groupBy("doc").agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, k: int = 48, n: int = 3
+) -> DataFrame:
+    """Per-doc MinHash signature table (see _signature_from_shingles
+    for the hash family and shuffle shape)."""
+    return _signature_from_shingles(_shingle_table(df, text_col, id_col, n), k)
 
 
 def minhash_lsh_pairs(
@@ -182,10 +187,7 @@ def minhash_lsh_pairs(
     # the shingle table feeds the signature build AND both sides of
     # the verification join — materialize it once (spills if large)
     sh = _shingle_table(df, text_col, id_col, n).cache()
-    ex = sh.select("doc", F.explode("sh").alias("s"))
-    sig = ex.groupBy("doc").agg(
-        *[F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"mh{j}") for j in range(k)]
-    )
+    sig = _signature_from_shingles(sh, k)
     band_cols = F.array(
         *[
             F.struct(
@@ -237,15 +239,26 @@ def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     The loop is driver-side CONTROL only; data stays distributed, and
     each round is one aggregation on the edge list.
     """
+    # The edge list is orders of magnitude smaller than the corpus
+    # (only near-dup pairs). Re-key it to core-count partitions so the
+    # per-round joins don't inherit the full shuffle-partition count —
+    # with default 200 partitions each tiny iteration pays 200-task
+    # scheduling overhead, which dominates the loop's wall clock.
+    nparts = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
+        .repartition(nparts, "a")
         .cache()
     )
     labels = edges.select(F.col("a").alias("doc")).distinct().withColumn(
         "grp", F.col("doc")
     )
+    # Convergence test: labels only ever decrease, so the label sum is
+    # strictly decreasing until the fixed point — one cheap scalar
+    # aggregate per round instead of a labels-vs-labels diff join.
+    prev_sum = None
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.b == labels.doc)
@@ -259,16 +272,11 @@ def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(F.col("grp"), F.coalesce("nbr_grp", "grp")).alias("grp"),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.grp") != F.col("o.grp"))
-            .limit(1)
-            .count()
-        )
         labels = new_labels.localCheckpoint(eager=True)
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("grp")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("doc"), F.col("grp").alias("group_id"))
 
 
