@@ -158,3 +158,45 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = MM.to_media_column(d, "doc_id", "text")
     return MM.frame_sample(media, every_n_bytes=64, max_frames=8)
+
+
+@register("st4_stream_stream_join", None)
+def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time join: purchases attributed to the
+    same user's clicks within 1 hour, driven as TWO file-source
+    streams with watermarks + a time-range join condition (bounded
+    state), memory sink, availableNow. Rows-only here; equality vs
+    the identical batch join is pytest-checked
+    (tests/test_sources_streaming.py)."""
+    from aws_csp_datapipeline_spark.streaming.ingest import attribution_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    landing = tempfile.mkdtemp(prefix="st4_landing_")
+    ckpt = tempfile.mkdtemp(prefix="st4_ckpt_")
+    os.symlink(table_path(sf_dir, "events"), os.path.join(landing, "events.parquet"))
+
+    def typed_stream(event_type: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(landing)
+        )
+        return raw.filter(F.col("event_type") == event_type).select(
+            "event_id",
+            "user_id",
+            F.timestamp_seconds(F.col("ts") / F.lit(1e9)).alias("ts"),
+        )
+
+    joined = attribution_join(typed_stream("purchase"), typed_stream("click"))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("st4_attributed")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("st4_attributed")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+    )

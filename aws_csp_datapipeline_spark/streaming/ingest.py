@@ -79,3 +79,43 @@ def windowed_event_counts(
             F.col("total"),
         )
     )
+
+
+def attribution_join(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's clicks within ``horizon`` before it — the canonical
+    two-stream event-time join. The time-range condition plus
+    watermarks is what bounds join state on an unbounded stream
+    (clicks older than watermark + horizon are evicted); without them
+    a stream-stream join would buffer forever. Works identically on
+    batch DataFrames (same expression, no watermark), which is how
+    the result is verified.
+    """
+    if purchases.isStreaming:
+        purchases = purchases.withWatermark(ts_col, watermark)
+        clicks = clicks.withWatermark(ts_col, watermark)
+    p = purchases.select(
+        F.col(user_col).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = clicks.select(
+        F.col(user_col).alias("c_user"),
+        F.col(ts_col).alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    cond = (
+        (p.p_user == c.c_user)
+        & (c.click_ts <= p.purchase_ts)
+        & (c.click_ts >= p.purchase_ts - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond, "inner").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id"
+    )

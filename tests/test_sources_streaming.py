@@ -104,3 +104,23 @@ def test_multimodal_features_shape(spark, sf_smoke):
     r = rows[0]
     assert r["n_bytes"] > 0 and 0.0 <= r["mean_byte"] <= 255.0
     assert 64 <= r["width"] <= 255 and r["channels"] in (1, 3)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_smoke):
+    """The st4 stream-stream attribution join must equal the identical
+    batch join expression over the same events."""
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.plans.registry import queries
+    from aws_csp_datapipeline_spark.streaming.ingest import attribution_join
+
+    streamed = queries()["st4_stream_stream_join"](spark, sf_smoke)
+
+    ev = load_table(spark, sf_smoke, "events")
+    batch = attribution_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    ).groupBy("user_id").agg(F.count(F.lit(1)).alias("n_attributed"))
+
+    got = sorted(map(tuple, streamed.collect()))
+    exp = sorted(map(tuple, batch.collect()))
+    assert got == exp and len(got) > 0
