@@ -36,6 +36,11 @@ HEADLINE = [
     "x1_asof_join",
     "x2_interval_join",
     "g3_time_rollup",
+    "q9_profit_by_nation_year",
+    "g4_grouping_sets",
+    "w5_rank_battery",
+    "tt1_hash_split",
+    "t6_pii_scrub",
 ]
 
 
