@@ -130,6 +130,55 @@ def merge_upsert(table: DataFrame, batch: DataFrame, key: str) -> DataFrame:
     return updated.unionByName(inserts.select(*cols))
 
 
+def apply_cdc(
+    table: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """CDC apply: fold a change feed (op ∈ I/U/D, monotone ``seq``)
+    into a snapshot — the change-data-capture generalization of the
+    reference's per-row insert/update/delete routes (one route call ≡
+    one change row; lambda/lambda_function.py:1004-1044).
+
+    Two steps, both scale-safe:
+    1. collapse the feed to the LATEST change per key (window over the
+       feed only — the snapshot is never windowed);
+    2. one outer merge: D drops the row, U/I replace-or-insert it,
+       untouched keys pass through. The feed is typically ≪ table, so
+       the join broadcasts; the snapshot never shuffles.
+
+    ``changes`` must carry ``key``, ``op_col``, ``seq_col`` plus the
+    table's data columns (ignored for D).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(seq_col).desc())
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", seq_col)
+    )
+    data_cols = [c for c in table.columns if c != key]
+    lat = latest.select(
+        F.col(key),
+        F.col(op_col).alias("__op"),
+        *[F.col(c).alias(f"__c_{c}") for c in data_cols],
+    )
+    merged = table.join(F.broadcast(lat), key, "full_outer")
+    # D rows drop out here — including a D for an absent key, which
+    # must not resurrect as an all-NULL row
+    kept = merged.filter(F.col("__op").isNull() | (F.col("__op") != "D"))
+    return kept.select(
+        F.col(key),
+        *[
+            F.when(F.col("__op").isin("I", "U"), F.col(f"__c_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in data_cols
+        ],
+    )
+
+
 def soft_delete(table: DataFrame, key: str, key_value, flag: str = "is_display") -> DataFrame:
     """M4: soft delete — ``UPDATE ... SET is_display=FALSE WHERE
     s_no=k`` (soft_delete_tool, lambda/lambda_function.py:549-592).

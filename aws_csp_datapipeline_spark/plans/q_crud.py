@@ -234,3 +234,62 @@ def m7_dedup_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     return M.dedup_by_keys(ev, ["user_id", "event_type"], "event_id")
+
+
+@register(
+    "m10_cdc_apply",
+    """
+    WITH changes AS (
+      SELECT n_nationkey, 'U' AS op, 2 AS seq,
+             'NEW_' || n_name AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 4
+      UNION ALL
+      SELECT n_nationkey, 'U', 1, 'OLD_' || n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 4
+      UNION ALL
+      SELECT n_nationkey, 'D', 3, NULL, NULL
+      FROM nation WHERE n_nationkey BETWEEN 10 AND 12
+      UNION ALL
+      SELECT r_regionkey + 200, 'I', 4, r_name, r_regionkey FROM region
+    ),
+    latest AS (
+      SELECT * FROM changes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY n_nationkey ORDER BY seq DESC) = 1
+    )
+    SELECT COALESCE(t.n_nationkey, l.n_nationkey) AS n_nationkey,
+           CASE WHEN l.op IN ('I','U') THEN l.n_name ELSE t.n_name END AS n_name,
+           CASE WHEN l.op IN ('I','U') THEN l.n_regionkey
+                ELSE t.n_regionkey END AS n_regionkey
+    FROM nation t FULL OUTER JOIN latest l ON t.n_nationkey = l.n_nationkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def m10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: a change feed with a superseded update (seq 1 loses
+    to seq 2), deletes, and inserts, folded into the snapshot in one
+    outer merge — latest-change-per-key via a window over the FEED
+    only; the snapshot is never windowed or shuffled."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    low = nation.filter(F.col("n_nationkey") < 4)
+    u2 = low.select(
+        "n_nationkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"), "n_regionkey",
+    )
+    u1 = low.select(
+        "n_nationkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        F.concat(F.lit("OLD_"), F.col("n_name")).alias("n_name"), "n_regionkey",
+    )
+    d = nation.filter(F.col("n_nationkey").between(10, 12)).select(
+        "n_nationkey", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast(nation.schema["n_regionkey"].dataType).alias("n_regionkey"),
+    )
+    i = region.select(
+        (F.col("r_regionkey") + 200).alias("n_nationkey"),
+        F.lit("I").alias("op"), F.lit(4).alias("seq"),
+        F.col("r_name").alias("n_name"),
+        F.col("r_regionkey").alias("n_regionkey"),
+    )
+    changes = u2.unionByName(u1).unionByName(d).unionByName(i)
+    return M.apply_cdc(nation, changes, "n_nationkey")

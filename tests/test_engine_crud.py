@@ -125,3 +125,23 @@ def test_merge_upsert_updates_and_inserts(spark):
     assert out[1]["name"] == "a" and out[1]["v"] == 10.0  # untouched
     assert out[2]["name"] == "B" and out[2]["v"] == 20.0  # updated, v kept
     assert out[3]["name"] == "c" and out[3]["v"] is None  # inserted, v NULL
+
+
+def test_apply_cdc_semantics(spark):
+    from aws_csp_datapipeline_spark.operators.crud import apply_cdc
+
+    table = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, name string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 1, "a1"),   # superseded by seq 2
+            (1, "U", 2, "a2"),   # wins
+            (2, "D", 1, None),   # delete
+            (4, "I", 1, "d"),    # insert new key
+            (5, "D", 1, None),   # delete of absent key: no-op
+        ],
+        "k int, op string, seq int, name string",
+    )
+    out = {r["k"]: r["name"] for r in apply_cdc(table, changes, "k").collect()}
+    assert out == {1: "a2", 3: "c", 4: "d"}
