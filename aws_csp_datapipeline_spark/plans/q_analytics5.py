@@ -202,3 +202,60 @@ def x4_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("rev", F.lit(0.0)).alias("rev"),
         )
     )
+
+
+@register(
+    "h1_histogram",
+    """
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(FLOOR(o_totalprice / 50000) * 50000 AS DOUBLE) AS bin_lo,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def h1_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the profiling/EDA primitive): bin id by
+    FLOOR division — FLOOR on both engines so double→int truncation
+    semantics can't diverge. Partial-aggregates map-side; the shuffle
+    carries only |bins| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(
+        bin_.cast("long").alias("bin"),
+        (bin_ * 50000).cast("double").alias("bin_lo"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "f11_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           ROUND(l_quantity, 4) AS val
+    FROM lineitem WHERE l_orderkey <= 300
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', ROUND(l_extendedprice, 4)
+    FROM lineitem WHERE l_orderkey <= 300
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', ROUND(l_discount, 4)
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+)
+def f11_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt): one row per (id, metric).
+    Spark plans this as a single Expand over one scan — NOT the
+    oracle's three scans; same result, one pass."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+    )
+    out = wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "val",
+    )
+    return out.withColumn("val", F.round("val", 4))
