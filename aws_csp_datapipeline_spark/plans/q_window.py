@@ -155,3 +155,82 @@ def w5_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_key"),
         F.last("o_orderkey").over(w_full).alias("last_key"),
     )
+
+
+@register(
+    "fun1_funnel",
+    """
+    WITH v AS (SELECT user_id, MIN(event_id) AS v_id FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.event_id) AS c_id
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.event_id > v.v_id
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.event_id) AS p_id
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.event_id > c.c_id
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after
+    """,
+)
+def fun1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users progressing view → click → purchase in
+    event order (sequenced by the monotone event_id — no timestamp
+    precision trap). Each stage is a grouped MIN + a join back to the
+    stream; stage tables shrink monotonically, and the per-user
+    grouped frames are what shuffles, never raw events twice."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("v_id"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("event_id") > F.col("v_id"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("c_id"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("event_id") > F.col("c_id"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("p_id"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+
+
+@register(
+    "fun2_retention",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY user_id)
+    SELECT c.cohort_week, w.week, COUNT(*) AS n_users
+    FROM wk w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def fun2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users' first-activity week vs every
+    week they were active. The (user, week) distinct set is the only
+    big shuffle; the cohort table is per-user (small) and broadcasts
+    back. Week truncation is precision-safe across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        wk.join(F.broadcast(cohort), "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
