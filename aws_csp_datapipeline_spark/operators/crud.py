@@ -120,7 +120,15 @@ def merge_upsert(table: DataFrame, batch: DataFrame, key: str) -> DataFrame:
     stays a pure snapshot transformation.
     """
     updated = update_from_batch(table, batch, key)
-    inserts = batch.join(table, key, "left_anti")
+    # Which batch keys already exist? A naive batch-anti-join-table
+    # would SHUFFLE the whole table (anti builds on the right side);
+    # instead probe with a broadcast semi scan — the table is read
+    # (key column only, pruned) but never shuffled, and the matched
+    # key set is bounded by the batch size.
+    matched = table.join(
+        F.broadcast(batch.select(key).distinct()), key, "left_semi"
+    ).select(key)
+    inserts = batch.join(F.broadcast(matched), key, "left_anti")
     cols = []
     for f in table.schema.fields:
         if f.name in inserts.columns:
@@ -142,12 +150,16 @@ def apply_cdc(
     reference's per-row insert/update/delete routes (one route call ≡
     one change row; lambda/lambda_function.py:1004-1044).
 
-    Two steps, both scale-safe:
+    Three steps, none of which shuffles the snapshot (a full-outer
+    merge would — Spark can't broadcast a full-outer hash join, so it
+    degrades to a both-sides-shuffled sort-merge):
     1. collapse the feed to the LATEST change per key (window over the
        feed only — the snapshot is never windowed);
-    2. one outer merge: D drops the row, U/I replace-or-insert it,
-       untouched keys pass through. The feed is typically ≪ table, so
-       the join broadcasts; the snapshot never shuffles.
+    2. broadcast LEFT join feed→snapshot: D drops the row, U/I rewrite
+       it, untouched keys pass through;
+    3. feed keys absent from the snapshot become inserts — membership
+       probed with a broadcast semi scan (key column only), never an
+       anti-join that would shuffle the table.
 
     ``changes`` must carry ``key``, ``op_col``, ``seq_col`` plus the
     table's data columns (ignored for D).
@@ -164,11 +176,11 @@ def apply_cdc(
         F.col(op_col).alias("__op"),
         *[F.col(c).alias(f"__c_{c}") for c in data_cols],
     )
-    merged = table.join(F.broadcast(lat), key, "full_outer")
-    # D rows drop out here — including a D for an absent key, which
-    # must not resurrect as an all-NULL row
+    merged = table.join(F.broadcast(lat), key, "left")
+    # D rows drop out here; a D for an absent key never reaches the
+    # insert path either (op filter below), so it can't resurrect
     kept = merged.filter(F.col("__op").isNull() | (F.col("__op") != "D"))
-    return kept.select(
+    updated = kept.select(
         F.col(key),
         *[
             F.when(F.col("__op").isin("I", "U"), F.col(f"__c_{c}"))
@@ -177,6 +189,15 @@ def apply_cdc(
             for c in data_cols
         ],
     )
+    matched = table.join(
+        F.broadcast(lat.select(key).distinct()), key, "left_semi"
+    ).select(key)
+    inserts = (
+        lat.filter(F.col("__op").isin("I", "U"))
+        .join(F.broadcast(matched), key, "left_anti")
+        .select(F.col(key), *[F.col(f"__c_{c}").alias(c) for c in data_cols])
+    )
+    return updated.unionByName(inserts)
 
 
 def soft_delete(table: DataFrame, key: str, key_value, flag: str = "is_display") -> DataFrame:

@@ -109,3 +109,28 @@ def test_sql_api_same_result(spark, sf_oracle):
     )
     dfapi = queries()["a4_group_count"](spark, sf_oracle)
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, dfapi.collect()))
+
+
+def test_cdc_and_merge_never_shuffle_snapshot(spark, sf_oracle):
+    """apply_cdc / merge_upsert must stay all-broadcast: a full-outer
+    or plain anti-join formulation degrades to a both-sides-shuffled
+    SortMergeJoin of the (100-TB) snapshot."""
+    for name in ("m10_cdc_apply", "m9_merge_upsert"):
+        plan = _plan(queries()[name](spark, sf_oracle))
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_hash_split_is_narrow(spark, sf_oracle):
+    """The deterministic split is a pure projection — any Exchange
+    would mean the assignment depends on partitioning."""
+    plan = _plan(queries()["tt1_hash_split"](spark, sf_oracle))
+    assert "Exchange" not in plan
+
+
+def test_q9_star_never_shuffles_fact(spark, sf_oracle):
+    """Q9's 4-way star: every dimension broadcasts; the only shuffle
+    allowed is the final (nation, year) aggregate."""
+    plan = _plan(queries()["q9_profit_by_nation_year"](spark, sf_oracle))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
