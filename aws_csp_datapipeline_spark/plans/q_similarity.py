@@ -181,3 +181,43 @@ def s4_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("dim").alias("n_dims"),
         F.round(F.sum("val") / F.lit(64.0), 4).alias("mass"),
     )
+
+
+@register(
+    "s9_array_battery",
+    """
+    WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id,
+           len(list_filter(v, x -> x > 0)) AS n_pos,
+           ROUND(list_aggregate(list_transform(v, x -> greatest(x, 0.0)), 'sum'),
+                 4) + 0.0 AS sum_clipped,
+           ROUND(list_max(list_transform(v, x -> abs(x))), 4) + 0.0 AS max_abs,
+           ROUND(list_aggregate(v[1:3], 'sum'), 4) + 0.0 AS head3_sum
+    FROM n
+    """,
+)
+def s9_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array-function battery (filter / transform /
+    aggregate / slice) over the embedding column — the building
+    blocks of JVM-side vector math, all inside codegen, zero UDFs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    bound = F.element_at(F.array(v), 1)  # bind once; see word_shingles
+    def battery(vv):
+        zero = F.lit(0.0)
+        return F.struct(
+            F.size(F.filter(vv, lambda x: x > 0)).alias("n_pos"),
+            (F.round(
+                F.aggregate(vv, zero, lambda acc, x: acc + F.greatest(x, zero)), 4
+            ) + 0.0).alias("sum_clipped"),
+            (F.round(F.array_max(F.transform(vv, lambda x: F.abs(x))), 4) + 0.0).alias(
+                "max_abs"
+            ),
+            (F.round(
+                F.aggregate(F.slice(vv, 1, 3), zero, lambda acc, x: acc + x), 4
+            ) + 0.0).alias("head3_sum"),
+        )
+    s = F.element_at(F.transform(F.array(bound), battery), 1)
+    return e.select("vec_id", s.alias("s")).select(
+        "vec_id", "s.n_pos", "s.sum_clipped", "s.max_abs", "s.head3_sum"
+    )

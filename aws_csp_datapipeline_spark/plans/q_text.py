@@ -180,3 +180,28 @@ def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.round(X.repetition_ratio(F.col("text")), 6) + 0.0).alias("rep_ratio"),
     )
+
+
+@register(
+    "t8_levenshtein_pairs",
+    """
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def t8_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-match pairs over the distinct name
+    vocabulary. The self-join is quadratic in VOCABULARY size (not
+    corpus size) — fine for enum-like columns; for open text at
+    corpus scale, pre-bucket by length band + first char so only
+    plausible pairs meet, then verify with levenshtein."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    pairs = a.join(b, F.col("name_a") < F.col("name_b"))
+    return pairs.select(
+        "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
+    ).filter(F.col("dist") <= 3)

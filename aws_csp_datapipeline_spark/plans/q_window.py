@@ -234,3 +234,34 @@ def fun2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "w6_moving_avg",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             SUM(value) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           ROUND(AVG(total) OVER (PARTITION BY user_id ORDER BY day
+                                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 4) + 0.0 AS ma7
+    FROM daily
+    """,
+)
+def w6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average of per-user daily totals — the
+    sliding-frame window. Two shuffles total: the daily rollup and
+    the per-user window; frames never re-scan raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.sum("value").alias("total"))
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        "day",
+        (F.round(F.avg("total").over(w), 4) + 0.0).alias("ma7"),
+    )
