@@ -33,3 +33,34 @@ def zscore_per_group(
     return df.select(id_col, group_col, value_col).groupBy(group_col).applyInPandas(
         per_group, schema=f"{id_col} long, {group_col} long, z double"
     )
+
+
+def count_above_threshold_cogrouped(
+    values: DataFrame,
+    thresholds: DataFrame,
+    key_col: str,
+    value_col: str,
+    thresh_col: str,
+) -> DataFrame:
+    """Cogrouped-map Pandas (``cogroup().applyInPandas``): pair each
+    key's value rows with its threshold rows in one Arrow-batched
+    function — the two-sided per-group escape hatch (the shape custom
+    per-entity logic takes when it needs BOTH a fact slice and a
+    config/model slice). Output: (key, n_above)."""
+
+    def per_key(vals: pd.DataFrame, ths: pd.DataFrame) -> pd.DataFrame:
+        if len(vals) == 0 or len(ths) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype="int64"),
+                                 "n_above": pd.Series(dtype="int64")})
+        t = ths[thresh_col].iloc[0]
+        return pd.DataFrame(
+            {key_col: [vals[key_col].iloc[0]],
+             "n_above": [int((vals[value_col] > t).sum())]}
+        )
+
+    return (
+        values.select(key_col, value_col)
+        .groupBy(key_col)
+        .cogroup(thresholds.select(key_col, thresh_col).groupBy(key_col))
+        .applyInPandas(per_key, schema=f"{key_col} long, n_above long")
+    )

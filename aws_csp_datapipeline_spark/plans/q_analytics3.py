@@ -358,3 +358,30 @@ def m8_scd2_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, updates, key="n_nationkey", attrs=["n_name"],
         change_ts="2024-06-01",
     )
+
+
+@register(
+    "ap2_cogrouped_threshold",
+    """
+    WITH th AS (SELECT user_id, ROUND(AVG(value), 6) AS thresh
+                FROM events GROUP BY user_id)
+    SELECT e.user_id,
+           CAST(SUM(CASE WHEN e.value > th.thresh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above
+    FROM events e JOIN th ON e.user_id = th.user_id
+    GROUP BY e.user_id
+    """,
+)
+def ap2_cogrouped_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: per-user events cogrouped with a
+    per-user threshold table (here: the user's own mean, rounded so
+    both engines agree), counting values above it in pandas. The
+    integer count is what crosses the Arrow boundary — float
+    discipline stays inside each engine."""
+    from aws_csp_datapipeline_spark.functions.grouped import (
+        count_above_threshold_cogrouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("thresh"))
+    return count_above_threshold_cogrouped(ev, th, "user_id", "value", "thresh")
