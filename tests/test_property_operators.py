@@ -137,3 +137,66 @@ def test_messy_date_cases(spark, raw, expected):
         .head()
     )
     assert row["d"] == expected
+
+
+_CHANGE = st.tuples(
+    st.integers(0, 9),                       # key
+    st.sampled_from(["I", "U", "D"]),        # op
+    st.text(alphabet="abc", min_size=0, max_size=3),
+)
+
+
+@given(
+    table_keys=st.sets(st.integers(0, 9), max_size=8),
+    changes=st.lists(_CHANGE, max_size=20),
+)
+@settings(**SETTINGS)
+def test_apply_cdc_matches_python_model(spark, table_keys, changes):
+    """apply_cdc == a sequential python replay of the change feed
+    (latest-per-key wins; D deletes, U/I upsert)."""
+    from aws_csp_datapipeline_spark.operators.crud import apply_cdc
+
+    table_rows = [(k, f"v{k}") for k in sorted(table_keys)]
+    change_rows = [(k, op, seq, val) for seq, (k, op, val) in enumerate(changes)]
+
+    # python model: latest change per key applied to the snapshot dict
+    state = dict(table_rows)
+    latest = {}
+    for k, op, seq, val in change_rows:
+        latest[k] = (op, val)  # increasing seq: later wins
+    for k, (op, val) in latest.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = val
+
+    table = spark.createDataFrame(
+        table_rows or [(None, None)], "k int, name string"
+    ).filter(F.col("k").isNotNull())
+    ch = spark.createDataFrame(
+        change_rows or [(None, None, None, None)],
+        "k int, op string, seq int, name string",
+    ).filter(F.col("k").isNotNull())
+    got = {r["k"]: r["name"] for r in apply_cdc(table, ch, "k").collect()}
+    assert got == state
+
+
+@given(keys=st.sets(st.integers(0, 10_000), min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_hash_split_deterministic_and_nested(spark, keys):
+    """Split assignment is a pure function of the key (partitioning-
+    independent) and smaller train fractions are subsets of larger
+    ones (monotone thresholds: a frozen split that can only grow)."""
+    from aws_csp_datapipeline_spark.functions.sampling import hash_split
+
+    df = spark.createDataFrame([(k,) for k in sorted(keys)], "k long")
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", 0.5).collect()}
+    b = {
+        r["k"]: r["split"]
+        for r in hash_split(df.repartition(7), "k", 0.5).collect()
+    }
+    assert a == b  # repartitioning cannot move a row across the split
+    wide = {r["k"]: r["split"] for r in hash_split(df, "k", 0.9).collect()}
+    train_small = {k for k, s in a.items() if s == "train"}
+    train_wide = {k for k, s in wide.items() if s == "train"}
+    assert train_small <= train_wide
