@@ -259,3 +259,24 @@ def f11_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val",
     )
     return out.withColumn("val", F.round("val", 4))
+
+
+@register(
+    "a13_bool_aggs",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 450000)  AS any_over_450k,
+           count_if(o_orderstatus = 'F')   AS n_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a13_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate battery: ALL/ANY predicates and conditional
+    count per group — single-pass native aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 450000).alias("any_over_450k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )

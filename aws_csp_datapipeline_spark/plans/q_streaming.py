@@ -200,3 +200,49 @@ def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_attributed"))
     )
+
+
+@register(
+    "st6_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    i AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           CAST(date_trunc('second', MIN(ts)) AS TIMESTAMP) AS s_start,
+           CAST(date_trunc('second', MAX(ts) + INTERVAL 30 MINUTE) AS TIMESTAMP)
+             AS s_end,
+           COUNT(*) AS n
+    FROM i GROUP BY user_id, sess
+    """,
+)
+def st6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (the streaming sessionization operator,
+    run on the batch table where it is oracle-checkable): dynamic-gap
+    sessions per user, window end = last event + gap. The oracle
+    restates it as gap-flag islands — the same semantics w3 builds by
+    hand. Second-truncated bounds keep ns-vs-us parquet precision out
+    of the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        "user_id", F.session_window(F.col("ts"), "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.select(
+        "user_id",
+        F.date_trunc("second", F.col("w.start")).alias("s_start"),
+        F.date_trunc("second", F.col("w.end")).alias("s_end"),
+        "n",
+    )
