@@ -26,15 +26,22 @@ def asof_join(
     right_payload: list[str],
     left_cols: list[str] | None = None,
     suffix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, plus the payload of the most
-    recent right row at-or-before its timestamp (NULLs when none).
+    recent right row at-or-before its timestamp (``direction=
+    'backward'``, the default) or the earliest right row at-or-after
+    it (``'forward'``). NULLs when none exists. Same single-shuffle
+    tagged-union plan either way — forward only flips the window's
+    sort direction.
 
     Tie handling: a right row at exactly left.ts IS visible
     (inclusive), ordered before the left row in the union; among
     right rows sharing a timestamp the highest payload-order row wins
     deterministically via the trailing sort key.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left_cols or [c for c in left.columns if c not in (key, left_ts)]
     tagged_l = left.select(
         F.col(key).alias("__k"),
@@ -51,9 +58,10 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in right_payload],
     )
     unioned = tagged_l.unionByName(tagged_r)
+    ts_ord = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts"), F.col("__is_left"), F.col(f"__r_{right_payload[0]}"))
+        .orderBy(ts_ord, F.col("__is_left"), F.col(f"__r_{right_payload[0]}"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

@@ -200,3 +200,41 @@ def test_hash_split_deterministic_and_nested(spark, keys):
     train_small = {k for k, s in a.items() if s == "train"}
     train_wide = {k for k, s in wide.items() if s == "train"}
     assert train_small <= train_wide
+
+
+@given(left=st.lists(_EVENT, min_size=1, max_size=25),
+       right=st.lists(_EVENT, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_asof_join_forward_matches_merge_asof(spark, left, right):
+    from aws_csp_datapipeline_spark.operators.asof import asof_join
+
+    lrows, rrows = _mk_events(left), _mk_events(right)
+    lpd = (
+        pd.DataFrame(lrows, columns=["id", "k", "ts", "v"])
+        .drop_duplicates(subset=["k", "ts"])
+    )
+    rpd = (
+        pd.DataFrame(rrows, columns=["id", "k", "ts", "v"])
+        .drop_duplicates(subset=["k", "ts"])
+    )
+    ldf = spark.createDataFrame(lpd, _SCHEMA)
+    rdf = spark.createDataFrame(rpd, _SCHEMA)
+
+    got = {
+        (r["id"], r["asof_id"])
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            right_payload=["id", "v"], left_cols=["id"], suffix="asof_",
+            direction="forward",
+        ).collect()
+    }
+    exp_df = pd.merge_asof(
+        lpd.sort_values("ts"),
+        rpd.sort_values("ts").rename(columns={"id": "asof_id", "v": "asof_v"}),
+        on="ts", by="k", direction="forward",
+    )
+    exp = {
+        (int(r.id), None if pd.isna(r.asof_id) else int(r.asof_id))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
