@@ -280,3 +280,28 @@ def a13_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 450000).alias("any_over_450k"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
     )
+
+
+@register(
+    "j6_null_safe_join",
+    """
+    WITH a AS (SELECT n_nationkey, nullif(n_regionkey, 2) AS rk, n_name
+               FROM nation),
+    b AS (SELECT nullif(r_regionkey, 2) AS rk, r_name FROM region)
+    SELECT a.n_nationkey, a.n_name, b.r_name
+    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+    """,
+)
+def j6_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping — still a hash join (the
+    null bucket is just another key), not a nested loop."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    a = n.select(
+        "n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk"), "n_name"
+    )
+    b = r.select(F.nullif(F.col("r_regionkey"), F.lit(2)).alias("rk"), "r_name")
+    return a.join(F.broadcast(b), a.rk.eqNullSafe(b.rk)).select(
+        "n_nationkey", "n_name", "r_name"
+    )
