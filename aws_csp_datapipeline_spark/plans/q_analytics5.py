@@ -305,3 +305,25 @@ def j6_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(F.broadcast(b), a.rk.eqNullSafe(b.rk)).select(
         "n_nationkey", "n_name", "r_name"
     )
+
+
+@register(
+    "a14_pivot_sum",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F",
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a14_pivot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with a SUM measure (explicit pivot values → single pass,
+    no distinct-values pre-job); absent cells stay NULL like the
+    CASE-without-ELSE oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out

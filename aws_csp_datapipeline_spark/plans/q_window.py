@@ -265,3 +265,54 @@ def w6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         (F.round(F.avg("total").over(w), 4) + 0.0).alias("ma7"),
     )
+
+
+@register(
+    "w7_share_of_total",
+    """
+    SELECT user_id, event_type,
+           ROUND(SUM(value) / SUM(SUM(value)) OVER (PARTITION BY user_id),
+                 6) + 0.0 AS share
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def w7_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total: each (user, type)'s fraction of the user's
+    total — an aggregate nested inside a window (one shuffle for the
+    group-by; the window re-partitions by a prefix of the same key,
+    so AQE/planner reuses the partitioning)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("user_id", "event_type").agg(F.sum("value").alias("tv"))
+    w = Window.partitionBy("user_id")
+    return g.select(
+        "user_id",
+        "event_type",
+        (F.round(F.col("tv") / F.sum("tv").over(w), 6) + 0.0).alias("share"),
+    )
+
+
+@register(
+    "w8_range_frame",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id
+                          ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+             AS n_last_hour
+    FROM events
+    """,
+)
+def w8_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, unlike w6's ROWS frame): per-user
+    count of events in the trailing hour, keyed on epoch seconds so
+    both engines frame identically. The per-partition sort is the
+    only cost — no self-join range explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
