@@ -127,6 +127,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def _tune_runtime(spark: SparkSession) -> None:
+    """Size runtime-mutable knobs for a session the engine didn't
+    build (the driver hands us a vanilla SparkSession). Only the
+    untouched Spark default (200 shuffle partitions) is overridden —
+    a deliberate setting, ours or the caller's, is left alone. 200
+    reduce tasks per shuffle on a small-core local session is pure
+    scheduling overhead (worst for iterative plans: PageRank,
+    connected components, streaming state stores, which all inherit
+    it as their state partition count)."""
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(max(2 * cores, 16))
+            )
+    except Exception:
+        pass  # read-only conf backend: keep the session as-is
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table lazily. Parquet carries its own schema; we keep
     the registry as documentation + for CSV/JSON readers that need it.
@@ -136,6 +155,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (``nanosAsLong``) and rebuild a proper TimestampType column via
     ``timestamp_micros`` — a pure column expression, fully codegen'd.
     """
+    _tune_runtime(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))

@@ -1,0 +1,115 @@
+"""Graph operators over relational edge lists.
+
+The reference has no graph surface; these cover the graph shapes a
+large-scale data pipeline needs (entity-resolution components already
+live in ``functions/dedup.neardup_groups``): edge derivation from a
+fact table, triangle counting, degree profiles, and PageRank.
+
+Everything is DataFrame-native — an edge list is just a two-column
+relation, so triangle counting is two self-joins (Catalyst broadcasts
+the smaller side automatically) and PageRank is a loop of
+join+aggregate with ``localCheckpoint`` to truncate lineage. No RDDs,
+no driver-side adjacency structures; at 100 TB the edge list stays
+hash-partitioned on ``src`` across executors and every iteration is
+one co-partitioned shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_occurrence_edges(
+    fact: DataFrame, group_col: str, node_col: str
+) -> DataFrame:
+    """Undirected unique edges between nodes sharing a group: the
+    classic market-basket projection (suppliers co-supplying an order,
+    authors co-signing a paper). Output columns ``src < dst``.
+
+    The self-join is co-partitioned on ``group_col`` (one shuffle each
+    side, same key); the DISTINCT folds the multi-group multiplicity
+    before anything downstream sees it. Hot groups explode
+    quadratically — at scale, cap or salt the heaviest groups first.
+    """
+    a = fact.select(
+        F.col(group_col).alias("g"), F.col(node_col).alias("src")
+    )
+    b = fact.select(
+        F.col(group_col).alias("g"), F.col(node_col).alias("dst")
+    )
+    return (
+        a.join(b, "g")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in an undirected edge list (``src < dst``
+    canonical form, so each triangle a<b<c is counted exactly once:
+    (a,b)+(b,c) closed by (a,c)).
+
+    Two equi-joins; Catalyst broadcasts when the edge list is small
+    and AQE switches to shuffled hash joins when it isn't. The classic
+    big-graph refinement (join on degree-ordered vertices) is exactly
+    this plan with ``src < dst`` replaced by a degree comparison.
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    closed = wedges.join(e3, ["a", "c"])
+    return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution of an undirected edge list: (degree,
+    n_nodes). Two map-side-combinable aggregations — the first keyed
+    on node, the second on degree (tiny)."""
+    ends = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, iterations: int = 12
+) -> DataFrame:
+    """PageRank on an undirected edge list (each edge walked both
+    ways). Returns (node, pr) with ranks summing to ~1.
+
+    Iterative join+aggregate: the (src, dst, out_deg) relation is
+    cached once; each iteration shuffles rank mass along edges and
+    folds it per destination. ``localCheckpoint`` truncates lineage so
+    the plan doesn't grow with the iteration count (the classic
+    iterative-DataFrame trap). Undirected graphs have no dangling
+    nodes, so no rank leak term is needed.
+    """
+    bi = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    adj = bi.join(deg, "src").localCheckpoint(eager=True)
+
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = adj.join(ranks, adj.src == ranks.node).select(
+            F.col("dst").alias("node"),
+            (F.col("pr") / F.col("out_deg")).alias("c"),
+        )
+        ranks = (
+            contribs.groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+            .select(
+                "node", (F.lit(base) + damping * F.col("mass")).alias("pr")
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

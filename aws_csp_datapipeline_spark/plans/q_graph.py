@@ -1,0 +1,82 @@
+"""Graph queries over the supplier co-supply network.
+
+Edge list: suppliers that supplied the same order (market-basket
+projection of ``lineitem`` — see ``operators/graph.
+co_occurrence_edges``). Triangle count and degree histogram are pure
+SQL (oracled); PageRank is iterative (rows-only, pinned by a
+numpy-power-iteration pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.operators import graph as G
+from aws_csp_datapipeline_spark.plans.registry import register
+
+_EDGES_CTE = """
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    return G.co_occurrence_edges(li, "l_orderkey", "l_suppkey")
+
+
+@register(
+    "gr1_triangle_count",
+    _EDGES_CTE
+    + """
+    SELECT COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.dst
+    JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    """,
+)
+def gr1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the co-supply graph: supplier triples that have
+    pairwise shared orders. Wedge join + closure join over the
+    canonical src<dst edge list."""
+    return G.triangle_count(_edges(spark, sf_dir))
+
+
+@register(
+    "gr2_degree_hist",
+    _EDGES_CTE
+    + """
+    , ends AS (
+      SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+    ), deg AS (
+      SELECT node, COUNT(*) AS degree FROM ends GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+)
+def gr2_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-supply graph (how many partners
+    each supplier has, histogrammed)."""
+    return G.degree_histogram(_edges(spark, sf_dir))
+
+
+@register("gr3_pagerank_top", None)
+def gr3_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by PageRank in the co-supply graph. Iterative
+    (12 join+aggregate rounds) — not SQL-expressible, so rows-only;
+    the algorithm itself is pinned against numpy power iteration in
+    ``tests/test_graph.py``."""
+    pr = G.pagerank(_edges(spark, sf_dir), damping=0.85, iterations=12)
+    return (
+        pr.select("node", F.round("pr", 6).alias("pr"))
+        .orderBy(F.col("pr").desc(), "node")
+        .limit(20)
+    )

@@ -296,7 +296,7 @@ def w7_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            COUNT(*) OVER (PARTITION BY user_id
-                          ORDER BY CAST(date_part('epoch', ts) AS BIGINT)
+                          ORDER BY CAST(FLOOR(date_part('epoch', ts)) AS BIGINT)
                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
              AS n_last_hour
     FROM events
@@ -315,4 +315,34 @@ def w8_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@register(
+    "w9_running_distinct",
+    """
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS n_types_seen
+    FROM events
+    """,
+)
+def w9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct count (COUNT(DISTINCT) OVER — which Spark's
+    window aggregates don't accept): re-expressed as the size of a
+    running ``collect_set``. State per row is the distinct-value set
+    (≤5 event types here), not the row history, so the frame stays
+    O(distinct) at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
     )

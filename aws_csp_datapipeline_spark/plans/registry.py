@@ -68,6 +68,8 @@ def _load_plan_modules() -> None:
         q_cleaning,
         q_crud,
         q_dedup,
+        q_graph,
+        q_pattern,
         q_range,
         q_sampling,
         q_similarity,

@@ -1,0 +1,67 @@
+"""Graph operators: PageRank pinned against numpy power iteration on a
+known small graph; triangle count and degree histogram on hand-checked
+fixtures (the registry oracle covers them at sf0.01)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.operators import graph as G
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_count_known(spark):
+    # K4 has 4 triangles; appending a pendant edge adds none.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    out = G.triangle_count(_edges_df(spark, k4 + [(3, 9)])).collect()
+    assert out[0]["n_triangles"] == 4
+
+
+def test_degree_histogram_known(spark):
+    # Star S3: center degree 3, three leaves degree 1.
+    out = G.degree_histogram(
+        _edges_df(spark, [(0, 1), (0, 2), (0, 3)])
+    ).collect()
+    hist = {r["degree"]: r["n_nodes"] for r in out}
+    assert hist == {3: 1, 1: 3}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    # Undirected path 0-1-2-3 plus chord 1-3: asymmetric enough that
+    # ranks differ per node.
+    pairs = [(0, 1), (1, 2), (2, 3), (1, 3)]
+    d, iters = 0.85, 12
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, t in pairs:
+        A[idx[t], idx[s]] = 1.0
+        A[idx[s], idx[t]] = 1.0
+    M = A / A.sum(axis=0)  # column-stochastic walk matrix
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        r = (1 - d) / n + d * (M @ r)
+
+    got = {
+        row["node"]: row["pr"]
+        for row in G.pagerank(
+            _edges_df(spark, pairs), damping=d, iterations=iters
+        ).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])
+
+
+def test_pagerank_sums_to_one(spark):
+    pairs = [(0, 1), (1, 2), (2, 3), (1, 3), (4, 0)]
+    total = (
+        G.pagerank(_edges_df(spark, pairs), iterations=8)
+        .agg(F.sum("pr").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert abs(total - 1.0) < 1e-9
