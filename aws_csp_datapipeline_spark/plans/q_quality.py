@@ -1,0 +1,225 @@
+"""Data-quality gate queries: column profiling, FK audits, snapshot
+reconciliation, uniqueness expectation, TF-IDF corpus statistics, and
+approximate percentiles.
+
+The reference fixes quality defects point-wise at ingest (null
+spellings, lambda_function.py:247-248; existence probes, :342-364);
+these queries are the bulk, between-stage form of the same checks a
+100-TB pipeline runs as gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.functions.text import tokens
+from aws_csp_datapipeline_spark.operators import quality as Q
+from aws_csp_datapipeline_spark.plans.registry import register
+
+
+@register(
+    "dq1_column_profile",
+    """
+    SELECT 'c_nationkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(c_nationkey) AS n_nulls,
+           COUNT(DISTINCT c_nationkey) AS n_distinct FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', COUNT(*), COUNT(*) - COUNT(c_acctbal),
+           COUNT(DISTINCT c_acctbal) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+           COUNT(DISTINCT c_mktsegment) FROM customer
+    """,
+)
+def dq1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/distinct profile of customer in ONE scan (the
+    oracle's UNION ALL of three scans restates it; Spark computes all
+    statistics in a single agg and reshapes with stack)."""
+    c = load_table(spark, sf_dir, "customer")
+    return Q.profile_columns(c, ["c_nationkey", "c_acctbal", "c_mktsegment"])
+
+
+@register(
+    "dq2_orphan_counts",
+    """
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+              (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+              (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'events->customer_with_balance',
+           (SELECT COUNT(*) FROM events e WHERE NOT EXISTS
+              (SELECT 1 FROM customer c
+               WHERE c.c_custkey = e.user_id AND c.c_acctbal > 0.0))
+    """,
+)
+def dq2_orphan_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over three declared FKs (the third
+    checks against a filtered parent, so it has real violations). Each
+    check is a left-anti join; only scalar counts leave the executors."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    active = c.filter(F.col("c_acctbal") > 0.0)
+    ev = load_table(spark, sf_dir, "events")
+    return Q.orphan_counts(
+        [
+            ("lineitem->orders", li, li.l_orderkey, o, o.o_orderkey),
+            ("orders->customer", o, o.o_custkey, c, c.c_custkey),
+            (
+                "events->customer_with_balance",
+                ev,
+                ev.user_id,
+                active,
+                active.c_custkey,
+            ),
+        ]
+    )
+
+
+_NEW_SNAPSHOT_SQL = """
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 103 = 0
+"""
+
+
+@register(
+    "dq3_snapshot_diff",
+    f"""
+    WITH new_snap AS ({_NEW_SNAPSHOT_SQL}),
+    d AS (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 'changed'
+                  ELSE 'unchanged' END AS diff_status
+      FROM orders o FULL JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT diff_status, COUNT(*) AS n FROM d GROUP BY diff_status
+    """,
+)
+def dq3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (anti-entropy / CDC validation): diff
+    today's orders against a simulated next-day snapshot (some keys
+    deleted, some prices bumped, some keys added) and count rows per
+    diff status. One full-outer join on the key; no row hashing."""
+    o = load_table(spark, sf_dir, "orders")
+    mod97 = F.col("o_orderkey") % 97
+    new_snap = (
+        o.filter(mod97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+                "o_orderstatus",
+            )
+        )
+    )
+    diff = Q.snapshot_diff(
+        o, new_snap, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+    return diff.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "dq4_duplicate_keys",
+    """
+    WITH k AS (
+      SELECT l_orderkey, l_linenumber, COUNT(*) AS m
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    ), d AS (SELECT * FROM k WHERE m > 1)
+    SELECT COUNT(*) AS n_dup_keys,
+           COALESCE(MAX(m), 1) AS max_multiplicity
+    FROM d
+    """,
+)
+def dq4_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniqueness expectation on lineitem's natural key
+    (l_orderkey, l_linenumber): duplicate-key count and the worst
+    multiplicity (1 when the key is clean — every key singleton)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return Q.duplicate_key_audit(li, ["l_orderkey", "l_linenumber"])
+
+
+@register(
+    "t9_tfidf_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ), stats AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf
+      FROM tok GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, df, total_tf,
+           ROUND(LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS idf
+    FROM stats, n
+    WHERE df >= 50
+    """,
+)
+def t9_tfidf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF corpus statistics: per-token document frequency, total
+    term frequency, and idf = ln(N/df) for common tokens. One explode
+    + one grouped pass (df and total_tf in the same agg); the corpus
+    size N joins in as a broadcast scalar, never a driver collect."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    stats = tok.groupBy("token").agg(
+        F.count_distinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n))
+        .filter(F.col("df") >= 50)
+        .select(
+            "token",
+            "df",
+            "total_tf",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("idf"),
+        )
+    )
+
+
+@register("a15_approx_percentile", None)
+def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped approximate percentiles (KLL-style sketch, Spark's
+    approx_percentile with accuracy 10000) — the scale path when an
+    exact per-group sort is too dear. Rows-only (sketch output is
+    engine-specific); tests/test_approx_quality.py bounds the relative
+    error against the exact percentiles."""
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000
+    )
+    return o.groupBy("o_orderpriority").agg(
+        pct.getItem(0).alias("p25"),
+        pct.getItem(1).alias("p50"),
+        pct.getItem(2).alias("p75"),
+        pct.getItem(3).alias("p95"),
+    )

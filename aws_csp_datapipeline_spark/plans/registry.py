@@ -70,6 +70,7 @@ def _load_plan_modules() -> None:
         q_dedup,
         q_graph,
         q_pattern,
+        q_quality,
         q_range,
         q_sampling,
         q_similarity,

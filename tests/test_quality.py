@@ -1,0 +1,76 @@
+"""Data-quality operators: fixture truths for snapshot diff, profile,
+duplicate audit, and an error bound for the approximate percentiles
+(which are rows-only in the registry)."""
+
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.operators import quality as Q
+from aws_csp_datapipeline_spark.plans.registry import queries
+
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, None, "C"), (4, 40.0, "D")],
+        "k long, price double, st string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 21.0, "B"), (3, 30.0, "C"), (5, 50.0, "E")],
+        "k long, price double, st string",
+    )
+    out = {
+        r["k"]: r["diff_status"]
+        for r in Q.snapshot_diff(old, new, ["k"], ["price", "st"]).collect()
+    }
+    # NULL -> 30.0 must register as changed (null-safe compare).
+    assert out == {
+        1: "unchanged",
+        2: "changed",
+        3: "changed",
+        4: "removed",
+        5: "added",
+    }
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("b", 2), (None, 2)],
+        "s string, x int",
+    )
+    out = {
+        r["column_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in Q.profile_columns(df, ["s", "x"]).collect()
+    }
+    assert out == {"s": (4, 1, 2), "x": (4, 1, 2)}
+
+
+def test_duplicate_key_audit(spark):
+    df = spark.createDataFrame(
+        [(1, 1), (1, 1), (1, 1), (2, 1), (2, 2)], "a int, b int"
+    )
+    row = Q.duplicate_key_audit(df, ["a", "b"]).collect()[0]
+    assert (row["n_dup_keys"], row["max_multiplicity"]) == (1, 3)
+    clean = Q.duplicate_key_audit(df.distinct(), ["a", "b"]).collect()[0]
+    assert (clean["n_dup_keys"], clean["max_multiplicity"]) == (0, 1)
+
+
+def test_approx_percentile_error_bound(spark, sf_oracle):
+    """Sketch percentiles must sit within 1% relative error of the
+    exact order statistics at accuracy=10000."""
+    approx = {
+        r["o_orderpriority"]: (r["p25"], r["p50"], r["p75"], r["p95"])
+        for r in queries()["a15_approx_percentile"](spark, sf_oracle).collect()
+    }
+    o = load_table(spark, sf_oracle, "orders")
+    exact_rows = o.groupBy("o_orderpriority").agg(
+        *[
+            F.expr(
+                f"percentile(o_totalprice, {p})"
+            ).alias(f"e{int(p * 100)}")
+            for p in (0.25, 0.5, 0.75, 0.95)
+        ]
+    ).collect()
+    for r in exact_rows:
+        got = approx[r["o_orderpriority"]]
+        for g, e in zip(got, (r["e25"], r["e50"], r["e75"], r["e95"])):
+            assert abs(g - e) / e < 0.01, (r["o_orderpriority"], g, e)
