@@ -141,3 +141,23 @@ def evolve(df: DataFrame, steps: Sequence[Mapping]) -> DataFrame:
         else:
             raise ValueError(f"unknown evolution op: {kind}")
     return out
+
+
+def route_quarantine(
+    df: DataFrame, rules: Sequence[tuple[str, Column]], col_name: str = "reason"
+) -> DataFrame:
+    """Dead-letter routing: tag each row with the FIRST failing rule's
+    reason, or 'valid'. ``rules`` is an ordered sequence of
+    (reason, invalid_condition). The caller splits the stream with two
+    filters on the tag (both prune to the same scan; no double read of
+    the raw bytes under parquet/ORC column pruning).
+
+    This is the bulk form of the reference's per-row validation
+    replies (the 400-response paths, lambda/lambda_function.py:
+    975-1001): bad rows are data, not exceptions — they land in a
+    quarantine table for reprocessing instead of failing the job.
+    """
+    expr: Column = F.lit("valid")
+    for reason, cond in reversed(list(rules)):
+        expr = F.when(cond, F.lit(reason)).otherwise(expr)
+    return df.withColumn(col_name, expr)

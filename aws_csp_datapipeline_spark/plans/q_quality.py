@@ -223,3 +223,115 @@ def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct.getItem(2).alias("p75"),
         pct.getItem(3).alias("p95"),
     )
+
+
+@register(
+    "inc1_incremental_rollup",
+    """
+    WITH parts AS (
+      SELECT o_orderpriority,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS mon,
+             COUNT(*) AS n, SUM(o_totalprice) AS s
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      GROUP BY 1, 2
+      UNION ALL
+      SELECT o_orderpriority,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE),
+             COUNT(*), SUM(o_totalprice)
+      FROM orders
+      WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, mon, SUM(n) AS n_orders,
+           ROUND(SUM(s), 2) AS total_price,
+           ROUND(SUM(s) / SUM(n), 4) AS avg_price
+    FROM parts GROUP BY o_orderpriority, mon
+    """,
+)
+def inc1_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: a historical partial aggregate
+    (orders before 1997) merged with a new-data partial (1997+) by
+    re-aggregating the mergeable statistics (count, sum) — AVG is
+    reconstructed from sum/count at read time, never averaged across
+    partials. The pattern behind incrementally-maintained materialized
+    views: at 100 TB the base partial is a stored table and only the
+    delta scans new data."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("d"),
+        "o_totalprice",
+    )
+    cutoff = F.lit("1997-01-01").cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("d")).cast("date").alias("mon"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s")
+        )
+
+    base = partial(o.filter(F.col("d") < cutoff))
+    delta = partial(o.filter(F.col("d") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority", "mon")
+        .agg(F.sum("n").alias("n_orders"),
+             F.round(F.sum("s"), 2).alias("total_price"),
+             F.round(F.sum("s") / F.sum("n"), 4).alias("avg_price"))
+    )
+
+
+@register(
+    "dq5_quarantine_routing",
+    """
+    WITH raw AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE CAST(o_orderkey % 4 AS INT)
+               WHEN 0 THEN strftime(o_orderdate, '%d-%b')
+               WHEN 1 THEN strftime(o_orderdate, '%b-%y')
+               WHEN 2 THEN strftime(o_orderdate, '%Y')
+               ELSE '-' END AS raw_date
+      FROM orders WHERE o_orderkey <= 20000
+    ),
+    tagged AS (
+      SELECT CASE
+               WHEN NOT (regexp_matches(raw_date, '^\\d{4}$')
+                      OR regexp_matches(raw_date, '^\\d{1,2}-[A-Za-z]{3}$')
+                      OR regexp_matches(raw_date, '^[A-Za-z]{3}-\\d{2}$'))
+                 THEN 'unparseable_date'
+               WHEN o_totalprice > 400000.0 THEN 'price_out_of_range'
+               ELSE 'valid' END AS reason
+      FROM raw
+    )
+    SELECT reason, COUNT(*) AS n FROM tagged GROUP BY reason
+    """,
+)
+def dq5_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing over reference-shaped messy rows: first
+    failing rule tags the row (unparseable date, then out-of-range
+    price), everything else is 'valid'; the gate reports per-reason
+    counts. Bad rows are data, not exceptions — at 100 TB they land in
+    a quarantine table for reprocessing, and this tag is the routing
+    key."""
+    from aws_csp_datapipeline_spark.operators import cleaning as C
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 20000)
+    raw = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 4 == 0, F.date_format("o_orderdate", "dd-MMM"))
+        .when(F.col("o_orderkey") % 4 == 1, F.date_format("o_orderdate", "MMM-yy"))
+        .when(F.col("o_orderkey") % 4 == 2, F.date_format("o_orderdate", "yyyy"))
+        .otherwise(F.lit("-"))
+        .alias("raw_date"),
+    )
+    tagged = C.route_quarantine(
+        raw,
+        [
+            ("unparseable_date", C.parse_messy_date(F.col("raw_date")).isNull()),
+            ("price_out_of_range", F.col("o_totalprice") > 400000.0),
+        ],
+    )
+    return tagged.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))

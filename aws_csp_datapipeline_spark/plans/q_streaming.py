@@ -246,3 +246,80 @@ def st6_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", F.col("w.end")).alias("s_end"),
         "n",
     )
+
+
+@register(
+    "st7_stream_cdc_upsert",
+    """
+    WITH changes AS (
+      SELECT n_nationkey, 'U' AS op, 2 AS seq,
+             'NEW_' || n_name AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 4
+      UNION ALL
+      SELECT n_nationkey, 'U', 1, 'OLD_' || n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 4
+      UNION ALL
+      SELECT n_nationkey, 'D', 3, NULL, NULL
+      FROM nation WHERE n_nationkey BETWEEN 10 AND 12
+      UNION ALL
+      SELECT r_regionkey + 200, 'I', 4, r_name, r_regionkey FROM region
+    ),
+    latest AS (
+      SELECT * FROM changes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY n_nationkey ORDER BY seq DESC) = 1
+    )
+    SELECT COALESCE(t.n_nationkey, l.n_nationkey) AS n_nationkey,
+           CASE WHEN l.op IN ('I','U') THEN l.n_name ELSE t.n_name END AS n_name,
+           CASE WHEN l.op IN ('I','U') THEN l.n_regionkey
+                ELSE t.n_regionkey END AS n_regionkey
+    FROM nation t FULL OUTER JOIN latest l ON t.n_nationkey = l.n_nationkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+)
+def st7_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: the m10 change feed delivered as TWO
+    parquet files (seq 1-2, then seq 3-4) through a checkpointed
+    one-file-per-trigger stream, folded into the nation snapshot with
+    apply_cdc inside foreachBatch. The sequential fold of in-order
+    batches equals the global latest-change-per-key fold — so the
+    batch-merge SQL is a valid oracle for the streaming path."""
+    from aws_csp_datapipeline_spark.streaming.upsert import stream_upsert_cdc
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    low = nation.filter(F.col("n_nationkey") < 4)
+    u2 = low.select(
+        "n_nationkey", F.lit("U").alias("op"), F.lit(2).alias("seq"),
+        F.concat(F.lit("NEW_"), F.col("n_name")).alias("n_name"), "n_regionkey",
+    )
+    u1 = low.select(
+        "n_nationkey", F.lit("U").alias("op"), F.lit(1).alias("seq"),
+        F.concat(F.lit("OLD_"), F.col("n_name")).alias("n_name"), "n_regionkey",
+    )
+    d = nation.filter(F.col("n_nationkey").between(10, 12)).select(
+        "n_nationkey", F.lit("D").alias("op"), F.lit(3).alias("seq"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.lit(None).cast(nation.schema["n_regionkey"].dataType).alias("n_regionkey"),
+    )
+    i = region.select(
+        (F.col("r_regionkey") + 200).alias("n_nationkey"),
+        F.lit("I").alias("op"), F.lit(4).alias("seq"),
+        F.col("r_name").alias("n_name"),
+        F.col("r_regionkey").alias("n_regionkey"),
+    )
+
+    landing = tempfile.mkdtemp(prefix="st7_changes_")
+    batch1 = u1.unionByName(u2)
+    batch2 = d.unionByName(i)
+    for idx, batch in enumerate([batch1, batch2]):
+        part = os.path.join(landing, f"part{idx}")
+        batch.coalesce(1).write.parquet(part)
+        # one landing FILE per change batch, mtime-ordered so the
+        # file source replays them in sequence order
+        for f in os.listdir(part):
+            if f.endswith(".parquet"):
+                dst = os.path.join(landing, f"changes_{idx}.parquet")
+                os.rename(os.path.join(part, f), dst)
+                os.utime(dst, (1000000 + idx, 1000000 + idx))
+
+    return stream_upsert_cdc(spark, nation, landing, "n_nationkey")
