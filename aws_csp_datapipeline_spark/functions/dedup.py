@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from aws_csp_datapipeline_spark.functions.text import fingerprint, tokens
+from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
 
 
 def word_shingles(col, n: int = 3):
@@ -78,11 +79,14 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     # shingle expr guards short docs itself → exactly ONE regex split
-    # per row; the too-short docs drop on the (cheap) array-size check
+    # per row; the too-short docs drop on the (cheap) array-size check.
+    # Shingling is the per-row-expensive step, so spread the (id, text)
+    # projection across all cores first (no-op on parallel scans).
+    narrow = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    )
     return (
-        df.select(
-            F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("sh")
-        )
+        narrow.select("doc", word_shingles(F.col("__text"), n).alias("sh"))
         .filter(F.size("sh") > 0)
     )
 
@@ -158,7 +162,7 @@ def _signature_from_shingles(sh: DataFrame, k: int) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 48, n: int = 3
+    df: DataFrame, text_col: str, id_col: str, k: int = 32, n: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature table (see _signature_from_shingles
     for the hash family and shuffle shape)."""
@@ -170,7 +174,7 @@ def minhash_lsh_pairs(
     text_col: str,
     id_col: str,
     threshold: float = 0.8,
-    k: int = 48,
+    k: int = 32,
     bands: int = 16,
     n: int = 3,
 ) -> DataFrame:
@@ -178,7 +182,7 @@ def minhash_lsh_pairs(
 
     banding: k/bands rows per band; band key = xxhash64 of the band's
     minhashes → candidate pairs are an equi-join on (band, key).
-    With k=48, b=16, r=3: P(candidate | J=0.8) ≈ 1-1e-5, and false
+    With k=32, b=16, r=2: P(candidate | J=0.8) = 1-(1-0.64)^16 ≈ 1-8e-8, and false
     candidates are removed by the exact-Jaccard verification join, so
     the output equals ``ngram_jaccard_pairs`` with near-certainty —
     at a fraction of the join fan-out on large corpora.
@@ -284,8 +288,11 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash per document: token hash sign-votes per bit,
     assembled into a BIGINT. One explode + one groupBy (64 small sum
     aggregates) — single shuffle, constant width."""
-    ex = df.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("t")
+    narrow = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    )
+    ex = narrow.select(
+        "doc", F.explode(tokens(F.col("__text"))).alias("t")
     ).withColumn("h", F.xxhash64("t"))
     votes = ex.groupBy("doc").agg(
         *[

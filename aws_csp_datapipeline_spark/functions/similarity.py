@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -79,8 +81,12 @@ def knn_join(
     p = probes.select(
         F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("pv")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    # the corpus side carries ALL the dot-product work of the
+    # broadcast join — make sure it is spread across cores
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
     )
     scored = (
         c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
@@ -144,8 +150,10 @@ def ivf_topk(
 
     from pyspark.sql import Window
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
     ).withColumn("features", array_to_vector("cv"))
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(c)
     assigned = model.transform(c).select(
@@ -237,8 +245,10 @@ def lsh_topk(
     from pyspark.sql import Window
 
     planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    c = ensure_min_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+        )
     ).select(
         "neighbor_id", "cv", F.explode(lsh_tables(F.col("cv"), planes, n_tables)).alias("tb")
     )

@@ -1,8 +1,8 @@
 """Oracle-paired dedup queries over the documents table.
 
 The exact-Jaccard SQL below is also the oracle for the MinHash+LSH
-variant: with k=48/b=16/r=3 the LSH candidate set provably contains a
-J≥0.8 pair with probability ≈ 1-1e-5, and exact verification removes
+variant: with k=32/b=16/r=2 the LSH candidate set provably contains a
+J≥0.8 pair with probability ≈ 1-8e-8, and exact verification removes
 false candidates — so on this corpus (pairs are either ≥0.8 or <0.1)
 the approximate path reproduces the exact answer deterministically
 (fixed xxhash64 seeds).
@@ -71,11 +71,11 @@ def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("d3_minhash_lsh_pairs", _JACCARD_SQL)
 def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(48) + LSH(16 bands × 3) near-dup pairs with exact
+    """MinHash(32) + LSH(16 bands × 2) near-dup pairs with exact
     verification — the 100-TB path; see module docstring for why the
     exact-Jaccard SQL is a valid oracle here."""
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=48, bands=16, n=3)
+    return D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3)
 
 
 @register("d4_simhash_candidates", None)
@@ -94,7 +94,7 @@ def d6_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm, hence rows-only), yielding (doc, group_id) for
     keep-one-per-group dedup."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=48, bands=16, n=3)
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3)
     return D.neardup_groups(pairs)
 
 
@@ -104,4 +104,4 @@ def d5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     family) — the reusable artifact a corpus-scale pipeline persists
     and re-bands against."""
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_signatures(d, "text", "doc_id", k=48, n=3)
+    return D.minhash_signatures(d, "text", "doc_id", k=32, n=3)

@@ -104,8 +104,13 @@ def t5_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 family): (doc_id, n_fingerprints, fingerprint set size) —
     the MOSS-style substring-match primitive. Overlap quality is
     pinned by tests/test_approx_quality.py."""
+    from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
+
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", X.winnow_fingerprints(F.col("text")).alias("fps"))
+    # per-char k-gram hashing is the heaviest per-row expression in the
+    # repo — spread the narrow projection across cores first
+    narrow = ensure_min_parallelism(d.select("doc_id", "text"))
+    fp = narrow.select("doc_id", X.winnow_fingerprints(F.col("text")).alias("fps"))
     return fp.select("doc_id", F.size("fps").alias("n_fps"))
 
 
