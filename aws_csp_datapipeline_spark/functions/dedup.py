@@ -140,25 +140,38 @@ _MASK31 = (1 << 31) - 1
 
 
 def _signature_from_shingles(sh: DataFrame, k: int) -> DataFrame:
-    """k-wide MinHash signature from a (doc, sh-array) table in ONE
-    groupBy over the exploded shingles — a single shuffle, constant
-    row width.
+    """k-wide MinHash signature from a (doc, sh-array) table with NO
+    shuffle at all: the shingles are already a per-doc array, so each
+    permutation's minimum is an ``array_min`` over a per-row transform
+    — a narrow projection instead of the classic explode + k-way
+    min-aggregate (which shuffles one row per (doc, shingle)).
 
-    Hash family: each shingle is string-hashed ONCE (xxhash64), then
-    the k permutations are integer universal hashes
-    (a_j·x + b_j) mod 2^31 — k multiply-adds instead of k string
-    hashes per shingle. Products stay < 2^62 so ANSI-mode long
-    arithmetic never overflows."""
-    ex = sh.select("doc", F.explode("sh").alias("s")).withColumn(
-        "h", F.xxhash64("s").bitwiseAND(F.lit(_MASK31))
+    Hash family: each shingle is string-hashed ONCE (xxhash64, bound
+    as a lambda variable so codegen cannot inline/re-run it per
+    permutation), then the k permutations are integer universal
+    hashes (a_j·x + b_j) mod 2^31 — k multiply-adds per shingle.
+    Products stay < 2^62 so ANSI-mode long arithmetic never
+    overflows."""
+    params = _perm_constants(k)
+
+    def mins_of(hs):
+        return [
+            F.array_min(
+                F.transform(
+                    hs, lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(1 << 31))
+                )
+            ).alias(f"mh{j}")
+            for j, (a, b) in enumerate(params)
+        ]
+
+    hashed = F.transform(F.col("sh"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK31)))
+    # one-element-array wrapper binds the hashed array once per row
+    sig_struct = F.element_at(
+        F.transform(F.array(hashed), lambda hs: F.struct(*mins_of(hs))), 1
     )
-    aggs = [
-        F.min(
-            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(1 << 31))
-        ).alias(f"mh{j}")
-        for j, (a, b) in enumerate(_perm_constants(k))
-    ]
-    return ex.groupBy("doc").agg(*aggs)
+    return sh.select("doc", sig_struct.alias("__sig")).select(
+        "doc", *[F.col(f"__sig.mh{j}").alias(f"mh{j}") for j in range(k)]
+    )
 
 
 def minhash_signatures(

@@ -134,3 +134,16 @@ def test_q9_star_never_shuffles_fact(spark, sf_oracle):
     plan = _plan(queries()["q9_profit_by_nation_year"](spark, sf_oracle))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_minhash_signature_has_no_exchange(spark, sf_oracle):
+    """The MinHash signature is a narrow per-row projection
+    (array_min over the per-doc shingle array) — any Exchange before
+    the signature would mean we regressed to the explode + k-way
+    min-aggregate shuffle."""
+    from aws_csp_datapipeline_spark.functions import dedup as D
+
+    d = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    sig = D.minhash_signatures(d, "text", "doc_id", k=8)
+    plan = _plan(sig)
+    assert "Exchange hashpartitioning" not in plan, plan
