@@ -75,3 +75,29 @@ def stratified_sample(
             else thresh.when(F.col(strata_col) == stratum, cond)
         )
     return df.filter(bucket < thresh.otherwise(F.lit("00")))
+
+
+def per_group_sample(
+    df: DataFrame, group_col: str, key_col: str, k: int
+) -> DataFrame:
+    """Deterministic k-per-group sample: rank rows inside each group
+    by (md5(key), key) — a content-defined, engine-portable order —
+    and keep the first k. The hash makes the pick pseudo-random but
+    frozen: re-runs, repartitions, and engine swaps pick the SAME k
+    rows, and growing a group only evicts rows at the hash boundary.
+
+    The ranking window shuffles by ``group_col``; with few, huge
+    groups (the 100-TB corpus case: group = language) cap the window
+    input first with a generous ``stratified_sample`` prefilter
+    (hash-threshold >> k/|group|), so only a sliver of each group
+    reaches the exact top-k window."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -161,3 +161,25 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
         F.transform(F.array(F.element_at(F.transform(F.array(t), grams_of), 1)), windows_of),
         1,
     )).otherwise(F.array().cast("array<bigint>"))
+
+
+def bigrams(col: Column) -> Column:
+    """Adjacent-token bigram array ("a b") of lowered text — built by
+    zipping the token array against itself shifted by one, so corpus
+    n-gram statistics need NO self-join (the classic formulation joins
+    the exploded tokens on (doc, pos+1)). The token array is bound
+    once per row through the one-element-array wrapper (see
+    dedup.word_shingles): referencing the split() directly from both
+    slice() arguments would re-run the regex split after projection
+    collapse."""
+    def bg_of(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.zip_with(
+                F.slice(t, F.lit(1), F.size(t) - 1),
+                F.slice(t, F.lit(2), F.size(t) - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), bg_of), 1)

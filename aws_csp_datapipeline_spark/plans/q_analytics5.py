@@ -327,3 +327,41 @@ def a14_pivot_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_quantity"), 2))
     )
     return out
+
+
+@register(
+    "a16_mode_per_group",
+    """
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def a16_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic tie-break (smallest value)
+    — unlike the built-in ``mode()``, whose tie winner is
+    partitioning-dependent. Two-level shape: the groupBy count is
+    partial-aggregated (raw rows never shuffle), and the ranking
+    window runs over |status|x|priority| rows — constant-size at any
+    corpus scale."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )

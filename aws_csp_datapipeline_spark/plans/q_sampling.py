@@ -69,3 +69,23 @@ def tt3_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75, "zh": 255 / 256},
     )
     return sampled.select("doc_id", "lang")
+
+
+@register(
+    "tt4_per_group_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 2),
+                        doc_id) AS rn
+      FROM documents) WHERE rn <= 3
+    """,
+)
+def tt4_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-docs-per-language sample (eval-set carving,
+    per-class inspection): hash-ordered row_number inside each group,
+    reproducible row-for-row across runs and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SMP.per_group_sample(docs, "lang", "doc_id", 3).select("doc_id", "lang")

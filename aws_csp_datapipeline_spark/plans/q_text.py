@@ -210,3 +210,36 @@ def t8_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
     ).filter(F.col("dist") <= 3)
+
+
+@register(
+    "t10_top_bigrams",
+    r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 2
+    ), bg AS (
+      SELECT unnest(list_transform(list_zip(ts[:-2], ts[2:]),
+                                   z -> z[1] || ' ' || z[2])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20
+    """,
+)
+def t10_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 bigram counts (the n-gram LM / contamination-
+    check primitive). Join-free: bigrams are zip_with of the token
+    array against its own shift — one narrow projection, one explode,
+    one partial-aggregated groupBy; the top-20 is TakeOrderedAndProject
+    (per-partition heaps), never a global sort. Scales linearly in
+    corpus size, shuffle bounded by |distinct bigrams|."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(F.explode(X.bigrams(F.col("text"))).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
