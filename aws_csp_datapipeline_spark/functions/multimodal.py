@@ -109,3 +109,41 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
         .select("doc_id", F.explode(frames).alias("f"))
         .select("doc_id", F.col("f.frame_idx").alias("frame_idx"), F.col("f.frame").alias("frame"))
     )
+
+
+RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake_decode: bool = True
+) -> DataFrame:
+    """Batch image resize via Arrow-batched mapInPandas: decode →
+    resample to (width, height) → re-encode. The codec step is
+    STUBBED (no PIL here): the fake 'resize' emits a deterministic
+    payload of exactly width*height bytes cycled from the source
+    bytes, so output size — the property the downstream pipeline
+    depends on (fixed tensor shape, bounded batch memory) — behaves
+    exactly like a real resampler. The Spark plumbing (Arrow batch
+    shape, binary columns both ways, output schema) is real."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if not fake_decode:
+                    raise NotImplementedError(
+                        "image resize requires a codec library (PIL); not available here"
+                    )
+                reps = target // max(len(p), 1) + 1
+                out.append(bytes((p * reps)[:target]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(per_batch, schema=RESIZED_SCHEMA)

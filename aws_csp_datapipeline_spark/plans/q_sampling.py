@@ -89,3 +89,36 @@ def tt4_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible row-for-row across runs and engines."""
     docs = load_table(spark, sf_dir, "documents")
     return SMP.per_group_sample(docs, "lang", "doc_id", 3).select("doc_id", "lang")
+
+
+@register(
+    "tt5_split_leakage",
+    """
+    WITH d AS (
+      SELECT doc_id, md5(lower(text)) AS fp,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents)
+    SELECT a.doc_id AS test_doc, b.doc_id AS train_doc
+    FROM d a JOIN d b ON a.fp = b.fp
+    WHERE a.split = 'test' AND b.split = 'train'
+    """,
+)
+def tt5_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: exact-content (normalized-text
+    fingerprint) matches across the split boundary — the
+    decontamination primitive run before any eval set ships. The join
+    carries only (fingerprint, id) pairs — document bodies never
+    shuffle — and the test side is tiny, so AQE broadcasts it against
+    the train side at any corpus scale."""
+    from aws_csp_datapipeline_spark.functions.text import fingerprint
+
+    docs = SMP.hash_split(load_table(spark, sf_dir, "documents"), "doc_id", 0.75)
+    narrow = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"), "split")
+    test = narrow.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "fp"
+    )
+    train = narrow.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "fp"
+    )
+    return test.join(train, "fp").select("test_doc", "train_doc")

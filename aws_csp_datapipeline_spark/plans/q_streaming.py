@@ -323,3 +323,16 @@ def st7_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.utime(dst, (1000000 + idx, 1000000 + idx))
 
     return stream_upsert_cdc(spark, nation, landing, "n_nationkey")
+
+
+@register("mm3_resize_images", None)
+def mm3_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: fixed-shape batch 'resize' over binary payloads
+    (codec stubbed, Arrow plumbing real) — summarized as per-doc
+    output byte counts so the driver check is stable."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_column(d, "doc_id", "text")
+    resized = MM.resize_images(media, 32, 24)
+    return resized.select(
+        "doc_id", F.length("payload").cast("long").alias("n_out_bytes"), "width", "height"
+    )

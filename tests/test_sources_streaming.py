@@ -106,6 +106,20 @@ def test_multimodal_features_shape(spark, sf_smoke):
     assert 64 <= r["width"] <= 255 and r["channels"] in (1, 3)
 
 
+def test_multimodal_resize_fixed_shape(spark, sf_smoke):
+    """mm3: every output payload must be exactly width*height bytes
+    (the fixed-tensor-shape contract real resizing provides), and the
+    fake resample must be deterministic per doc."""
+    from aws_csp_datapipeline_spark.plans.registry import queries
+
+    out = queries()["mm3_resize_images"](spark, sf_smoke)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["n_out_bytes"] == 32 * 24 for r in rows)
+    again = {r["doc_id"]: r["n_out_bytes"] for r in out.collect()}
+    assert all(again[r["doc_id"]] == r["n_out_bytes"] for r in rows)
+
+
 def test_stream_stream_join_matches_batch(spark, sf_smoke):
     """The st4 stream-stream attribution join must equal the identical
     batch join expression over the same events."""
