@@ -122,3 +122,49 @@ def tt5_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("train_doc"), "fp"
     )
     return test.join(train, "fp").select("test_doc", "train_doc")
+
+
+@register(
+    "tt6_greedy_pack",
+    r"""
+    WITH n_t AS (
+      SELECT lang, doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+      FROM documents
+    ), packed AS (
+      SELECT lang, n,
+             CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048
+                  AS BIGINT) AS bin_id
+      FROM n_t
+    )
+    SELECT lang, bin_id, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY lang, bin_id
+    """,
+)
+def tt6_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy sequence packing: docs stream in key
+    order, the exclusive running token count divided by the 2048
+    budget is the bin id — the batch-assembly step before training.
+    Packing runs PER SHARD (here: per language) so the running-sum
+    window never needs a single global partition; at corpus scale the
+    shard key is (lang, shard_id) with the same plan shape."""
+    from pyspark.sql import Window
+
+    from aws_csp_datapipeline_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    n_t = d.select("lang", "doc_id", token_count(F.col("text")).alias("n"))
+    packed = n_t.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / F.lit(2048)).cast("long"),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )

@@ -243,3 +243,48 @@ def t10_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "t11_chunk_windows",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      FROM documents
+    ), st AS (
+      SELECT doc_id, ts, unnest(generate_series(1, len(ts), 25)) AS s
+      FROM toks WHERE len(ts) >= 1
+    )
+    SELECT doc_id, (s-1)//25 AS chunk_idx,
+           len(ts[s:least(s+49, len(ts))]) AS n_tokens,
+           ts[s] AS head
+    FROM st
+    """,
+)
+def t11_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token windows, stride 25)
+    — the context-length packing precursor that turns long documents
+    into training-sized pieces. Pure per-row expression (token array
+    bound once, windows via sequence+slice) followed by ONE
+    posexplode; no shuffle, no join, linear in corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def chunks_of(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t), F.lit(25)),
+            lambda s: F.struct(
+                F.size(F.slice(t, s, F.lit(50))).alias("n_tokens"),
+                F.element_at(t, s).alias("head"),
+            ),
+        )
+
+    chunks = F.element_at(F.transform(F.array(X.tokens(F.col("text"))), chunks_of), 1)
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("c.n_tokens").cast("long").alias("n_tokens"),
+            F.col("c.head").alias("head"),
+        )
+    )
