@@ -365,3 +365,29 @@ def a16_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+@register("a17_hll_sketch_rollup", None)
+def a17_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (rows-only: approximate by design):
+    one Apache DataSketches HLL sketch per (day) over user ids, then
+    per-month distinct-user estimates by UNIONING the day sketches —
+    never re-scanning the raw events. This is the incremental pattern
+    that maintains distinct counts over a 100-TB event history: daily
+    partials are tiny, persistable, and re-aggregable to any coarser
+    grain. Estimate error is pinned by tests/test_approx_quality.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    )
+    monthly = (
+        daily.groupBy(F.date_trunc("month", "day").alias("month"))
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.hll_sketch_estimate("sk").alias("n_users_approx"),
+        )
+    )
+    return monthly

@@ -41,6 +41,9 @@ HEADLINE = [
     "w5_rank_battery",
     "tt1_hash_split",
     "t6_pii_scrub",
+    "t10_top_bigrams",
+    "t11_chunk_windows",
+    "tt6_greedy_pack",
 ]
 
 

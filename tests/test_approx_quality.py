@@ -124,3 +124,29 @@ def test_neardup_groups_match_union_find(spark, sf_oracle):
         union(a, b)
     exp = {(x, find(x)) for x in parent}
     assert got == exp
+
+
+def test_hll_sketch_rollup_error_bound(spark, sf_oracle):
+    """Monthly estimates from unioned daily HLL sketches must land
+    within 5% of the exact per-month distinct-user counts (lgK=14
+    keeps the standard error well under that)."""
+    from aws_csp_datapipeline_spark.catalog import load_table
+
+    approx = {
+        r["month"]: r["n_users_approx"]
+        for r in queries()["a17_hll_sketch_rollup"](spark, sf_oracle).collect()
+    }
+    ev = load_table(spark, sf_oracle, "events")
+    exact = {
+        r["month"]: r["n"]
+        for r in ev.select(
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+            "user_id",
+        )
+        .groupBy("month")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for m, est in approx.items():
+        assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
