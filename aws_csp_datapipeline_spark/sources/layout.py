@@ -72,3 +72,51 @@ def compact_parquet(
     df = spark.read.parquet(src_path)
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def zorder_key(c1, c2, min1, max1, min2, max2, bits: int = 16):
+    """Z-order (Morton) key over two numeric columns: each value is
+    min-max normalized to ``bits`` bits and the bit strings are
+    interleaved — points close in BOTH dimensions get close keys, so
+    sorting by the key clusters the 2-D space into file-sized tiles.
+    Pure column expression (32 shift/or terms for bits=16)."""
+    from pyspark.sql import functions as F
+
+    def norm(c, lo, hi):
+        span = float(hi - lo) or 1.0
+        scaled = (c.cast("double") - float(lo)) * ((1 << bits) - 1) / span
+        return F.round(scaled).cast("long")
+
+    x, y = norm(c1, min1, max1), norm(c2, min2, max2)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame, path: str, col1: str, col2: str, n_files: int = 8, bits: int = 16
+) -> None:
+    """Write parquet clustered by the Z-order key of (col1, col2) —
+    the SORTKEY analog for TWO query dimensions: each output file
+    covers a bounded sub-rectangle, so min/max row-group stats prune
+    scans filtered on EITHER column (a linear sort only prunes its
+    leading column). One tiny stats agg (4 scalars) + one range
+    repartition by the key."""
+    from pyspark.sql import functions as F
+
+    lo1, hi1, lo2, hi2 = df.agg(
+        F.min(col1), F.max(col1), F.min(col2), F.max(col2)
+    ).first()
+    z = zorder_key(F.col(col1), F.col(col2), lo1, hi1, lo2, hi2, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -67,3 +67,44 @@ def test_compact_parquet_reduces_files(spark, sf_smoke, tmp_path):
     files = L.parquet_data_files(dst)
     assert len(files) == 1
     assert spark.read.parquet(dst).count() == ev.count()
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_smoke, tmp_path):
+    """Z-ordered files must each cover a small sub-rectangle of the
+    (custkey, orderkey) space: the mean per-file min-max span of the
+    SECOND dimension must be far below the global span, while a
+    linear sort on the first dimension leaves it near-global."""
+    import pyarrow.parquet as pq
+
+    o = load_table(spark, sf_smoke, "orders").select("o_custkey", "o_orderkey")
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    L.write_zordered(o, zdir, "o_custkey", "o_orderkey", n_files=8)
+    (o.repartitionByRange(8, "o_custkey").sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(ldir))
+
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    global_span = hi - lo
+
+    def mean_span(d):
+        spans = []
+        for f in L.parquet_data_files(d):
+            md = pq.ParquetFile(f).metadata
+            col_idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == "o_orderkey"
+            )
+            mn = min(md.row_group(g).column(col_idx).statistics.min
+                     for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(col_idx).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append(mx - mn)
+        return sum(spans) / len(spans)
+
+    z_span, lin_span = mean_span(zdir), mean_span(ldir)
+    # z-order: each of 8 files covers ~1/4 of dim2 (2 bits of tiling);
+    # linear sort leaves dim2 unclustered (~full span per file)
+    assert z_span < 0.6 * global_span, (z_span, global_span)
+    assert z_span < 0.75 * lin_span, (z_span, lin_span)
+
+    back = spark.read.parquet(zdir)
+    assert back.count() == o.count()
