@@ -238,3 +238,28 @@ def test_asof_join_forward_matches_merge_asof(spark, left, right):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                  max_size=60, unique=True),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_per_group_sample_deterministic_and_bounded(spark, keys, k):
+    """per_group_sample must (a) return at most k rows per group,
+    (b) pick the SAME rows regardless of partitioning, (c) keep picks
+    stable when the group only grows (hash-boundary eviction only)."""
+    from aws_csp_datapipeline_spark.functions.sampling import per_group_sample
+
+    rows = [(key, f"g{key % 3}") for key in keys]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out1 = {tuple(r) for r in per_group_sample(df, "grp", "id", k).collect()}
+    out2 = {
+        tuple(r)
+        for r in per_group_sample(df.repartition(7), "grp", "id", k).collect()
+    }
+    assert out1 == out2
+    from collections import Counter
+    per_group = Counter(g for _, g in out1)
+    assert all(n <= k for n in per_group.values())
