@@ -161,3 +161,36 @@ def route_quarantine(
     for reason, cond in reversed(list(rules)):
         expr = F.when(cond, F.lit(reason)).otherwise(expr)
     return df.withColumn(col_name, expr)
+
+
+def schema_drift(expected, actual) -> dict:
+    """Drift report between an expected table schema and an incoming
+    frame's schema (both StructType): the out-of-band gap the
+    reference bridged by hand-run ALTERs (27-col sample CSV vs 20-col
+    DDL; SURVEY.md §1.3, sql/ddl_create_tables.sql:38-50)."""
+    exp = {f.name: f.dataType for f in expected.fields}
+    act = {f.name: f.dataType for f in actual.fields}
+    return {
+        "added": sorted(n for n in act if n not in exp),
+        "missing": sorted(n for n in exp if n not in act),
+        "type_changed": sorted(
+            n for n, t in exp.items() if n in act and act[n] != t
+        ),
+    }
+
+
+def conform(df: DataFrame, expected, fill=None) -> DataFrame:
+    """Conform an incoming frame to the expected schema: drop extra
+    columns, add missing ones as ``fill``, cast type drift — the
+    automated form of the reference's recorded ALTER bridge, applied
+    per batch at ingest so writers never see a drifted shape."""
+    cols = []
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for f in expected.fields:
+        if f.name not in have:
+            cols.append(F.lit(fill).cast(f.dataType).alias(f.name))
+        elif have[f.name] != f.dataType:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)

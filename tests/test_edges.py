@@ -65,3 +65,31 @@ def test_dedup_by_keys_single_rows(spark):
     )
     out = dedup_by_keys(df, ["k"], "id").collect()
     assert sorted(r["id"] for r in out) == [1, 3]
+
+
+def test_schema_drift_and_conform(spark):
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from aws_csp_datapipeline_spark.operators.cleaning import (conform,
+                                                               schema_drift)
+
+    expected = StructType([
+        StructField("s_no", LongType()),
+        StructField("tool_name", StringType()),
+        StructField("team_name", StringType()),
+    ])
+    incoming = spark.createDataFrame(
+        [(1, "t1", 99, "x")], "s_no int, tool_name string, extra int, junk string"
+    )
+    drift = schema_drift(expected, incoming.schema)
+    assert drift == {
+        "added": ["extra", "junk"],
+        "missing": ["team_name"],
+        "type_changed": ["s_no"],
+    }
+    out = conform(incoming, expected, fill="N/A")
+    assert [f.name for f in out.schema.fields] == ["s_no", "tool_name", "team_name"]
+    assert out.schema["s_no"].dataType == LongType()
+    row = out.first()
+    assert row["team_name"] == "N/A" and row["s_no"] == 1
