@@ -336,3 +336,55 @@ def mm3_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", F.length("payload").cast("long").alias("n_out_bytes"), "width", "height"
     )
+
+
+@register(
+    "st8_stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a static
+    dimension inside the micro-batch (stateless — the dim is
+    broadcast per batch, no streaming state at all), the canonical
+    'attach account metadata to a click stream' pipeline. Driven as a
+    REAL checkpointed availableNow stream into a parquet sink; the
+    result is provably the batch join, which is the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink_dir = tempfile.mkdtemp(prefix="enrich_sink_")
+    ckpt_dir = tempfile.mkdtemp(prefix="enrich_ckpt_")
+    landing_dir = tempfile.mkdtemp(prefix="enrich_landing_")
+    os.symlink(
+        table_path(sf_dir, "events"), os.path.join(landing_dir, "events.parquet")
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(landing_dir)
+        .select("event_id", "user_id", "value")
+        .join(F.broadcast(dim), "user_id")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink_dir)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
