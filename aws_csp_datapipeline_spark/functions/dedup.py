@@ -139,38 +139,55 @@ def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
 _MASK31 = (1 << 31) - 1
 
 
-def _signature_from_shingles(sh: DataFrame, k: int) -> DataFrame:
-    """k-wide MinHash signature from a (doc, sh-array) table with NO
-    shuffle at all: the shingles are already a per-doc array, so each
-    permutation's minimum is an ``array_min`` over a per-row transform
-    — a narrow projection instead of the classic explode + k-way
-    min-aggregate (which shuffles one row per (doc, shingle)).
+def _minhash_array(sh: DataFrame, k: int) -> DataFrame:
+    """(doc, mhs: array<long>[k]) MinHash signatures with NO shuffle:
+    the shingles are already a per-doc array, so each permutation's
+    minimum is an ``array_min`` over a per-row transform — a narrow
+    projection instead of the classic explode + k-way min-aggregate
+    (which shuffles one row per (doc, shingle)).
+
+    The k permutations run as ONE runtime loop over a literal
+    (a_j, b_j) params array — a single compact expression, not k
+    unrolled columns, which keeps the generated code small (the
+    unrolled form cost seconds of Janino compile on first run).
 
     Hash family: each shingle is string-hashed ONCE (xxhash64, bound
     as a lambda variable so codegen cannot inline/re-run it per
-    permutation), then the k permutations are integer universal
-    hashes (a_j·x + b_j) mod 2^31 — k multiply-adds per shingle.
-    Products stay < 2^62 so ANSI-mode long arithmetic never
-    overflows."""
-    params = _perm_constants(k)
-
-    def mins_of(hs):
-        return [
-            F.array_min(
-                F.transform(
-                    hs, lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(1 << 31))
-                )
-            ).alias(f"mh{j}")
-            for j, (a, b) in enumerate(params)
+    permutation), then each permutation is an integer universal hash
+    (a_j·x + b_j) mod 2^31 — k multiply-adds per shingle. Products
+    stay < 2^62 so ANSI-mode long arithmetic never overflows."""
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_constants(k)
         ]
+    )
+
+    def sig_of(hs):
+        return F.transform(
+            params,
+            lambda p: F.array_min(
+                F.transform(
+                    hs, lambda x: F.pmod(x * p["a"] + p["b"], F.lit(1 << 31))
+                )
+            ),
+        )
 
     hashed = F.transform(F.col("sh"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK31)))
     # one-element-array wrapper binds the hashed array once per row
-    sig_struct = F.element_at(
-        F.transform(F.array(hashed), lambda hs: F.struct(*mins_of(hs))), 1
-    )
-    return sh.select("doc", sig_struct.alias("__sig")).select(
-        "doc", *[F.col(f"__sig.mh{j}").alias(f"mh{j}") for j in range(k)]
+    sig = F.element_at(F.transform(F.array(hashed), sig_of), 1)
+    return sh.select("doc", sig.alias("mhs"))
+
+
+def _signature_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+    """Column-per-permutation signature view (mh0..mh{k-1}) over
+    ``_minhash_array`` — the persistable-artifact schema. The array
+    is a bound attribute in the outer Project (CollapseProject keeps
+    expensive multi-referenced aliases un-inlined), so the heavy
+    expression still evaluates once per row."""
+    arr = _minhash_array(sh, k)
+    return arr.select(
+        "doc", *[F.element_at(F.col("mhs"), j + 1).alias(f"mh{j}") for j in range(k)]
     )
 
 
@@ -204,12 +221,14 @@ def minhash_lsh_pairs(
     # the shingle table feeds the signature build AND both sides of
     # the verification join — materialize it once (spills if large)
     sh = _shingle_table(df, text_col, id_col, n).cache()
-    sig = _signature_from_shingles(sh, k)
+    sig = _minhash_array(sh, k)
     band_cols = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias("key"),
+                F.xxhash64(
+                    *[F.element_at(F.col("mhs"), b * r + i + 1) for i in range(r)]
+                ).alias("key"),
             )
             for b in range(bands)
         ]
