@@ -385,3 +385,42 @@ def ap2_cogrouped_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     th = ev.groupBy("user_id").agg(F.round(F.avg("value"), 6).alias("thresh"))
     return count_above_threshold_cogrouped(ev, th, "user_id", "value", "thresh")
+
+
+@register(
+    "f12_try_ops_battery",
+    """
+    SELECT COUNT(ratio) AS n_ratio_ok,
+           COUNT(*) - COUNT(ratio) AS n_div0,
+           COUNT(parsed) AS n_parsed,
+           CAST(ROUND(SUM(ratio), 2) AS DOUBLE) AS sum_ratio
+    FROM (
+      SELECT l_extendedprice / NULLIF(l_quantity - 25, 0) AS ratio,
+             TRY_CAST(CASE WHEN l_linenumber % 2 = 0
+                           THEN CAST(l_linenumber AS VARCHAR)
+                           ELSE 'x' END AS INTEGER) AS parsed
+      FROM lineitem)
+    """,
+)
+def f12_try_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant ETL arithmetic: try_divide turns div-by-zero
+    into NULL instead of failing the job under ANSI mode, try_cast
+    does the same for unparseable strings — bad cells become NULLs
+    routed to quarantine, never task failures that kill a 100-TB
+    run. Single aggregation, map-side combined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    probe = li.select(
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 25).alias(
+            "ratio"
+        ),
+        F.when(F.col("l_linenumber") % 2 == 0, F.col("l_linenumber").cast("string"))
+        .otherwise(F.lit("x"))
+        .try_cast("int")
+        .alias("parsed"),
+    )
+    return probe.agg(
+        F.count("ratio").alias("n_ratio_ok"),
+        (F.count(F.lit(1)) - F.count("ratio")).alias("n_div0"),
+        F.count("parsed").alias("n_parsed"),
+        F.round(F.sum("ratio"), 2).cast("double").alias("sum_ratio"),
+    )

@@ -388,3 +388,39 @@ def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register("st9_stream_dedup_watermark", None)
+def st9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup with BOUNDED state:
+    dropDuplicatesWithinWatermark keeps each key's state only until
+    the watermark passes it (vs plain dropDuplicates on a stream,
+    whose state grows forever) — the shape that makes exactly-once
+    ingest of a duplicated feed survive at 100-TB/week rates.
+    Rows-only: pytest checks equality with the batch distinct-key
+    count (tests/test_sources_streaming.py)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sink_dir = tempfile.mkdtemp(prefix="wmdedup_sink_")
+    ckpt_dir = tempfile.mkdtemp(prefix="wmdedup_ckpt_")
+    landing_dir = tempfile.mkdtemp(prefix="wmdedup_landing_")
+    os.symlink(
+        table_path(sf_dir, "events"), os.path.join(landing_dir, "events.parquet")
+    )
+    stream = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(landing_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink_dir)

@@ -138,3 +138,22 @@ def test_stream_stream_join_matches_batch(spark, sf_smoke):
     got = sorted(map(tuple, streamed.collect()))
     exp = sorted(map(tuple, batch.collect()))
     assert got == exp and len(got) > 0
+
+
+def test_stream_dedup_watermark_covers_all_keys(spark, sf_smoke):
+    """st9: every (user_id, event_type) key must appear EXACTLY once
+    in the deduped stream output (keys re-observed within the
+    watermark horizon are dropped), and the key set must equal the
+    batch distinct key set."""
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.plans.registry import queries
+
+    out = queries()["st9_stream_dedup_watermark"](spark, sf_smoke)
+    got = [(r["user_id"], r["event_type"]) for r in out.collect()]
+    assert len(got) == len(set(got))
+    ev = load_table(spark, sf_smoke, "events")
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    assert set(got) == want
