@@ -168,3 +168,34 @@ def tt6_greedy_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("long").alias("total_tokens"),
     )
+
+
+def _tt7_sql() -> str:
+    from aws_csp_datapipeline_spark.plans.q_text import QUALITY_EXPR_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {QUALITY_EXPR_SQL} AS quality FROM documents
+    )
+    SELECT doc_id
+    FROM scored
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+          lower(lpad(to_hex(CAST(round(quality * 255) AS INT)), 2, '0'))
+    """
+
+
+@register("tt7_weighted_sample", _tt7_sql())
+def tt7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (data curation): each
+    document's keep-probability is its quality score — high-quality
+    text is retained, boilerplate decimated — with the keep decision
+    a pure function of (doc_id, text): reproducible across runs,
+    partitionings, and engines. Narrow projection, no shuffle."""
+    from aws_csp_datapipeline_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    thresh = F.lower(
+        F.lpad(F.hex(F.round(quality_score(F.col("text")) * 255).cast("int")), 2, "0")
+    )
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return docs.filter(bucket < thresh).select("doc_id")

@@ -12,6 +12,19 @@ from aws_csp_datapipeline_spark.plans.registry import register
 _SW = X.STOPWORD_PATTERN
 _PUNCT = X.PUNCT_PATTERN.replace("'", "''")
 
+# the exact SQL restatement of functions.text.quality_score — shared
+# by t2 and the quality-weighted sampler (q_sampling.tt7)
+QUALITY_EXPR_SQL = f"""0.4 * (CASE WHEN len(regexp_split_to_array(trim(lower(text)),'\\s+')) > 0
+                    THEN CAST(len(regexp_extract_all(lower(text), '{_SW}')) AS DOUBLE)
+                         / CAST(len(regexp_split_to_array(trim(lower(text)),'\\s+')) AS DOUBLE)
+                    ELSE 0.0 END)
+        + 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+        + 0.2 * (1.0 - least(
+            (CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS DOUBLE)
+                       / CAST(length(text) AS DOUBLE)
+                  ELSE 0.0 END) * 5.0, 1.0))"""
+
 
 @register(
     "t1_token_stats",
@@ -40,17 +53,7 @@ def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t2_quality_score",
     f"""
     SELECT doc_id,
-      ROUND(
-        0.4 * (CASE WHEN len(regexp_split_to_array(trim(lower(text)),'\\s+')) > 0
-                    THEN CAST(len(regexp_extract_all(lower(text), '{_SW}')) AS DOUBLE)
-                         / CAST(len(regexp_split_to_array(trim(lower(text)),'\\s+')) AS DOUBLE)
-                    ELSE 0.0 END)
-        + 0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
-        + 0.2 * (1.0 - least(
-            (CASE WHEN length(text) > 0
-                  THEN CAST(len(regexp_extract_all(text, '{_PUNCT}')) AS DOUBLE)
-                       / CAST(length(text) AS DOUBLE)
-                  ELSE 0.0 END) * 5.0, 1.0)),
+      ROUND({QUALITY_EXPR_SQL},
         4) AS quality
     FROM documents
     """,
