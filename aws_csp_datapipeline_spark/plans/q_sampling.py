@@ -199,3 +199,45 @@ def tt7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     return docs.filter(bucket < thresh).select("doc_id")
+
+
+def _pipe1_sql() -> str:
+    from aws_csp_datapipeline_spark.plans.q_text import QUALITY_EXPR_SQL
+
+    return f"""
+    WITH keep AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE {QUALITY_EXPR_SQL} >= 0.35
+    ), canon AS (
+      SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(lower(text))
+    ), final AS (
+      SELECT k.doc_id, k.lang,
+             CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 2) < 'c0'
+                  THEN 'train' ELSE 'test' END AS split,
+             len(regexp_split_to_array(trim(lower(k.text)), '\\s+')) AS n
+      FROM keep k JOIN canon c ON k.doc_id = c.doc_id
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM final GROUP BY split, lang
+    """
+
+
+@register("pipe1_curation_pipeline", _pipe1_sql())
+def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation, one lazy plan: quality filter →
+    exact dedup (fingerprint groupBy + semi-join, bodies never
+    shuffle) → deterministic train/test split → per-(split, lang)
+    doc/token summary. Every stage is one of this repo's operators
+    composed unchanged — the 100-TB shape is the same plan with the
+    same shuffle budget (one fingerprint agg + one summary agg)."""
+    from aws_csp_datapipeline_spark.functions.dedup import exact_dedup
+    from aws_csp_datapipeline_spark.functions.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep = docs.filter(quality_score(F.col("text")) >= 0.35)
+    canon = exact_dedup(keep, "text", "doc_id")
+    final = SMP.hash_split(canon, "doc_id", 0.75)
+    return final.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
