@@ -335,3 +335,68 @@ def dq5_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return tagged.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "t12_bm25_topdocs",
+    r"""
+    WITH dl AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ('table', 'merge', 'window') GROUP BY doc_id, token
+    ), dft AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scal AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT AVG(dl) FROM dl) AS avgdl
+    )
+    SELECT doc_id,
+           ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+                     (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+    FROM tf JOIN dl USING (doc_id) JOIN dft USING (token), scal
+    GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def t12_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) retrieval scoring for a fixed query
+    ('table merge window'): the inverted-index shape — tokens are
+    filtered to the query vocabulary BEFORE the tf aggregation, so
+    the shuffle carries only query-term postings, not the corpus;
+    df and the (N, avgdl) scalars broadcast; top-10 is
+    TakeOrderedAndProject."""
+    from aws_csp_datapipeline_spark.functions.text import token_count
+
+    terms = ["table", "merge", "window"]
+    d = load_table(spark, sf_dir, "documents")
+    dl = d.select("doc_id", token_count(F.col("text")).alias("dl"))
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scal = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf") * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
