@@ -44,6 +44,9 @@ HEADLINE = [
     "t10_top_bigrams",
     "t11_chunk_windows",
     "tt6_greedy_pack",
+    "tt7_weighted_sample",
+    "pipe1_curation_pipeline",
+    "t12_bm25_topdocs",
 ]
 
 
