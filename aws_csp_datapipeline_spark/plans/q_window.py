@@ -346,3 +346,48 @@ def w9_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
     )
+
+
+@register(
+    "w10_gaps_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), anchored AS (
+      SELECT user_id,
+             datediff('day', DATE '1970-01-01', day)
+               - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, COUNT(*) AS island_len
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id, COUNT(*) AS n_streaks, MAX(island_len) AS longest_streak
+    FROM islands GROUP BY user_id
+    """,
+)
+def w10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (activity streaks): consecutive active days
+    collapse to one island via the epoch-day-minus-row_number anchor;
+    per-user streak count and longest streak. Two grouped passes over
+    (user, day) pairs — raw events reduce to distinct days first, so
+    the window input is bounded by |users|x|days|."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("island_len")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("island_len").alias("longest_streak"),
+    )
