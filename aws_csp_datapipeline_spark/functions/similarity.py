@@ -52,6 +52,19 @@ def query_vector(df: DataFrame, id_col: str, vec_col: str, vec_id) -> list[float
     return [float(x) for x in row[0]]
 
 
+def cosine_scores(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float]
+) -> DataFrame:
+    """(id, cos_sim) of every row against a literal query vector —
+    the unranked form of ``cosine_topk`` for rankers that fuse or
+    re-rank downstream. Narrow projection, no shuffle."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return df.select(
+        F.col(id_col),
+        cosine(_as_double(F.col(vec_col)), q).alias("cos_sim"),
+    )
+
+
 def cosine_topk(
     df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
 ) -> DataFrame:

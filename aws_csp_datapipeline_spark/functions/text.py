@@ -183,3 +183,38 @@ def bigrams(col: Column) -> Column:
         ).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(F.transform(F.array(tokens(col)), bg_of), 1)
+
+
+def bm25_scores(
+    docs: DataFrame, terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """(doc_id, score) BM25 scores of every matching document for a
+    fixed query vocabulary. Inverted-index shape: tokens filter to
+    the query terms BEFORE the tf aggregation, so the shuffle carries
+    only query-term postings; df and the (N, avgdl) scalars
+    broadcast. ``score`` is unrounded — round at the query edge."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scal = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )

@@ -371,32 +371,12 @@ def t12_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries only query-term postings, not the corpus;
     df and the (N, avgdl) scalars broadcast; top-10 is
     TakeOrderedAndProject."""
-    from aws_csp_datapipeline_spark.functions.text import token_count
+    from aws_csp_datapipeline_spark.functions.text import bm25_scores
 
-    terms = ["table", "merge", "window"]
     d = load_table(spark, sf_dir, "documents")
-    dl = d.select("doc_id", token_count(F.col("text")).alias("dl"))
-    tf = (
-        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
-        .filter(F.col("token").isin(terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scal = d.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl"))
-    )
-    contrib = (
-        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-        * F.col("tf") * 2.2
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-    )
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dft), "token")
-        .crossJoin(F.broadcast(scal))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        bm25_scores(d, ["table", "merge", "window"])
+        .select("doc_id", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )

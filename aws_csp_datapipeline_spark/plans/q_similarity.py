@@ -221,3 +221,91 @@ def s9_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", s.alias("s")).select(
         "vec_id", "s.n_pos", "s.sum_clipped", "s.max_abs", "s.head3_sum"
     )
+
+
+@register(
+    "s10_hybrid_rrf",
+    r"""
+    WITH dl AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+      FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ('table', 'merge', 'window') GROUP BY doc_id, token
+    ), dft AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), scal AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT AVG(dl) FROM dl) AS avgdl
+    ), lex AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY ROUND(SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) DESC,
+               doc_id) AS r
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (token), scal
+      GROUP BY doc_id
+    ), q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ), vec AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+                 6) DESC, vec_id) AS r
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id <> 0), q
+    )
+    SELECT l.doc_id,
+           ROUND(1.0 / (60 + l.r) + 1.0 / (60 + v.r), 6) AS rrf
+    FROM lex l JOIN vec v ON l.doc_id = v.doc_id
+    ORDER BY rrf DESC, l.doc_id LIMIT 10
+    """,
+)
+def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with cosine
+    vector ranking by reciprocal-rank fusion (k=60) — the standard
+    two-tower retrieval merge. Both rankings rank on ROUNDED scores
+    with an id tie-break so the order is engine-portable; each
+    ranking's window is global but its input is already reduced
+    (BM25: only matching docs; vector: top scores), and at corpus
+    scale the fusion runs over per-query candidate lists (hundreds of
+    rows), not the corpus."""
+    from pyspark.sql import Window
+
+    from aws_csp_datapipeline_spark.functions.text import bm25_scores
+    from aws_csp_datapipeline_spark.functions.similarity import cosine_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    lex = bm25_scores(d, ["table", "merge", "window"]).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.round("score", 6)), F.asc("doc_id")))
+        .alias("r_lex"),
+    )
+    q = S.query_vector(e, "vec_id", "embedding", 0)
+    vec = cosine_scores(
+        e.filter(F.col("vec_id") != 0), "embedding", "vec_id", q
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc(F.round("cos_sim", 6)), F.asc("vec_id")))
+        .alias("r_vec"),
+    )
+    return (
+        lex.join(vec, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                1.0 / (60 + F.col("r_lex")) + 1.0 / (60 + F.col("r_vec")), 6
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(10)
+    )
