@@ -380,3 +380,33 @@ def t12_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "dq6_freshness_lag",
+    """
+    WITH latest AS (
+      SELECT event_type, MAX(ts) AS latest_ts FROM events GROUP BY event_type
+    ), ref AS (SELECT MAX(ts) AS global_ts FROM events)
+    SELECT event_type,
+           CAST(date_diff('second', latest_ts, global_ts) AS BIGINT) AS lag_s,
+           date_diff('second', latest_ts, global_ts) > 86400 AS stale
+    FROM latest, ref
+    """,
+)
+def dq6_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness gate: per-feed (event_type) lag behind the newest
+    data anywhere, flagged stale past 24 h — the monitor that catches
+    a dead upstream before a training run consumes a partial day.
+    Two tiny aggregates; the global watermark broadcasts. (Lag is
+    measured against the data's own high-water mark, not wall clock,
+    so the check is deterministic and engine-portable.)"""
+    ev = load_table(spark, sf_dir, "events")
+    latest = ev.groupBy("event_type").agg(F.max("ts").alias("latest_ts"))
+    ref = ev.agg(F.max("ts").alias("global_ts"))
+    lag = F.col("global_ts").cast("long") - F.col("latest_ts").cast("long")
+    return latest.crossJoin(F.broadcast(ref)).select(
+        "event_type",
+        lag.alias("lag_s"),
+        (lag > 86400).alias("stale"),
+    )

@@ -391,3 +391,47 @@ def w10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("island_len").alias("longest_streak"),
     )
+
+
+@register(
+    "w11_max_concurrency",
+    """
+    WITH pts AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 300 SECOND, -1 FROM events
+    ), run AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM pts
+    )
+    SELECT event_type, MAX(conc) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def w11_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent 5-minute activity windows per event type via
+    the +1/-1 boundary sweep and a running sum — interval-overlap
+    analytics without a range self-join (which is quadratic in
+    overlap density). Ends sort before starts at the same instant
+    (delta ascending), giving exact half-open-interval semantics;
+    the result is deterministic even with tied boundary times since
+    equal-delta orderings can't change the running maximum."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = pts.withColumn("conc", F.sum("delta").over(w))
+    return run.groupBy("event_type").agg(F.max("conc").alias("max_concurrent"))
