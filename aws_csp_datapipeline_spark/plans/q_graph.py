@@ -80,3 +80,65 @@ def gr3_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "gr4_hierarchy_closure",
+    """
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS node, c_custkey // 10 AS parent
+      FROM customer WHERE c_custkey > 0
+    ), closure AS (
+      SELECT node, parent AS anc, 1 AS depth FROM e
+      UNION ALL
+      SELECT c.node, e.parent, c.depth + 1 FROM closure c JOIN e ON c.anc = e.node
+    )
+    SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_pairs,
+           CAST(SUM(anc) AS BIGINT) AS anc_sum
+    FROM closure GROUP BY depth
+    """,
+)
+def gr4_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of a key-derived hierarchy (node →
+    floor(node/10)): the recursive-CTE workload (org charts, BOM
+    explosion) Spark lacks natively, run as a driver-controlled BFS —
+    each round one equi-join of the frontier against the edge list,
+    frontier localCheckpointed so lineage stays flat. Rounds =
+    hierarchy DEPTH (4 here, ~O(log) for fan-out trees), not row
+    count; the frontier shrinks as chains reach the root. Summarized
+    per depth; the DuckDB oracle is the actual WITH RECURSIVE."""
+    c = load_table(spark, sf_dir, "customer")
+    e = (
+        c.filter(F.col("c_custkey") > 0)
+        .select(
+            F.col("c_custkey").cast("long").alias("node"),
+            F.floor(F.col("c_custkey") / 10).cast("long").alias("parent"),
+        )
+    )
+    e = e.localCheckpoint(eager=True)
+    frontier = e.select(
+        "node", F.col("parent").alias("anc"), F.lit(1).cast("long").alias("depth")
+    ).localCheckpoint(eager=True)
+    levels = [frontier]
+    while True:
+        nxt = (
+            frontier.join(e.select(F.col("node").alias("anc"),
+                                   F.col("parent").alias("next_anc")), "anc")
+            .select(
+                "node",
+                F.col("next_anc").alias("anc"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        frontier = nxt
+    closure = levels[0]
+    for lv in levels[1:]:
+        closure = closure.unionByName(lv)
+    return closure.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("anc").cast("long").alias("anc_sum"),
+    )
