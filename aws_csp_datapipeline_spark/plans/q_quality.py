@@ -410,3 +410,72 @@ def dq6_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_s"),
         (lag > 86400).alias("stale"),
     )
+
+
+@register(
+    "dq7_distribution_drift",
+    """
+    WITH d AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                  THEN 'train' ELSE 'test' END AS split,
+             least(CAST(n_chars AS BIGINT) // 200, 9) AS bucket
+      FROM documents
+    ), counts AS (
+      SELECT split, bucket, COUNT(*) AS n FROM d GROUP BY split, bucket
+    ), grid AS (
+      SELECT s.split, b.bucket, COALESCE(c.n, 0) AS n
+      FROM (SELECT DISTINCT split FROM counts) s
+      CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bucket) b
+      LEFT JOIN counts c ON c.split = s.split AND c.bucket = b.bucket
+    ), probs AS (
+      SELECT split, bucket,
+             CAST(n + 1 AS DOUBLE)
+               / (SUM(n) OVER (PARTITION BY split) + 10) AS p
+      FROM grid
+    )
+    SELECT ROUND(SUM((a.p - b.p) * LN(a.p / b.p)), 6) AS psi
+    FROM probs a JOIN probs b ON a.bucket = b.bucket
+    WHERE a.split = 'train' AND b.split = 'test'
+    """,
+)
+def dq7_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift monitor between the train and
+    test splits over the document-length distribution (10 fixed
+    buckets, Laplace-smoothed) — the gate that catches a skewed split
+    or upstream distribution shift before training. Everything after
+    the first groupBy is constant-size (splits x buckets)."""
+    from pyspark.sql import Window
+
+    from aws_csp_datapipeline_spark.functions import sampling as SMP
+
+    docs = SMP.hash_split(load_table(spark, sf_dir, "documents"), "doc_id", 0.75)
+    d = docs.select(
+        "split",
+        F.least((F.col("n_chars").cast("long") / 200).cast("long"), F.lit(9)).alias(
+            "bucket"
+        ),
+    )
+    counts = d.groupBy("split", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    splits = counts.select("split").distinct()
+    grid = (
+        splits.crossJoin(spark.range(10).select(F.col("id").alias("bucket")))
+        .join(counts, ["split", "bucket"], "left")
+        .select("split", "bucket", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w = Window.partitionBy("split")
+    probs = grid.select(
+        "split",
+        "bucket",
+        ((F.col("n") + 1).cast("double") / (F.sum("n").over(w) + 10)).alias("p"),
+    )
+    a = probs.filter(F.col("split") == "train").select(
+        "bucket", F.col("p").alias("pa")
+    )
+    b = probs.filter(F.col("split") == "test").select(
+        "bucket", F.col("p").alias("pb")
+    )
+    return a.join(b, "bucket").agg(
+        F.round(
+            F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6
+        ).alias("psi")
+    )
