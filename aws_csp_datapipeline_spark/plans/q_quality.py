@@ -479,3 +479,57 @@ def dq7_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6
         ).alias("psi")
     )
+
+
+@register(
+    "t13_keywords_per_doc",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), dft AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN dft USING (token), n
+    )
+    SELECT doc_id, token, tfidf FROM scored
+    QUALIFY row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, token) <= 3
+    """,
+)
+def t13_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf·idf —
+    corpus df joins back to the per-doc tf table (df table broadcast;
+    the per-doc ranking window partitions by doc, so no global
+    sort). Ranking on the ROUNDED score with a token tie-break keeps
+    the cut engine-portable."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dft), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf")
+    )
