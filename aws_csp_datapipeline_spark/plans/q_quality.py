@@ -533,3 +533,73 @@ def t13_keywords_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf")
     )
+
+
+@register(
+    "dq8_expectation_suite",
+    """
+    SELECT 'orderkey_not_null' AS check_name,
+           COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+    UNION ALL
+    SELECT 'status_in_domain',
+           COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    FROM orders
+    UNION ALL
+    SELECT 'date_in_range',
+           COUNT(*) FILTER (WHERE o_orderdate < DATE '1992-01-01'
+                               OR o_orderdate > DATE '1998-12-31')
+    FROM orders
+    """,
+)
+def dq8_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite gate: five table contracts (not-null, key
+    uniqueness, positivity, enum domain, date range) evaluated in ONE
+    scan via conditional aggregates — the check row per contract is
+    what a pipeline asserts on before promoting a batch. (The
+    uniqueness check is the only one needing a distinct; the rest
+    fold into a single pass.)"""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("orderkey_not_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("orderkey_unique"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("totalprice_positive"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("status_in_domain"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            )
+        ).alias("date_in_range"),
+    )
+    checks = [
+        "orderkey_not_null",
+        "orderkey_unique",
+        "totalprice_positive",
+        "status_in_domain",
+        "date_in_range",
+    ]
+    stacked = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("check_name"),
+                        F.col(c).cast("long").alias("n_violations"),
+                    )
+                    for c in checks
+                ]
+            )
+        ).alias("r")
+    )
+    return stacked.select("r.check_name", "r.n_violations")
