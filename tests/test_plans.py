@@ -147,3 +147,37 @@ def test_minhash_signature_has_no_exchange(spark, sf_oracle):
     sig = D.minhash_signatures(d, "text", "doc_id", k=8)
     plan = _plan(sig)
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_bigrams_partial_aggregation(spark, sf_oracle):
+    """t10: the bigram count must map-side combine (shuffle carries
+    (bigram, partial count), not raw bigram rows) and plan the top-20
+    as TakeOrderedAndProject, not a global sort."""
+    plan = _plan(queries()["t10_top_bigrams"](spark, sf_oracle))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_broadcasts_stats(spark, sf_oracle):
+    """t12: the df table and the (N, avgdl) scalars must broadcast —
+    the postings table is the only shuffled relation."""
+    plan = _plan(queries()["t12_bm25_topdocs"](spark, sf_oracle))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf_oracle):
+    """pipe1: the composed curation plan keeps its two-aggregation
+    shuffle budget — fingerprint agg + summary agg (plus AQE reads);
+    document bodies never hash-partition by content."""
+    plan = _plan(queries()["pipe1_curation_pipeline"](spark, sf_oracle))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_chunk_windows_no_shuffle(spark, sf_oracle):
+    """t11: chunking is scan -> project -> posexplode; a shuffle here
+    would mean the per-row expression regressed to a join/window."""
+    plan = _plan(queries()["t11_chunk_windows"](spark, sf_oracle))
+    assert "Exchange hashpartitioning" not in plan, plan
