@@ -424,3 +424,37 @@ def f12_try_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("parsed").alias("n_parsed"),
         F.round(F.sum("ratio"), 2).cast("double").alias("sum_ratio"),
     )
+
+
+@register(
+    "f13_string_battery",
+    """
+    SELECT s_suppkey,
+           split_part(s_name, '#', 2) AS name_num,
+           translate(s_name, '#', '-') AS name_dashed,
+           reverse(s_name) AS name_rev,
+           lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS key_padded,
+           left(s_name, 10) AS name_head,
+           right(s_name, 4) AS name_tail,
+           ascii(s_name) AS first_char_code,
+           repeat('*', CAST(s_suppkey % 4 AS INT)) AS stars
+    FROM supplier
+    """,
+)
+def f13_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery (split_part, translate,
+    reverse, lpad, left/right slices, ascii, repeat) — the cleaning /
+    formatting surface an ETL layer leans on, all JVM-side in one
+    codegen'd projection."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.translate("s_name", "#", "-").alias("name_dashed"),
+        F.reverse("s_name").alias("name_rev"),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("key_padded"),
+        F.substring("s_name", 1, 10).alias("name_head"),
+        F.substring("s_name", -4, 4).alias("name_tail"),
+        F.ascii("s_name").alias("first_char_code"),
+        F.repeat(F.lit("*"), (F.col("s_suppkey") % 4).cast("int")).alias("stars"),
+    )
