@@ -87,12 +87,30 @@ def d4_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_candidate_pairs(d, "text", "doc_id", max_hamming=3)
 
 
-@register("d6_neardup_groups", None)
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach AS (
+      SELECT doc, doc AS r FROM nodes
+      UNION
+      SELECT e.a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.b
+    )
+    SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc
+"""
+
+
+@register("d6_neardup_groups", _COMPONENTS_SQL)
 def d6_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the LSH pair
-    set (iterative min-label propagation — a genuinely iterative
-    algorithm, hence rows-only), yielding (doc, group_id) for
-    keep-one-per-group dedup."""
+    set (iterative min-label propagation; value-checked against a
+    recursive-CTE reachability oracle over the EXACT-Jaccard pairs —
+    valid because d3 ≡ d2 on this corpus, see module docstring),
+    yielding (doc, group_id) for keep-one-per-group dedup."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3)
     return D.neardup_groups(pairs)
