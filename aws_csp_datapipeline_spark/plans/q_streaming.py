@@ -33,12 +33,21 @@ _RAW_EVENTS_SCHEMA = T.StructType(
 )
 
 
-@register("st1_stream_ingest_dedup", None)
+@register(
+    "st1_stream_ingest_dedup",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    WHERE event_id IN (SELECT MIN(event_id) FROM events
+                       GROUP BY user_id, event_type)
+    """,
+)
 def st1_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ingest (README.md:42-56 restated): checkpointed
     file-source stream over the events landing file, per-batch
-    keep-first dedup on (user_id, event_type) inside foreachBatch,
-    parquet append sink. Returns the ingested result."""
+    keep-first (lowest event_id) dedup on (user_id, event_type)
+    inside foreachBatch, parquet append sink. The landing file
+    arrives as ONE availableNow micro-batch, so the streamed result
+    equals the batch min-key dedup — which is the SQL oracle."""
     from aws_csp_datapipeline_spark.operators.crud import dedup_by_keys
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
