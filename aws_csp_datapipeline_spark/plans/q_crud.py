@@ -293,3 +293,55 @@ def m10_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = u2.unionByName(u1).unionByName(d).unionByName(i)
     return M.apply_cdc(nation, changes, "n_nationkey")
+
+
+@register(
+    "pipe2_cdc_refresh",
+    """
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           COUNT(DISTINCT n_name) AS n_names
+    FROM (
+    WITH changes AS (
+      SELECT n_nationkey, 'U' AS op, 2 AS seq,
+             'NEW_' || n_name AS n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 4
+      UNION ALL
+      SELECT n_nationkey, 'U', 1, 'OLD_' || n_name, n_regionkey
+      FROM nation WHERE n_nationkey < 4
+      UNION ALL
+      SELECT n_nationkey, 'D', 3, NULL, NULL
+      FROM nation WHERE n_nationkey BETWEEN 10 AND 12
+      UNION ALL
+      SELECT r_regionkey + 200, 'I', 4, r_name, r_regionkey FROM region
+    ),
+    latest AS (
+      SELECT * FROM changes
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY n_nationkey ORDER BY seq DESC) = 1
+    )
+    SELECT COALESCE(t.n_nationkey, l.n_nationkey) AS n_nationkey,
+           CASE WHEN l.op IN ('I','U') THEN l.n_name ELSE t.n_name END AS n_name,
+           CASE WHEN l.op IN ('I','U') THEN l.n_regionkey
+                ELSE t.n_regionkey END AS n_regionkey
+    FROM nation t FULL OUTER JOIN latest l ON t.n_nationkey = l.n_nationkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ) snap
+    WHERE n_regionkey IS NOT NULL
+    GROUP BY n_regionkey
+    """,
+)
+def pipe2_cdc_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline composition: the m10 CDC fold feeds the downstream
+    per-region rollup refresh in the SAME lazy plan — the
+    change-feed-to-serving-table path (fold, then re-aggregate only
+    the merged snapshot). The feed window runs over the feed, the
+    rollup is map-side combined; the snapshot itself still never
+    shuffles."""
+    snap = m10_cdc_apply(spark, sf_dir)
+    return (
+        snap.filter(F.col("n_regionkey").isNotNull())
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.countDistinct("n_name").alias("n_names"),
+        )
+    )
