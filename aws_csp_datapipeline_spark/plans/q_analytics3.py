@@ -458,3 +458,45 @@ def f13_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii("s_name").alias("first_char_code"),
         F.repeat(F.lit("*"), (F.col("s_suppkey") % 4).cast("int")).alias("stars"),
     )
+
+
+@register(
+    "f14_datetime_battery",
+    """
+    SELECT o_orderkey,
+           date_part('year', o_orderdate) AS y,
+           date_part('quarter', o_orderdate) AS q,
+           date_part('month', o_orderdate) AS m,
+           date_part('day', o_orderdate) AS d,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           weekofyear(o_orderdate) AS iso_week,
+           last_day(o_orderdate) AS month_end,
+           date_trunc('quarter', o_orderdate) AS quarter_start,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           datediff('day', DATE '1992-01-01', o_orderdate) AS epoch_days
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def f14_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar battery: calendar parts, ISO day-of-week/week,
+    month-end, quarter truncation, month-clamped addition, day
+    arithmetic — the time-dimension surface of every ETL layer, all
+    codegen'd projections. ISO dow bridges the engines' differing
+    week conventions (weekday()+1 ≡ isodow)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    dt = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(dt).cast("long").alias("y"),
+        F.quarter(dt).cast("long").alias("q"),
+        F.month(dt).cast("long").alias("m"),
+        F.dayofmonth(dt).cast("long").alias("d"),
+        (F.weekday(dt) + 1).cast("int").alias("iso_dow"),
+        F.weekofyear(dt).cast("long").alias("iso_week"),
+        F.last_day(dt).alias("month_end"),
+        F.date_trunc("quarter", dt).cast("date").alias("quarter_start"),
+        F.add_months(dt, 3).alias("plus_3m"),
+        F.datediff(dt, F.lit("1992-01-01").cast("date")).cast("long").alias(
+            "epoch_days"
+        ),
+    )
