@@ -391,3 +391,39 @@ def a17_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return monthly
+
+
+@register(
+    "a19_winsorized_mean",
+    """
+    WITH bounds AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(AVG(greatest(least(o.o_totalprice, b.p95), b.p05)), 4)
+             AS winsorized_mean
+    FROM orders o JOIN bounds b USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def a19_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clipped) mean per group — the outlier-
+    robust aggregate a metrics pipeline uses instead of a raw AVG.
+    Exact interpolated percentiles per group (constant-size result)
+    broadcast back onto the fact rows; clipping keeps boundary-equal
+    values unchanged in both engines, so the oracle is exact."""
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.05), F.lit(0.95)))
+    bounds = o.groupBy("o_orderpriority").agg(
+        pct.getItem(0).alias("p05"), pct.getItem(1).alias("p95")
+    )
+    joined = o.join(F.broadcast(bounds), "o_orderpriority")
+    clipped = F.greatest(F.least(F.col("o_totalprice"), F.col("p95")), F.col("p05"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+    )
