@@ -500,3 +500,74 @@ def f14_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "epoch_days"
         ),
     )
+
+
+@register(
+    "f15_conditional_battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount > 0.05 THEN 'deep'
+                WHEN l_discount > 0.0 THEN 'light' ELSE 'none' END AS disc_band,
+           nullif(l_returnflag, 'N') AS returned_or_null,
+           ifnull(nullif(l_linestatus, 'O'), 'open') AS status_label,
+           coalesce(nullif(l_returnflag, 'A'), nullif(l_linestatus, 'F'),
+                    'fallback') AS flag_pick,
+           least(l_quantity, 25.0) AS qty_capped,
+           greatest(l_discount, 0.02) AS disc_floor
+    FROM lineitem WHERE l_orderkey < 2000
+    """,
+)
+def f15_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-scalar battery: multi-branch CASE, nullif/ifnull
+    laddering, coalesce fallback chains, least/greatest clamps — the
+    branching surface of cleaning rules, one codegen'd projection."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, "deep")
+        .when(F.col("l_discount") > 0.0, "light")
+        .otherwise("none")
+        .alias("disc_band"),
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("returned_or_null"),
+        F.ifnull(F.nullif(F.col("l_linestatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.coalesce(
+            F.nullif(F.col("l_returnflag"), F.lit("A")),
+            F.nullif(F.col("l_linestatus"), F.lit("F")),
+            F.lit("fallback"),
+        ).alias("flag_pick"),
+        F.least(F.col("l_quantity"), F.lit(25.0)).alias("qty_capped"),
+        F.greatest(F.col("l_discount"), F.lit(0.02)).alias("disc_floor"),
+    )
+
+
+@register(
+    "f16_bitwise_battery",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 1 AS set_low,
+           xor(o_orderkey, o_custkey) AS key_xor,
+           bit_count(CAST(o_orderkey AS BIGINT)) AS pop_count,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def f16_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar battery (mask, set, xor, popcount, shifts) —
+    the flag-field and hash-manipulation surface (the MinHash/SimHash
+    operators build on exactly these)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("set_low"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.bit_count(k).cast("long").alias("pop_count"),
+        F.shiftleft(k, 2).cast("long").alias("shl2"),
+        F.shiftright(k, 3).cast("long").alias("shr3"),
+    )
