@@ -309,3 +309,35 @@ def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "s11_embedding_dim_stats",
+    """
+    SELECT dim,
+           ROUND(AVG(v), 6) AS mean_v,
+           ROUND(stddev_samp(v), 6) AS std_v,
+           ROUND(MIN(v), 6) AS min_v,
+           ROUND(MAX(v), 6) AS max_v
+    FROM (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ) GROUP BY dim
+    """,
+)
+def s11_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean/std/min/max) — the
+    feature-scaling / drift-profiling pass over a vector column. One
+    posexplode + one groupBy keyed by dimension index: the shuffle
+    width is |dims| x partials, independent of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim0", "v")).select(
+        (F.col("dim0") + 1).alias("dim"), F.col("v").cast("double").alias("v")
+    )
+    return ex.groupBy("dim").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("std_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
