@@ -1,0 +1,181 @@
+"""Sixth analytics batch: time-series comparison (period-over-period),
+distribution shape (equi-depth histogram, Benford first-digit audit),
+and statistical outlier gating — the reporting-layer ops a metrics
+warehouse runs on top of the reference's group-by dashboard surface
+(QuickSight PNG; README.md:87-90), generalized to the star schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.plans.registry import register
+
+
+@register(
+    "w12_period_over_period",
+    """
+    WITH monthly AS (
+      SELECT o_orderpriority, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(o_totalprice) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, month, ROUND(rev, 2) AS revenue,
+           ROUND(
+             (rev - lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY month))
+             / lag(rev) OVER (PARTITION BY o_orderpriority ORDER BY month), 6)
+             AS mom_change
+    FROM monthly
+    """,
+)
+def w12_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change per priority class — the
+    aggregate-then-window composition every metrics dashboard runs
+    (LAG over a grouped series). The raw fact rows reduce to
+    |priorities| x |months| rows in one partial-aggregated shuffle;
+    the LAG window runs on that constant-size series, partitioned by
+    priority so no single-partition bottleneck appears at any fact
+    scale."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        F.round("rev", 2).alias("revenue"),
+        F.round((F.col("rev") - prev) / prev, 6).alias("mom_change"),
+    )
+
+
+@register(
+    "h2_equidepth_histogram",
+    """
+    WITH binned AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi,
+           ROUND(AVG(o_totalprice), 4) AS mean_price
+    FROM binned GROUP BY decile
+    """,
+)
+def h2_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) histogram of order value: exact ntile with
+    a key tie-break so bin assignment is fully deterministic, then
+    per-bin count/bounds/mean. The exact form needs a global sort
+    (ntile is a single total order — this is the correctness
+    reference); the 100-TB path swaps the ntile for
+    approx-percentile cut points (a15_approx_percentile) joined back
+    as bin edges, which keeps the scan narrow and shuffle-free. Ten
+    output rows either way."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.withColumn("decile", F.ntile(10).over(w))
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+    )
+
+
+@register(
+    "fun3_benford_audit",
+    """
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS first_digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    counted AS (
+      SELECT first_digit, COUNT(*) AS n FROM digits GROUP BY first_digit
+    )
+    SELECT first_digit, n,
+           ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS observed_share,
+           ROUND(log10(1.0 + 1.0 / CAST(first_digit AS DOUBLE)), 6)
+             AS benford_share,
+           ROUND(abs(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                     - log10(1.0 + 1.0 / CAST(first_digit AS DOUBLE))), 6)
+             AS abs_dev
+    FROM counted
+    """,
+)
+def fun3_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the classic fabricated-data /
+    feed-corruption screen over a monetary column. First digit is
+    taken from the integer part via string head (log10-free, so no
+    cross-engine float edge at exact powers of ten); the digit
+    histogram is one 9-row aggregate, and the share/expectation
+    arithmetic runs on that 9-row result (the SUM() OVER () is a
+    9-row window, not a data-scale one)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1).alias(
+            "first_digit"
+        )
+    )
+    counted = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(total)
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("first_digit").cast("double"))
+    return counted.select(
+        "first_digit",
+        "n",
+        F.round(share, 6).alias("observed_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(F.abs(share - benford), 6).alias("abs_dev"),
+    )
+
+
+@register(
+    "dq9_outlier_audit",
+    """
+    WITH stats AS (
+      SELECT event_type, COUNT(*) AS n,
+             ROUND(AVG(value) - 3 * stddev_samp(value), 6) AS lo_bound,
+             ROUND(AVG(value) + 3 * stddev_samp(value), 6) AS hi_bound
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.n,
+           ROUND(s.lo_bound, 4) AS lo,
+           ROUND(s.hi_bound, 4) AS hi,
+           SUM(CASE WHEN e.value < s.lo_bound OR e.value > s.hi_bound
+                    THEN 1 ELSE 0 END) AS n_outliers
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY s.event_type, s.n, s.lo_bound, s.hi_bound
+    """,
+)
+def dq9_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outlier audit — the anomaly gate a feed
+    monitor runs before publishing a partition. Two aggregations over
+    one fact table: per-type moment stats (constant-size result,
+    broadcast back onto the rows) then a conditional count against
+    the bounds. Bounds are rounded to 6 dp on BOTH sides before the
+    comparison so engine-order summation drift (~1e-10 here) cannot
+    flip a row's outlier status."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value") - 3 * F.stddev_samp("value"), 6).alias("lo_bound"),
+        F.round(F.avg("value") + 3 * F.stddev_samp("value"), 6).alias("hi_bound"),
+    )
+    joined = ev.join(F.broadcast(stats), "event_type")
+    is_out = (F.col("value") < F.col("lo_bound")) | (F.col("value") > F.col("hi_bound"))
+    return joined.groupBy("event_type", "n", "lo_bound", "hi_bound").agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers")
+    ).select(
+        "event_type",
+        "n",
+        F.round("lo_bound", 4).alias("lo"),
+        F.round("hi_bound", 4).alias("hi"),
+        "n_outliers",
+    )

@@ -64,6 +64,7 @@ def _load_plan_modules() -> None:
         q_analytics3,
         q_analytics4,
         q_analytics5,
+        q_analytics6,
         q_asof,
         q_cleaning,
         q_crud,
