@@ -123,3 +123,51 @@ def d5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-bands against."""
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_signatures(d, "text", "doc_id", k=32, n=3)
+
+
+_CANONICAL_SQL = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach AS (
+      SELECT doc, doc AS r FROM nodes
+      UNION
+      SELECT e.a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.b
+    ),
+    grp AS (SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc),
+    sz AS (SELECT group_id, COUNT(*) AS n_members FROM grp GROUP BY group_id)
+    SELECT d.doc_id, d.lang, d.source, COALESCE(sz.n_members, 1) AS n_members
+    FROM documents d
+    LEFT JOIN grp g ON d.doc_id = g.doc
+    LEFT JOIN sz ON g.group_id = sz.group_id
+    WHERE g.doc IS NULL OR g.group_id = d.doc_id
+"""
+
+
+@register("d7_canonical_corpus", _CANONICAL_SQL)
+def d7_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: every document survives except
+    non-canonical members of near-dup clusters (canonical = min
+    doc_id per component, d6's group labels), each kept row carrying
+    its cluster size — the final 'emit the clean training set' step
+    the pair/group queries feed. The group table is edge-scale (near-
+    dup docs only), so it broadcasts; the corpus is filtered with one
+    broadcast left join and never shuffles. Bodies move zero times at
+    any corpus size."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3)
+    groups = D.neardup_groups(pairs)
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_members"))
+    gs = groups.join(sizes, "group_id")
+    joined = d.join(F.broadcast(gs), d.doc_id == gs.doc, "left")
+    return joined.filter(
+        gs.doc.isNull() | (gs.group_id == d.doc_id)
+    ).select(
+        d.doc_id, "lang", "source", F.coalesce("n_members", F.lit(1)).alias("n_members")
+    )

@@ -138,3 +138,65 @@ def pm3_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", (F.col("p_sec") - F.col("s_sec")).alias("sec_to_convert")
     )
+
+
+@register(
+    "pm4_last_touch_attribution",
+    """
+    WITH ordered AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_id,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id, touch_id, touch_type,
+           date_diff('millisecond', touch_ts, ts) AS lag_ms
+    FROM ordered
+    WHERE event_type = 'purchase' AND touch_id IS NOT NULL
+    """,
+)
+def pm4_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent preceding click/view by the same user — the marketing-
+    attribution as-of lookup done with ONE pass and no self-join.
+    last(ignorenulls) over a (user, time)-ordered frame ending at the
+    previous row carries the latest touch forward; all three touch
+    attributes ride in one struct so the window is evaluated once.
+    Scale: one shuffle on user_id (the session partitioning every
+    sequence op here reuses); per-user frames stream in sorted order
+    with O(1) state per row. The millisecond lag is an integer delta
+    of ms-truncated instants, identical in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = F.last(
+        F.when(touch, F.struct("event_id", "event_type", "ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("__touch", carried)
+        .filter((F.col("event_type") == "purchase") & F.col("__touch").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("__touch.event_id").alias("touch_id"),
+            F.col("__touch.event_type").alias("touch_type"),
+            (F.unix_millis("ts") - F.unix_millis("__touch.ts")).alias("lag_ms"),
+        )
+    )

@@ -241,3 +241,64 @@ def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "tt8_ngram_decontaminate",
+    """
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4])) AS gs
+      FROM tok WHERE len(t) >= 5
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    train_g AS (
+      SELECT DISTINCT g FROM ex JOIN split USING (doc_id)
+      WHERE split = 'train'
+    )
+    SELECT e.doc_id, COUNT(DISTINCT e.g) AS n_shared_grams
+    FROM ex e
+    JOIN split s USING (doc_id)
+    JOIN train_g t ON e.g = t.g
+    WHERE s.split = 'test'
+    GROUP BY e.doc_id
+    """,
+)
+def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: test-split documents sharing any
+    word-5-gram with the train split, with the count of shared
+    grams — the GPT-3-style n-gram overlap audit run before an eval
+    set is trusted. One pass builds per-doc distinct shingles (the
+    same bound-once shingle expression the MinHash path uses); the
+    train side reduces to DISTINCT grams and the test side joins
+    against it. Scale: the join keys at 100 TB become 128-bit gram
+    fingerprints (collision-safe) and the distinct-train-gram set
+    ships as a bloom filter into the probe scan before the exact
+    join confirms."""
+    from aws_csp_datapipeline_spark.functions import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    split = SMP.hash_split(d, "doc_id", 0.75)
+    grams = split.select(
+        "doc_id", "split", F.explode(D.word_shingles(F.col("text"), 5)).alias("g")
+    )
+    train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    return (
+        grams.filter(F.col("split") == "test")
+        .join(train_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared_grams"))
+    )

@@ -433,3 +433,36 @@ def st9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(sink_dir)
+
+
+@register(
+    "st10_sliding_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) - k * INTERVAL '1 hour' AS TIMESTAMP)
+             AS win_start,
+           event_type, COUNT(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+    GROUP BY 1, 2
+    """,
+)
+def st10_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2 h length, 1 h slide): every event
+    lands in exactly two overlapping windows — the overlapping-window
+    streaming aggregation st2's tumbling form can't express. Spark's
+    window() duplicates each row into its window set BEFORE the
+    partial aggregation, so the shuffle carries (window, type)
+    partial counts — 2x the tumbling group count, independent of row
+    volume. The identical expression runs under readStream with a
+    watermark (windowed_event_counts pattern); batch execution here
+    makes it oracle-checkable, with the oracle enumerating the two
+    phase-shifted hour grids explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )

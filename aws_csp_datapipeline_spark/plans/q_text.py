@@ -291,3 +291,45 @@ def t11_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.head").alias("head"),
         )
     )
+
+
+@register(
+    "t14_vocab_build",
+    """
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS freq FROM tok
+      GROUP BY token HAVING COUNT(*) >= 20
+    )
+    SELECT token, freq,
+           CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT)
+             AS token_id
+    FROM counts
+    """,
+)
+def t14_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: token frequencies with a min-count
+    cutoff and contiguous ids assigned by (freq desc, token) — the
+    tokenizer-training precursor every LM data pipeline materializes.
+    The explode shuffles only (token) singletons with map-side
+    partial counts (bounded by per-partition vocab, not corpus
+    tokens); the id-assigning row_number runs on the post-cutoff
+    vocabulary, which is constant-size relative to the corpus (new
+    documents mostly repeat existing tokens), so the single-partition
+    window is over ~|vocab| rows, not data-scale."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 20)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return counts.withColumn(
+        "token_id", F.row_number().over(w).cast("long")
+    )
