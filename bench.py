@@ -47,6 +47,10 @@ HEADLINE = [
     "tt7_weighted_sample",
     "pipe1_curation_pipeline",
     "t12_bm25_topdocs",
+    "tt8_ngram_decontaminate",
+    "pm4_last_touch_attribution",
+    "st10_sliding_counts",
+    "t14_vocab_build",
 ]
 
 
