@@ -80,3 +80,74 @@ def asof_join(
             *[F.col(f"{suffix}{c}") for c in right_payload],
         )
     )
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    left_cols: list[str] | None = None,
+    suffix: str = "nearest_",
+) -> DataFrame:
+    """Nearest as-of join: every left row, plus the payload of the
+    CLOSEST right row in either time direction (tie → the earlier,
+    i.e. backward, row). Same single-shuffle tagged-union plan as
+    ``asof_join``, with TWO window passes over the one partitioning —
+    a backward carry and a forward carry (Spark plans them as two
+    sorts inside the same exchange, not two shuffles) — then a
+    per-row arbitration on the absolute time gap.
+    """
+    lcols = left_cols or [c for c in left.columns if c not in (key, left_ts)]
+    payload = list(dict.fromkeys([*right_payload, right_ts]))
+    tagged_l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in lcols],
+        F.lit(None)
+        .cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in payload) + ">"
+        )
+        .alias("__r"),
+    )
+    tagged_r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
+    )
+    unioned = tagged_l.unionByName(tagged_r)
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), F.col("__r").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc(), F.col("__r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        F.last("__r", ignorenulls=True).over(wb).alias("__b"),
+        F.last("__r", ignorenulls=True).over(wf).alias("__f"),
+    ).filter(F.col("__is_left") == 1)
+    b_gap = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col(f"__b.{right_ts}"))
+    f_gap = F.unix_micros(F.col(f"__f.{right_ts}")) - F.unix_micros(F.col("__ts"))
+    chosen = (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(b_gap <= f_gap, F.col("__b"))
+        .otherwise(F.col("__f"))
+    )
+    return carried.withColumn("__n", chosen).select(
+        F.col("__k").alias(key),
+        F.col("__ts").alias(left_ts),
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__n.{c}").alias(f"{suffix}{c}") for c in right_payload],
+        F.col(f"__n.{right_ts}").alias(f"{suffix}ts"),
+    )

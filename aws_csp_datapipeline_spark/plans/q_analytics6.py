@@ -179,3 +179,82 @@ def dq9_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hi_bound", 4).alias("hi"),
         "n_outliers",
     )
+
+
+@register(
+    "a18_generalized_means",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           ROUND(AVG(l_quantity), 4) AS arith_mean,
+           ROUND(EXP(AVG(LN(l_quantity))), 4) AS geo_mean,
+           ROUND(COUNT(*) / SUM(1.0 / l_quantity), 4) AS harm_mean
+    FROM lineitem WHERE l_quantity > 0
+    GROUP BY l_returnflag
+    """,
+)
+def a18_generalized_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic / geometric / harmonic means per group in ONE pass —
+    the rate-vs-ratio aggregate family (geo for growth factors, harm
+    for rates) a metrics layer needs beyond AVG. All three reduce to
+    commutative partial aggregates (sum, sum-of-logs, sum-of-
+    reciprocals), so the shuffle carries three doubles per group at
+    any scale."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_quantity"), 4).alias("arith_mean"),
+        F.round(F.exp(F.avg(F.log("l_quantity"))), 4).alias("geo_mean"),
+        F.round(F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("l_quantity")), 4).alias(
+            "harm_mean"
+        ),
+    )
+
+
+@register(
+    "f17_map_battery",
+    """
+    SELECT o_orderkey,
+           3 AS n_keys,
+           o_orderstatus AS status_val,
+           'bucket=' || CAST(o_orderkey % 10 AS VARCHAR)
+             || ',prio=' || o_orderpriority
+             || ',status=' || o_orderstatus AS map_render,
+           2 AS n_after_filter,
+           array_to_string(list_sort([CAST(o_orderkey % 10 AS VARCHAR),
+                                      o_orderpriority, o_orderstatus]), '|')
+             AS vals_sorted
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def f17_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType expression battery: create_map / map_concat / size /
+    element_at / map_keys / map_values / map_filter / transform over
+    a sorted key render — the property-bag manipulation surface
+    (Spark's MapType is free per SURVEY §1.2 but deserves explicit
+    coverage). The oracle states each result as plain string algebra,
+    so Spark's map semantics are checked against an engine that never
+    builds a map. All narrow expressions — no shuffle, whole-stage
+    codegen throughout."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("prio"), F.col("o_orderpriority")
+    )
+    m2 = F.map_concat(
+        m, F.create_map(F.lit("bucket"), (F.col("o_orderkey") % 10).cast("string"))
+    )
+    rendered = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.map_keys(m2)),
+            lambda k: F.concat(k, F.lit("="), F.element_at(m2, k)),
+        ),
+    )
+    dropped = F.map_filter(m2, lambda k, v: k != F.lit("prio"))
+    return o.select(
+        "o_orderkey",
+        F.size(m2).alias("n_keys"),
+        F.element_at(m2, F.lit("status")).alias("status_val"),
+        rendered.alias("map_render"),
+        F.size(dropped).alias("n_after_filter"),
+        F.array_join(F.array_sort(F.map_values(m2)), "|").alias("vals_sorted"),
+    )

@@ -341,3 +341,101 @@ def s11_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 6).alias("min_v"),
         F.round(F.max("v"), 6).alias("max_v"),
     )
+
+
+@register(
+    "s13_centroid_distances",
+    """
+    WITH dims AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ),
+    cent AS (SELECT label, dim, AVG(v) AS c FROM dims GROUP BY label, dim),
+    norms AS (SELECT label, sqrt(SUM(c * c)) AS nrm FROM cent GROUP BY label),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, SUM(a.c * b.c) AS dot
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, ROUND(dot / (x.nrm * y.nrm), 6) AS centroid_cos
+    FROM dots
+    JOIN norms x ON label_a = x.label
+    JOIN norms y ON label_b = y.label
+    """,
+)
+def s13_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the
+    cluster-separation diagnostic run after embedding or after IVF
+    training (s5's KMeans cells get the same check). Per-dimension
+    means reduce the corpus to |labels| x |dims| rows in one partial-
+    aggregated shuffle; the pairwise stage runs on that constant-size
+    centroid table (self-join on dim), so corpus growth only touches
+    the first aggregation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    cent = dims.groupBy("label", "dim").agg(F.avg("v").alias("c"))
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim_a"), F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"), F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, (a.dim_a == b.dim_b) & (a.label_a < b.label_b))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("nrm_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+    )
+
+
+@register("pipe3_ann_recall", None)
+def pipe3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluating ANN pipeline: recall@10 of the LSH index
+    against the exact k-NN ground truth for a 20-vector probe set,
+    in one job (rows-only: the LSH side depends on Spark's hash
+    family). This is the index-quality gate a production ANN
+    deployment recomputes after each (re)build — the eval is itself
+    a distributed query, not a driver-side loop. One row out:
+    probe count and mean recall."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20)
+    exact = S.knn_join(probes, e, "embedding", "vec_id", k=10).select(
+        "probe_id", "neighbor_id"
+    )
+    approx = S.lsh_topk(
+        probes, e, "embedding", "vec_id", k=10, n_planes=24, n_tables=6, dim=64
+    ).select("probe_id", F.col("neighbor_id").alias("ann_neighbor_id"))
+    hits = exact.join(
+        approx,
+        (exact.probe_id == approx.probe_id)
+        & (exact.neighbor_id == approx.ann_neighbor_id),
+    ).groupBy(exact.probe_id).agg(F.count(F.lit(1)).alias("n_hits"))
+    per_probe = exact.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        per_probe.join(F.broadcast(hits), "probe_id", "left")
+        .select(
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_true")).alias("recall")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.round(F.avg("recall"), 4).alias("mean_recall_at_10"),
+        )
+    )

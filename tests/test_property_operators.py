@@ -263,3 +263,40 @@ def test_per_group_sample_deterministic_and_bounded(spark, keys, k):
     from collections import Counter
     per_group = Counter(g for _, g in out1)
     assert all(n <= k for n in per_group.values())
+
+
+@given(left=st.lists(_EVENT, min_size=1, max_size=25),
+       right=st.lists(_EVENT, min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_asof_nearest_matches_merge_asof(spark, left, right):
+    from aws_csp_datapipeline_spark.operators.asof import asof_nearest
+
+    lrows, rrows = _mk_events(left), _mk_events(right)
+    lpd = (
+        pd.DataFrame(lrows, columns=["id", "k", "ts", "v"])
+        .drop_duplicates(subset=["k", "ts"])
+    )
+    rpd = (
+        pd.DataFrame(rrows, columns=["id", "k", "ts", "v"])
+        .drop_duplicates(subset=["k", "ts"])
+    )
+    ldf = spark.createDataFrame(lpd, _SCHEMA)
+    rdf = spark.createDataFrame(rpd, _SCHEMA)
+
+    got = {
+        (r["id"], r["nearest_id"])
+        for r in asof_nearest(
+            ldf, rdf, key="k", left_ts="ts", right_ts="ts",
+            right_payload=["id", "v"], left_cols=["id"],
+        ).collect()
+    }
+    exp_df = pd.merge_asof(
+        lpd.sort_values("ts"),
+        rpd.sort_values("ts").rename(columns={"id": "near_id", "v": "near_v"}),
+        on="ts", by="k", direction="nearest",
+    )
+    exp = {
+        (int(r.id), None if pd.isna(r.near_id) else int(r.near_id))
+        for r in exp_df.itertuples()
+    }
+    assert got == exp
