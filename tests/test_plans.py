@@ -181,3 +181,41 @@ def test_chunk_windows_no_shuffle(spark, sf_oracle):
     would mean the per-row expression regressed to a join/window."""
     plan = _plan(queries()["t11_chunk_windows"](spark, sf_oracle))
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_attribution_single_shuffle(spark, sf_oracle):
+    """pm4 (one-pass as-of carry) must shuffle exactly once — on
+    user_id for the window — with no join in the plan."""
+    plan = _plan(queries()["pm4_last_touch_attribution"](spark, sf_oracle))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_asof_nearest_single_shuffle(spark, sf_oracle):
+    """x6: both directional carries must run inside ONE exchange
+    (two window sorts, zero joins) — the point of the tagged-union
+    nearest as-of over a two-pass join-based form."""
+    plan = _plan(queries()["x6_asof_nearest"](spark, sf_oracle))
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+
+
+def test_outlier_audit_broadcasts_stats(spark, sf_oracle):
+    """dq9: the per-group bounds join back onto the fact rows must
+    broadcast (constant-size stats side), never sort-merge."""
+    plan = _plan(queries()["dq9_outlier_audit"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_map_battery_is_narrow(spark, sf_oracle):
+    """f17: pure per-row map expressions — no exchange at all."""
+    plan = _plan(queries()["f17_map_battery"](spark, sf_oracle))
+    assert "Exchange" not in plan, plan
+
+
+def test_vocab_build_partial_aggregation(spark, sf_oracle):
+    """t14: the token count must partial-aggregate map-side so the
+    shuffle carries per-partition vocab, not corpus tokens."""
+    plan = _plan(queries()["t14_vocab_build"](spark, sf_oracle))
+    assert "partial_count" in plan or "partial" in plan, plan
