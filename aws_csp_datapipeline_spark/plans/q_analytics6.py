@@ -258,3 +258,59 @@ def f17_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(dropped).alias("n_after_filter"),
         F.array_join(F.array_sort(F.map_values(m2)), "|").alias("vals_sorted"),
     )
+
+
+@register(
+    "dq10_spike_detection",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, d, n,
+             AVG(n) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
+             stddev_samp(n) OVER (PARTITION BY event_type ORDER BY d
+                          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sigma
+      FROM daily
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+           ROUND((n - mu) / sigma, 4) AS zscore
+    FROM w WHERE sigma IS NOT NULL AND sigma > 0
+    """,
+)
+def dq10_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-spike detection: each day's event count scored against
+    its own trailing-week baseline (mean/stddev over the 7 prior
+    days, never including the current day) — the feed-health monitor
+    that catches both outages and replays. The corpus reduces to
+    |types| x |days| daily counts in one partial-aggregated shuffle;
+    the trailing window runs on that constant-size series. First
+    week of each series is unscored (sigma undefined) by
+    construction, matching the oracle's NULL filter."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.avg("n").over(w).alias("__mu"),
+        F.stddev_samp("n").over(w).alias("__sigma"),
+    )
+    return scored.filter(
+        F.col("__sigma").isNotNull() & (F.col("__sigma") > 0)
+    ).select(
+        "event_type",
+        "day",
+        "n",
+        F.round((F.col("n") - F.col("__mu")) / F.col("__sigma"), 4).alias("zscore"),
+    )
