@@ -333,3 +333,58 @@ def t14_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "token_id", F.row_number().over(w).cast("long")
     )
+
+
+@register(
+    "t15_bigram_logprob",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(list_zip(t[:-2], t[2:]),
+                                   z -> z[1] || ' ' || z[2])) AS bigram
+      FROM tok WHERE len(t) >= 2
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS nb FROM bg GROUP BY bigram),
+    uc AS (SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS nu
+           FROM bg GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(LN(CAST(nb AS DOUBLE) / nu)), 4) AS avg_logprob
+    FROM bg
+    JOIN bc USING (bigram)
+    JOIN uc ON split_part(bg.bigram, ' ', 1) = uc.w1
+    GROUP BY doc_id
+    """,
+)
+def t15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style bigram-LM quality score: each document's mean
+    conditional log-probability ln(count(w1 w2)/count(w1 ·)) under
+    the corpus's own bigram statistics — low scorers are boilerplate
+    / gibberish candidates for the curation gate. Three aggregations
+    over ONE exploded bigram table (per-doc rows, corpus bigram
+    counts, corpus first-word counts); the model tables are
+    vocab-scale so AQE broadcasts them back onto the per-doc rows.
+    At 100 TB the join keys become 64-bit fingerprints and the
+    per-doc side pre-aggregates (doc, bigram, n) before joining."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select("doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram"))
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
+    uc = (
+        bg.select(F.substring_index("bigram", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("nu"))
+    )
+    scored = (
+        bg.join(bc, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(uc, "w1")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(F.log(F.col("nb").cast("double") / F.col("nu"))), 4
+        ).alias("avg_logprob"),
+    )

@@ -435,3 +435,38 @@ def w11_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run = pts.withColumn("conc", F.sum("delta").over(w))
     return run.groupBy("event_type").agg(F.max("conc").alias("max_concurrent"))
+
+
+@register(
+    "x7_time_downsample",
+    """
+    WITH b AS (
+      SELECT *, time_bucket(INTERVAL '5 minutes', ts) AS bkt FROM events
+    )
+    SELECT user_id, CAST(bkt AS TIMESTAMP) AS bucket, event_id,
+           event_type, value
+    FROM b
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, bkt
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def x7_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry downsampling: keep the LAST event per (user, 5-min
+    bucket) — the lossy-but-ordered compaction applied to high-
+    frequency streams before sessionization or storage. Bucketing is
+    a narrow epoch-aligned expression (Spark window() ≡ DuckDB
+    time_bucket); the keep-last is one window over (user, bucket)
+    with a deterministic (ts, id) tie-break. One shuffle, output
+    bounded by users x buckets regardless of raw event rate."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select("*", F.window("ts", "5 minutes").alias("__w")).withColumn(
+        "bucket", F.col("__w.start")
+    )
+    w = Window.partitionBy("user_id", "bucket").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        b.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "bucket", "event_id", "event_type", "value")
+    )
