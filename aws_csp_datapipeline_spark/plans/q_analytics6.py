@@ -314,3 +314,22 @@ def dq10_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round((F.col("n") - F.col("__mu")) / F.col("__sigma"), 4).alias("zscore"),
     )
+
+
+@register("a20_cms_heavy_hitters", None)
+def a20_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection via a Count-Min Sketch (rows-only: the
+    estimates ride on Spark's xxhash64 family): build the d=4 x w=256
+    relational sketch over lineitem's supplier column, then rank the
+    candidate keys by estimated frequency. The sketch is mergeable
+    (UNION + re-aggregate) — the same table maintained per day rolls
+    up to any grain without re-scanning raw rows, the frequency
+    analogue of a17's HLL rollup. Estimate error is pinned by
+    tests/test_approx_quality.py."""
+    from aws_csp_datapipeline_spark.functions.sketches import cms_build, cms_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sketch = cms_build(li, F.col("l_suppkey"), depth=4, width=256)
+    candidates = li.select("l_suppkey").distinct()
+    est = cms_estimate(sketch, candidates, "l_suppkey", depth=4, width=256)
+    return est.orderBy(F.desc("est_count"), F.asc("l_suppkey")).limit(10)

@@ -150,3 +150,23 @@ def test_hll_sketch_rollup_error_bound(spark, sf_oracle):
     assert set(approx) == set(exact)
     for m, est in approx.items():
         assert abs(est - exact[m]) / exact[m] < 0.05, (m, est, exact[m])
+
+
+def test_cms_estimate_error_bound(spark, sf_oracle):
+    """CMS guarantees est >= true and (w.h.p.) est <= true + eps*N.
+    Check every distinct key, not just the top-10."""
+    from aws_csp_datapipeline_spark.functions.sketches import cms_build, cms_estimate
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    n_total = li.count()
+    sketch = cms_build(li, F.col("l_suppkey"), depth=4, width=256)
+    est = cms_estimate(
+        sketch, li.select("l_suppkey").distinct(), "l_suppkey", depth=4, width=256
+    )
+    true = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_count"))
+    joined = est.join(true, "l_suppkey").collect()
+    assert len(joined) > 0
+    slack = 16 * n_total / 256
+    for r in joined:
+        assert r["est_count"] >= r["true_count"], r
+        assert r["est_count"] - r["true_count"] <= slack, r
