@@ -333,3 +333,84 @@ def a20_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = li.select("l_suppkey").distinct()
     est = cms_estimate(sketch, candidates, "l_suppkey", depth=4, width=256)
     return est.orderBy(F.desc("est_count"), F.asc("l_suppkey")).limit(10)
+
+
+@register(
+    "a21_weighted_median",
+    """
+    WITH t AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag, ROUND(MIN(v), 2) AS weighted_median
+    FROM t WHERE cw >= tw / 2.0
+    GROUP BY l_returnflag
+    """,
+)
+def a21_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (quantity-weighted price) per group — the
+    order statistic percentile_cont can't produce when rows carry
+    weights. One cumulative-sum window in a deterministic total order
+    (value + key tie-breaks) and a threshold pick. The weights are
+    integer-valued doubles, so both the running and total sums are
+    exact in IEEE double and the threshold comparison cannot drift
+    between engines. Scale: the window partitions by group; within a
+    group the scan is the sort — the 100-TB variant first reduces to
+    (group, value)-level partial weights, shrinking rows by the
+    duplication factor before sorting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    t = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(wcum).alias("cw"),
+        F.sum("l_quantity").over(wtot).alias("tw"),
+    )
+    return (
+        t.filter(F.col("cw") >= F.col("tw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("v"), 2).alias("weighted_median"))
+    )
+
+
+@register(
+    "dq11_entropy_profile",
+    """
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.event_type, COUNT(*) AS n_users,
+           ROUND(-SUM((n / CAST(tot AS DOUBLE))
+                      * LN(n / CAST(tot AS DOUBLE))), 4) AS user_entropy
+    FROM c JOIN t USING (event_type)
+    GROUP BY c.event_type
+    """,
+)
+def dq11_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-user activity distribution within
+    each event type — the concentration diagnostic that catches one
+    bot dominating a feed (entropy collapses) or an id-mapping bug
+    (entropy jumps to log N). Two partial-aggregated groupBys; the
+    totals re-attach via a broadcast of |types| rows, and the entropy
+    sum shuffles (type, user) singletons only."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot").cast("double")
+    return (
+        c.join(F.broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("user_entropy"),
+        )
+    )

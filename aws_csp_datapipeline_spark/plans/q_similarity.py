@@ -439,3 +439,65 @@ def pipe3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("recall"), 4).alias("mean_recall_at_10"),
         )
     )
+
+
+@register(
+    "s14_truncated_recall",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id = 0),
+    full_rank AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_dot_product(v, qv)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(qv, qv))), 6) DESC, vec_id) AS r
+      FROM e, q
+    ),
+    trunc_rank AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_dot_product(v[1:16], qv[1:16])
+                 / (sqrt(list_dot_product(v[1:16], v[1:16]))
+                    * sqrt(list_dot_product(qv[1:16], qv[1:16]))), 6) DESC,
+               vec_id) AS r
+      FROM e, q
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap,
+           ROUND(COUNT(*) / 10.0, 2) AS recall_at_10
+    FROM full_rank f JOIN trunc_rank t USING (vec_id)
+    WHERE f.r <= 10 AND t.r <= 10
+    """,
+)
+def s14_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation quality: recall@10 of
+    exact search over the FIRST 16 dims vs the full 64-dim ground
+    truth for one query — the measurement that justifies (or vetoes)
+    a 4x cheaper first-stage index. Fully deterministic (both
+    rankings order by 6-dp-rounded cosine with id tie-breaks), so it
+    oracle-pairs, unlike the hash-dependent LSH/IVF gates. Both
+    rankings are corpus scans + top-k; at scale each becomes
+    TakeOrderedAndProject per shard with a k-list merge."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qfull = S.query_vector(e, "vec_id", "embedding", 0)
+    corpus = e.filter(F.col("vec_id") != 0)
+    full_scores = S.cosine_scores(corpus, "embedding", "vec_id", qfull)
+    trunc_corpus = corpus.withColumn("emb16", F.slice("embedding", 1, 16))
+    trunc_scores = S.cosine_scores(trunc_corpus, "emb16", "vec_id", qfull[:16])
+    wf = Window.orderBy(F.desc(F.round("cos_sim", 6)), F.asc("vec_id"))
+    f10 = full_scores.select("vec_id", F.row_number().over(wf).alias("r")).filter(
+        F.col("r") <= 10
+    )
+    t10 = trunc_scores.select("vec_id", F.row_number().over(wf).alias("r")).filter(
+        F.col("r") <= 10
+    )
+    return f10.join(t10, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.round(F.count(F.lit(1)) / 10.0, 2).alias("recall_at_10"),
+    )
