@@ -414,3 +414,40 @@ def dq11_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.sum(p * F.log(p)), 4).alias("user_entropy"),
         )
     )
+
+
+@register(
+    "a22_revenue_concentration",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY ROUND(rev, 2) DESC, o_custkey) AS r
+      FROM per_cust
+    )
+    SELECT ROUND(SUM(CASE WHEN r <= 100 THEN rev ELSE 0 END), 2) AS top100_rev,
+           ROUND(SUM(rev), 2) AS total_rev,
+           ROUND(SUM(CASE WHEN r <= 100 THEN rev ELSE 0 END) / SUM(rev), 6)
+             AS top100_share
+    FROM ranked
+    """,
+)
+def a22_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the share of total revenue held by the
+    top-100 customers — the whale-dependence KPI. Customers reduce to
+    one row each in a partial-aggregated shuffle; the ranking orders
+    ROUNDED revenue with a key tie-break (engine-portable order, same
+    trick as s10's fused rankings) and the shares fold to one row.
+    At fact scale the rank is a top-k heap, not a global sort."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy(F.desc(F.round("rev", 2)), F.asc("o_custkey"))
+    ranked = per_cust.select("rev", F.row_number().over(w).alias("r"))
+    top = F.when(F.col("r") <= 100, F.col("rev")).otherwise(F.lit(0.0))
+    return ranked.agg(
+        F.round(F.sum(top), 2).alias("top100_rev"),
+        F.round(F.sum("rev"), 2).alias("total_rev"),
+        F.round(F.sum(top) / F.sum("rev"), 6).alias("top100_share"),
+    )

@@ -142,3 +142,15 @@ def gr4_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum("anc").cast("long").alias("anc_sum"),
     )
+
+
+@register("gr5_kcore", None)
+def gr5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-supply graph: the maximal subgraph where every
+    supplier retains ≥3 partners — the density filter that separates
+    a connected hub from hangers-on before community detection.
+    Iterative peeling (driver-controlled fixpoint, shrinking drop
+    set) is not SQL-expressible, so rows-only; the peeling is pinned
+    against a pure-Python reference in tests/test_graph.py."""
+    core = G.kcore(_edges(spark, sf_dir), k=3)
+    return core.select("node", "degree")

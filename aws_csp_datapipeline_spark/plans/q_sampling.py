@@ -302,3 +302,38 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("g").alias("n_shared_grams"))
     )
+
+
+@register(
+    "tt9_mixture_reweight",
+    """
+    WITH cur AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS tot, COUNT(*) AS n_sources FROM cur)
+    SELECT source, n,
+           ROUND(CAST(n AS DOUBLE) / tot, 6) AS current_share,
+           ROUND(1.0 / n_sources, 6) AS target_share,
+           ROUND((1.0 / n_sources) / (CAST(n AS DOUBLE) / tot), 6) AS weight
+    FROM cur, t
+    """,
+)
+def tt9_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture reweighting: per-source sampling weights that move
+    the corpus from its current source distribution to a target
+    (here: uniform across sources) — the knob every pretraining run
+    turns. One constant-size groupBy plus a 1-row broadcast cross
+    join; the weights then drive tt7's deterministic weighted
+    sampler. Output is |sources| rows at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    t = cur.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_sources")
+    )
+    cur_share = F.col("n") / F.col("tot").cast("double")
+    target = F.lit(1.0) / F.col("n_sources")
+    return cur.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n",
+        F.round(cur_share, 6).alias("current_share"),
+        F.round(target, 6).alias("target_share"),
+        F.round(target / cur_share, 6).alias("weight"),
+    )

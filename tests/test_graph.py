@@ -65,3 +65,34 @@ def test_pagerank_sums_to_one(spark):
         .collect()[0]["s"]
     )
     assert abs(total - 1.0) < 1e-9
+
+
+def test_kcore_matches_python_peeling(spark, sf_oracle):
+    """Exact check of the distributed peeling against a sequential
+    reference on the same edge list."""
+    from collections import defaultdict
+
+    from aws_csp_datapipeline_spark.operators import graph as G
+    from aws_csp_datapipeline_spark.plans.q_graph import _edges
+
+    edges = [(r.src, r.dst) for r in _edges(spark, sf_oracle).collect()]
+    k = 3
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+        adj[d].add(s)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    expected = {(n, len(nbrs)) for n, nbrs in adj.items()}
+
+    got = {
+        (r["node"], r["degree"])
+        for r in G.kcore(_edges(spark, sf_oracle), k=k).collect()
+    }
+    assert got == expected
