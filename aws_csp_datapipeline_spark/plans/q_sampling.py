@@ -292,6 +292,9 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     split = SMP.hash_split(d, "doc_id", 0.75)
+    # two consumers re-derive the gram table from the (cheap) parquet
+    # scan rather than caching it: A/B at sf0.1 shows materializing
+    # the wide gram strings costs more than the second explode
     grams = split.select(
         "doc_id", "split", F.explode(D.word_shingles(F.col("text"), 5)).alias("g")
     )

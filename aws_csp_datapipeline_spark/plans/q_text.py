@@ -370,7 +370,13 @@ def t15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the join keys become 64-bit fingerprints and the
     per-doc side pre-aggregates (doc, bigram, n) before joining."""
     d = load_table(spark, sf_dir, "documents")
-    bg = d.select("doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram"))
+    # the exploded bigram table feeds three consumers (per-doc rows,
+    # bigram counts, first-word counts) — cache it so the documents
+    # scan + explode run once, not three times (spillable, job-scoped
+    # like the LSH shingle table)
+    bg = d.select(
+        "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
+    ).cache()
     bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
     uc = (
         bg.select(F.substring_index("bigram", " ", 1).alias("w1"))
