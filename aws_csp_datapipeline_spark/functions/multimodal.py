@@ -147,3 +147,32 @@ def resize_images(
             )
 
     return media.mapInPandas(per_batch, schema=RESIZED_SCHEMA)
+
+
+MODALITY_SCHEMA = "doc_id long, modality string, n_bytes long"
+
+
+def dispatch_modalities(media: DataFrame) -> DataFrame:
+    """Magic-byte sniffing router: classify each opaque payload and
+    hand it to its modality lane (image/audio/video — the decode
+    stage in each lane is the same stubbed codec story as
+    ``decode_image_meta``). This is the fan-out a mixed-media landing
+    zone runs before per-modality processing. Routing is a
+    deterministic function of the payload's leading character, so the
+    whole dispatch is oracle-checkable even though it runs in
+    Arrow-batched Python; per-modality rollups stay JVM-side after
+    the mapInPandas."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lanes = ("image", "audio", "video")
+        for pdf in batches:
+            mods, nbytes = [], []
+            for p in pdf["payload"]:
+                cp = ord(bytes(p).decode("utf-8")[0]) if len(p) else 0
+                mods.append(lanes[cp % 3])
+                nbytes.append(len(p))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "modality": mods, "n_bytes": nbytes}
+            )
+
+    return media.mapInPandas(per_batch, schema=MODALITY_SCHEMA)

@@ -466,3 +466,32 @@ def st10_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "mm4_modality_dispatch",
+    """
+    SELECT CASE ascii(substr(text, 1, 1)) % 3
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS modality,
+           COUNT(*) AS n_items,
+           SUM(octet_length(encode(text))) AS total_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def mm4_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: content-sniffing modality router over binary
+    payloads (Arrow-batched mapInPandas, codec lanes stubbed) with a
+    JVM-side per-modality rollup. Unlike mm1-mm3 this one IS
+    oracle-paired: the routing function is deterministic on payload
+    bytes, so DuckDB can restate the dispatch in SQL — validating
+    the Python plumbing end to end. Scale: the Python stage is a
+    narrow 1:1 batch map (no shuffle); only |modalities| grouped
+    rows shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_column(d, "doc_id", "text")
+    routed = MM.dispatch_modalities(media)
+    return routed.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
