@@ -451,3 +451,49 @@ def a22_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev"), 2).alias("total_rev"),
         F.round(F.sum(top) / F.sum("rev"), 6).alias("top100_share"),
     )
+
+
+@register(
+    "w13_gini_coefficient",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY ROUND(rev, 2) ASC, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM per_cust
+    )
+    SELECT ROUND(2.0 * SUM(i * rev) / (MAX(n) * SUM(rev))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+           CAST(MAX(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+)
+def w13_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue (the Lorenz-curve summary
+    behind a22's top-N share): ascending rank-weighted sum formula
+    G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n. The rank orders ROUNDED revenue
+    with a key tie-break (engine-portable); the rank-weighted sum is
+    scale-normalized by n·Σx, so summation-order drift cancels to
+    ~1e-15 relative before the 6-dp round. Customers reduce to one
+    row each before any window; at scale the rank is a
+    sort-partitioned prefix computation, not a single partition (the
+    COUNT() OVER () becomes a broadcast scalar)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wr = Window.orderBy(F.asc(F.round("rev", 2)), F.asc("o_custkey"))
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (F.max("n") * F.sum("rev"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").cast("long").alias("n_customers"),
+    )

@@ -171,3 +171,55 @@ def d7_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         d.doc_id, "lang", "source", F.coalesce("n_members", F.lit(1)).alias("n_members")
     )
+
+
+_REDUNDANCY_SQL = f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach AS (
+      SELECT doc, doc AS r FROM nodes
+      UNION
+      SELECT e.a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.b
+    ),
+    grp AS (SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc)
+    SELECT d.source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN g.doc IS NOT NULL AND g.group_id <> d.doc_id
+                    THEN 1 ELSE 0 END) AS n_redundant,
+           ROUND(SUM(CASE WHEN g.doc IS NOT NULL AND g.group_id <> d.doc_id
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS redundancy_rate
+    FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc
+    GROUP BY d.source
+"""
+
+
+@register("d8_redundancy_by_source", _REDUNDANCY_SQL)
+def d8_redundancy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundancy audit per ingestion source: what fraction of each
+    source's documents are non-canonical near-dup copies (d6/d7's
+    cluster labels rolled up by provenance) — the signal that
+    decides which feed gets its crawl budget cut. Group labels are
+    edge-scale → broadcast onto the corpus scan; one |sources|-row
+    aggregate out."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3)
+    groups = D.neardup_groups(pairs)
+    redundant = groups.filter(F.col("doc") != F.col("group_id")).select(
+        F.col("doc").alias("doc_id"), F.lit(1).alias("__r")
+    )
+    joined = d.join(F.broadcast(redundant), "doc_id", "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("__r"), F.lit(0))).alias("n_redundant"),
+        F.round(
+            F.sum(F.coalesce(F.col("__r"), F.lit(0))) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("redundancy_rate"),
+    )

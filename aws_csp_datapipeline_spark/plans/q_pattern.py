@@ -200,3 +200,45 @@ def pm4_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_millis("ts") - F.unix_millis("__touch.ts")).alias("lag_ms"),
         )
     )
+
+
+@register(
+    "pm5_markov_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM nxt WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, SUM(n) AS tot FROM c GROUP BY 1)
+    SELECT c.event_type AS from_type, c.next_type AS to_type, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS p
+    FROM c JOIN t USING (event_type)
+    """,
+)
+def pm5_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full first-order Markov transition matrix over user event
+    sequences (generalizing pm2's single-row slice): per (from, to)
+    pair the count and the row-normalized probability — the
+    session-model input for next-action prediction and anomaly
+    scoring. One user-partitioned lead window, then two constant-size
+    aggregates (|types|² rows); the normalizing totals broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    nxt = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    c = nxt.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "event_type").select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+        "n",
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )
