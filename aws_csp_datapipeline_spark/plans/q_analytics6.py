@@ -497,3 +497,61 @@ def w13_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.max("n").cast("long").alias("n_customers"),
     )
+
+
+@register(
+    "g5_grouping_indicators",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS flag,
+           COALESCE(l_linestatus, '<all>') AS status,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def g5_grouping_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicator columns — the flags that let
+    a consumer distinguish 'NULL because subtotal row' from 'NULL in
+    the data' (the reason COALESCE placeholders alone aren't enough
+    in a real dashboard feed). Single pass, |flag|x|status|+|flag|+1
+    output rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # grouping() must be computed inside the rollup aggregate itself
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").alias("g_flag"),
+        F.grouping("l_linestatus").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("status"),
+        "g_flag",
+        "g_status",
+        "n",
+    )
+
+
+@register(
+    "a23_multi_distinct",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_days,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def a23_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) over different columns in ONE
+    aggregate — Spark plans this with an Expand (each row fans out
+    per distinct-column) feeding a two-level aggregation, so both
+    distincts resolve in a single shuffle pass instead of two jobs.
+    The expansion factor equals the number of distinct clauses, and
+    partial aggregation still collapses duplicates map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(F.to_date(F.date_trunc("day", "ts"))).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -394,3 +394,29 @@ def t15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log(F.col("nb").cast("double") / F.col("nu"))), 4
         ).alias("avg_logprob"),
     )
+
+
+@register(
+    "x8_explode_outer",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         t -> t LIKE '%qu%') AS ts
+      FROM documents
+    )
+    SELECT doc_id, unnest(ts) AS token FROM tok WHERE len(ts) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS token FROM tok WHERE len(ts) = 0
+    """,
+)
+def x8_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator with outer semantics: explode a (often empty)
+    filtered token array while KEEPING empty-array rows as a NULL
+    token — the row-preserving fan-out needed when downstream joins
+    must still see every document (x3's plain explode silently drops
+    them). Narrow per-row expression + one generate; the oracle
+    states outer semantics as UNION ALL of the two cases."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(X.tokens(F.col("text")), lambda t: t.contains("qu"))
+    return d.select("doc_id", F.explode_outer(toks).alias("token"))
