@@ -501,3 +501,50 @@ def s14_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlap"),
         F.round(F.count(F.lit(1)) / 10.0, 2).alias("recall_at_10"),
     )
+
+
+@register(
+    "s15_softmax_entropy",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    z AS (
+      SELECT vec_id, e, list_sum(list_transform(e, x -> exp(x))) AS zsum,
+             list_sum(list_transform(e, x -> x * exp(x))) AS xsum
+      FROM v
+    )
+    SELECT vec_id, ROUND(ln(zsum) - xsum / zsum, 4) AS softmax_entropy
+    FROM z
+    """,
+)
+def s15_softmax_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf surface: per-row softmax entropy
+    of the embedding (H = ln Σeˣ − Σx·eˣ/Σeˣ — the attention-
+    sharpness diagnostic), computed with numpy over Arrow batches.
+    This is the @pandas_udf lane of the custom-operator ladder —
+    used when per-element math outgrows higher-order functions but
+    stays embarrassingly columnar: one Arrow transfer per batch,
+    ~100x over a row-at-a-time Python UDF, still a narrow no-shuffle
+    projection."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type hints: the module's `from __future__ import annotations`
+    # stringifies them and the locally-imported `pd` can't resolve;
+    # untyped + returnType defaults to the SCALAR pandas UDF
+    @pandas_udf("double")
+    def softmax_entropy(emb):
+        out = np.empty(len(emb))
+        for i, v in enumerate(emb):
+            x = np.asarray(v, dtype=np.float64)
+            ex = np.exp(x)
+            z = ex.sum()
+            out[i] = np.log(z) - float((x * ex).sum()) / z
+        return pd.Series(out)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.round(softmax_entropy("embedding"), 4).alias("softmax_entropy")
+    )

@@ -420,3 +420,53 @@ def x8_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(X.tokens(F.col("text")), lambda t: t.contains("qu"))
     return d.select("doc_id", F.explode_outer(toks).alias("token"))
+
+
+@register(
+    "t16_sentence_udtf",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             regexp_split_to_array(text, '\.\s+') AS sents
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, generate_subscripts(sents, 1) - 1 AS sent_idx,
+             trim(unnest(sents)) AS sentence
+      FROM s
+    )
+    SELECT doc_id, sent_idx, sentence,
+           length(sentence) AS n_chars
+    FROM ex WHERE sentence <> ''
+    """,
+)
+def t16_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) surface: one document row expands
+    to N sentence rows with positions — the 1→N API a Spark user
+    reaches for when a generator needs imperative logic (here the
+    logic is deterministic regex splitting, so DuckDB can restate it
+    and the UDTF plumbing itself is oracle-checked). The UDTF runs
+    per-partition with no shuffle; the row fan-out happens inside the
+    generate, exactly like explode."""
+    import re
+
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id: long, sent_idx: int, sentence: string, n_chars: long")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            idx = 0
+            for raw in re.split(r"\.\s+", text or ""):
+                sent = raw.strip()
+                if sent:
+                    yield doc_id, idx, sent, len(sent)
+                idx += 1
+
+    d = load_table(spark, sf_dir, "documents")
+    # lateral-join the UDTF over the documents relation
+    d.createOrReplaceTempView("__t16_docs")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        "SELECT s.* FROM __t16_docs d, "
+        "LATERAL sentence_split(d.doc_id, d.text) s"
+    )
