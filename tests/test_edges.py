@@ -93,3 +93,67 @@ def test_schema_drift_and_conform(spark):
     assert out.schema["s_no"].dataType == LongType()
     row = out.first()
     assert row["team_name"] == "N/A" and row["s_no"] == 1
+
+
+def test_asof_nearest_empty_and_onesided(spark):
+    """Nearest as-of: empty right → all-null payload; a single right
+    row is chosen in both directions."""
+    import datetime as dt
+
+    from aws_csp_datapipeline_spark.operators.asof import asof_nearest
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 10, t0), (2, 10, t0 + dt.timedelta(hours=2))],
+        "id long, k long, ts timestamp",
+    )
+    empty_right = spark.createDataFrame([], "id long, k long, ts timestamp, v double")
+    out = asof_nearest(
+        left, empty_right, key="k", left_ts="ts", right_ts="ts",
+        right_payload=["id", "v"], left_cols=["id"],
+    ).collect()
+    assert len(out) == 2 and all(r["nearest_id"] is None for r in out)
+
+    one = spark.createDataFrame(
+        [(9, 10, t0 + dt.timedelta(hours=1), 5.0)],
+        "id long, k long, ts timestamp, v double",
+    )
+    got = {
+        (r["id"], r["nearest_id"])
+        for r in asof_nearest(
+            left, one, key="k", left_ts="ts", right_ts="ts",
+            right_payload=["id", "v"], left_cols=["id"],
+        ).collect()
+    }
+    assert got == {(1, 9), (2, 9)}
+
+
+def test_kcore_degenerate_graphs(spark):
+    """k-core: empty edges → empty; a triangle survives k=2 but not
+    k=3; a chain is fully peeled at k=2."""
+    from aws_csp_datapipeline_spark.operators.graph import kcore
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert kcore(empty, k=2).count() == 0
+
+    tri = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    assert {r["node"] for r in kcore(tri, k=2).collect()} == {1, 2, 3}
+    assert kcore(tri, k=3).count() == 0
+
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert kcore(chain, k=2).count() == 0
+
+
+def test_cms_on_empty_and_single_key(spark):
+    from aws_csp_datapipeline_spark.functions.sketches import cms_build, cms_estimate
+
+    empty = spark.createDataFrame([], "k long")
+    sk = cms_build(empty, F.col("k"))
+    assert sk.count() == 0
+    assert cms_estimate(sk, empty.select("k").distinct(), "k").count() == 0
+
+    single = spark.createDataFrame([(7,)] * 5, "k long")
+    est = cms_estimate(
+        cms_build(single, F.col("k")), single.select("k").distinct(), "k"
+    ).collect()
+    assert est[0]["est_count"] == 5
