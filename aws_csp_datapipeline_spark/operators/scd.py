@@ -59,3 +59,26 @@ def scd2_apply(
         .select(*dim.columns)
     )
     return closed.unionByName(new_versions)
+
+
+def pit_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_ts: str,
+    effective_from: str = "effective_from",
+    effective_to: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time dimension lookup: join each fact row to the SCD2
+    version that was valid at its timestamp (from ≤ ts < to, open
+    version when ``effective_to`` IS NULL) — the read side of
+    ``scd2_apply``. Dimensions are broadcast (versioned dims stay
+    dim-sized); the validity range rides as a residual predicate on
+    the broadcast hash join, so the fact side never shuffles."""
+    cond = (
+        (fact[fact_key] == dim[dim_key])
+        & (fact[fact_ts] >= dim[effective_from])
+        & (dim[effective_to].isNull() | (fact[fact_ts] < dim[effective_to]))
+    )
+    return fact.join(F.broadcast(dim), cond)

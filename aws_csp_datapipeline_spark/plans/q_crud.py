@@ -423,3 +423,60 @@ def inc2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = new_docs.join(old_fp, "fp", "left_anti")
     keep = fresh.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     return keep.select("doc_id")
+
+
+@register(
+    "m12_pit_lookup",
+    """
+    WITH dim AS (
+      SELECT n_nationkey, n_name,
+             TIMESTAMP '2020-01-01 00:00:00' AS effective_from,
+             CASE WHEN n_nationkey < 15 AND n_nationkey % 3 = 0
+                  THEN TIMESTAMP '2024-01-15 00:00:00' END AS effective_to
+      FROM nation
+      UNION ALL
+      SELECT n_nationkey, n_name || '_V2',
+             TIMESTAMP '2024-01-15 00:00:00', CAST(NULL AS TIMESTAMP)
+      FROM nation WHERE n_nationkey < 15 AND n_nationkey % 3 = 0
+    )
+    SELECT d.n_name AS version_name, COUNT(*) AS n_events
+    FROM (SELECT user_id % 25 AS k, ts FROM events) f
+    JOIN dim d ON f.k = d.n_nationkey
+              AND f.ts >= d.effective_from
+              AND (d.effective_to IS NULL OR f.ts < d.effective_to)
+    GROUP BY d.n_name
+    """,
+)
+def m12_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 read: events (spanning the 2024-01-15
+    version cut) join the dimension version valid AT EACH event's
+    timestamp — the query side of m8's versioned upsert, built by
+    running scd2_apply then pit_lookup. Rows before the cut see V1
+    names, rows after see V2. The versioned dim broadcasts with the
+    validity range as a residual predicate, so the fact scan never
+    shuffles; output is |versions| rows."""
+    from aws_csp_datapipeline_spark.operators.scd import pit_lookup, scd2_apply
+
+    n = load_table(spark, sf_dir, "nation")
+    dim = n.select(
+        "n_nationkey",
+        "n_name",
+        F.lit("2020-01-01").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"),
+    )
+    updates = n.filter(F.col("n_nationkey") < 15).select(
+        "n_nationkey",
+        F.when(F.col("n_nationkey") % 3 == 0, F.concat("n_name", F.lit("_V2")))
+        .otherwise(F.col("n_name"))
+        .alias("n_name"),
+    )
+    versioned = scd2_apply(
+        dim, updates, key="n_nationkey", attrs=["n_name"], change_ts="2024-01-15"
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 25).alias("k"), "ts"
+    )
+    joined = pit_lookup(ev, versioned, "k", "n_nationkey", "ts")
+    return joined.groupBy(F.col("n_name").alias("version_name")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

@@ -242,3 +242,63 @@ def pm5_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
     )
+
+
+@register(
+    "pm6_linear_attribution",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_clicks,
+             COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_views
+      FROM events
+    ),
+    p AS (
+      SELECT n_clicks, n_views FROM seq
+      WHERE event_type = 'purchase' AND n_clicks + n_views > 0
+    )
+    SELECT COUNT(*) AS n_purchases,
+           ROUND(SUM(n_clicks / CAST(n_clicks + n_views AS DOUBLE)), 4)
+             AS click_credit,
+           ROUND(SUM(n_views / CAST(n_clicks + n_views AS DOUBLE)), 4)
+             AS view_credit
+    FROM p
+    """,
+)
+def pm6_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (multi-touch) attribution: each purchase's unit of
+    credit splits equally across ALL the user's preceding touches,
+    summed per channel — pm4's last-touch generalized to fractional
+    credit. Two conditional running counts share ONE window frame
+    (single shuffle on user_id, one sort), and the credit math runs
+    on the |purchases| filtered rows. Counts are integers, so the
+    credit fractions are exact ratios before the one rounded sum."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    seq = ev.select(
+        "event_type",
+        F.coalesce(F.sum(click).over(w), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.sum(view).over(w), F.lit(0)).alias("n_views"),
+    )
+    tot = (F.col("n_clicks") + F.col("n_views")).cast("double")
+    p = seq.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("n_clicks") + F.col("n_views") > 0)
+    )
+    return p.agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("n_clicks") / tot), 4).alias("click_credit"),
+        F.round(F.sum(F.col("n_views") / tot), 4).alias("view_credit"),
+    )
