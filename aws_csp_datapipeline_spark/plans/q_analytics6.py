@@ -555,3 +555,31 @@ def a23_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.to_date(F.date_trunc("day", "ts"))).alias("n_days"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "h3_log_histogram",
+    """
+    SELECT CAST(floor(log2(value)) AS BIGINT) AS log2_bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(value), 4) AS lo,
+           ROUND(MAX(value), 4) AS hi
+    FROM events WHERE value >= 1.0
+    GROUP BY 1
+    """,
+)
+def h3_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale (power-of-two) histogram — the bucket scheme for
+    heavy-tailed measures where h1's fixed-width bins collapse into
+    one bar. floor(log2) is a narrow expression, the aggregate is
+    |buckets| rows; values at exact powers of two are >=1 so log2 is
+    exact there in both engines (IEEE doubles represent 2^k and
+    log2(2^k)=k exactly)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") >= 1.0)
+    return ev.groupBy(
+        F.floor(F.log2("value")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )

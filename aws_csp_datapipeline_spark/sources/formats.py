@@ -50,3 +50,25 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
             "delta needs the delta-spark package on the classpath "
             "(--packages io.delta:delta-spark_2.13:<version>)"
         ) from e
+
+
+def read_kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str
+) -> DataFrame:
+    """Kafka streaming source — requires the spark-sql-kafka package
+    jar (absent in this environment; gated like avro/delta). The
+    downstream pipeline is source-agnostic: the file-source ingest in
+    ``streaming/ingest.py`` consumes the same (key, value, timestamp)
+    shape this returns."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - jar not in this image
+        raise NotImplementedError(
+            "kafka needs the spark-sql-kafka package on the classpath "
+            "(--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+        ) from e
