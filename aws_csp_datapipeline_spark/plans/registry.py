@@ -43,9 +43,72 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Attestation window: the driver's correctness report samples a fixed-size
+# prefix of the registry, so the first 50 entries are a curated cross-family
+# sample (CRUD, cleaning, dedup, text, similarity, streaming, sampling,
+# window, as-of, pattern, graph, quality, core analytics) rather than the
+# module-import order, which would front-load the analytics block.
+# Every name here is oracle-paired except the rows-only streaming checks.
+_WINDOW: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "m1_serial_insert",
+    "m2_insert_if_absent",
+    "m3_update_by_key",
+    "m4_soft_delete_visible",
+    "m7_dedup_by_keys",
+    "m8_scd2_versioning",
+    "m9_merge_upsert",
+    "m10_cdc_apply",
+    "f3_null_normalize",
+    "f7_messy_dates",
+    "f8_schema_evolution",
+    "d1_exact_dedup",
+    "d2_ngram_jaccard_pairs",
+    "d3_minhash_lsh_pairs",
+    "d6_neardup_groups",
+    "t1_token_stats",
+    "t2_quality_score",
+    "t3_lang_id_confusion",
+    "t9_tfidf_stats",
+    "t12_bm25_topdocs",
+    "s1_cosine_topk",
+    "s2_knn_join",
+    "s6_l2_normalize",
+    "st1_stream_ingest_dedup",
+    "st2_windowed_counts",
+    "st3_stateful_totals",
+    "st6_session_window",
+    "tt1_hash_split",
+    "tt3_stratified_sample",
+    "tt6_greedy_pack",
+    "tt8_ngram_decontaminate",
+    "w1_topk_per_group",
+    "w3_sessionize",
+    "w5_rank_battery",
+    "x1_asof_join",
+    "x2_interval_join",
+    "x6_asof_nearest",
+    "pm1_path_regex",
+    "pm4_last_touch_attribution",
+    "gr1_triangle_count",
+    "gr4_hierarchy_closure",
+    "dq1_column_profile",
+    "dq8_expectation_suite",
+    "p9_exists_semijoin",
+    "a5_group_count_2key",
+    "j2_star_agg",
+    "o3_topk",
+    "g4_grouping_sets",
+    "q3_shipping_priority",
+)
+
+
 def specs() -> list[QuerySpec]:
     _load_plan_modules()
-    return list(_REGISTRY)
+    by_name = {s.name: s for s in _REGISTRY}
+    window = [by_name[n] for n in _WINDOW if n in by_name]
+    in_window = {s.name for s in window}
+    return window + [s for s in _REGISTRY if s.name not in in_window]
 
 
 _LOADED = False
