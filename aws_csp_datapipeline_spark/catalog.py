@@ -150,19 +150,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table lazily. Parquet carries its own schema; we keep
     the registry as documentation + for CSV/JSON readers that need it.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as long nanos
-    (``nanosAsLong``) and rebuild a proper TimestampType column via
-    ``timestamp_micros`` — a pure column expression, fully codegen'd.
+    ``events.ts`` arrives in different parquet physical types across
+    testdata generations: TIMESTAMP(NANOS) (which Spark's vectorized
+    reader rejects — read as long nanos via ``nanosAsLong`` and
+    rebuilt with ``timestamp_micros``) or plain TIMESTAMP(MICROS)
+    (read natively as TIMESTAMP_NTZ — cast to session TimestampType).
+    Both normalizations are pure column expressions, fully codegen'd,
+    and yield identical values under the UTC test session.
     """
     _tune_runtime(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return df.withColumn("ts", normalize_event_ts(df))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_event_ts(df: DataFrame):
+    """Column expression turning whatever physical type ``ts`` was
+    read as (long nanos | TIMESTAMP_NTZ | TIMESTAMP) into
+    TimestampType."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

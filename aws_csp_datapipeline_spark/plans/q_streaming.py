@@ -14,23 +14,29 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-from aws_csp_datapipeline_spark.catalog import load_table, table_path
+from aws_csp_datapipeline_spark.catalog import (
+    load_table,
+    normalize_event_ts,
+    table_path,
+)
 from aws_csp_datapipeline_spark.functions import multimodal as MM
 from aws_csp_datapipeline_spark.plans.registry import register
 from aws_csp_datapipeline_spark.streaming.ingest import windowed_event_counts
 
-_RAW_EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over an events landing dir with ``ts``
+    normalized to TimestampType. The stream schema is taken from a
+    batch read of the same dir because the driver has shipped
+    ``events.ts`` under different parquet physical types across
+    testdata generations (TIMESTAMP(NANOS) → long via ``nanosAsLong``;
+    TIMESTAMP(MICROS) → TIMESTAMP_NTZ) — the file source needs the
+    explicit schema either way, and normalize_event_ts converts both."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(landing_dir)
+    stream = spark.readStream.schema(raw.schema).format("parquet").load(landing_dir)
+    return stream.withColumn("ts", normalize_event_ts(stream))
 
 
 @register(
@@ -50,7 +56,6 @@ def st1_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch min-key dedup — which is the SQL oracle."""
     from aws_csp_datapipeline_spark.operators.crud import dedup_by_keys
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sink_dir = tempfile.mkdtemp(prefix="ingest_sink_")
     ckpt_dir = tempfile.mkdtemp(prefix="ingest_ckpt_")
     # the file source streams a landing DIRECTORY (the reference's S3
@@ -60,11 +65,7 @@ def st1_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_path(sf_dir, "events"), os.path.join(landing_dir, "events.parquet")
     )
 
-    stream = (
-        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
-        .format("parquet")
-        .load(landing_dir)
-    )
+    stream = _events_stream(spark, landing_dir)
 
     def handle_batch(batch_df: DataFrame, epoch_id: int) -> None:
         deduped = dedup_by_keys(
@@ -115,14 +116,11 @@ def st3_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — which is exactly what the oracle states."""
     from aws_csp_datapipeline_spark.streaming.stateful import running_user_totals
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     landing = tempfile.mkdtemp(prefix="st3_landing_")
     ckpt = tempfile.mkdtemp(prefix="st3_ckpt_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(landing, "events.parquet"))
 
-    stream = (
-        spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(landing)
-    )
+    stream = _events_stream(spark, landing)
     out = running_user_totals(stream.select("user_id", "value"))
     q = (
         out.writeStream.format("memory")
@@ -179,19 +177,14 @@ def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_sources_streaming.py)."""
     from aws_csp_datapipeline_spark.streaming.ingest import attribution_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     landing = tempfile.mkdtemp(prefix="st4_landing_")
     ckpt = tempfile.mkdtemp(prefix="st4_ckpt_")
     os.symlink(table_path(sf_dir, "events"), os.path.join(landing, "events.parquet"))
 
     def typed_stream(event_type: str) -> DataFrame:
-        raw = (
-            spark.readStream.schema(_RAW_EVENTS_SCHEMA).format("parquet").load(landing)
-        )
+        raw = _events_stream(spark, landing)
         return raw.filter(F.col("event_type") == event_type).select(
-            "event_id",
-            "user_id",
-            F.timestamp_seconds(F.col("ts") / F.lit(1e9)).alias("ts"),
+            "event_id", "user_id", "ts"
         )
 
     joined = attribution_join(typed_stream("purchase"), typed_stream("click"))
@@ -364,7 +357,6 @@ def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     'attach account metadata to a click stream' pipeline. Driven as a
     REAL checkpointed availableNow stream into a parquet sink; the
     result is provably the batch join, which is the oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sink_dir = tempfile.mkdtemp(prefix="enrich_sink_")
     ckpt_dir = tempfile.mkdtemp(prefix="enrich_ckpt_")
     landing_dir = tempfile.mkdtemp(prefix="enrich_landing_")
@@ -375,9 +367,7 @@ def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     stream = (
-        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
-        .format("parquet")
-        .load(landing_dir)
+        _events_stream(spark, landing_dir)
         .select("event_id", "user_id", "value")
         .join(F.broadcast(dim), "user_id")
     )
@@ -408,7 +398,6 @@ def st9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest of a duplicated feed survive at 100-TB/week rates.
     Rows-only: pytest checks equality with the batch distinct-key
     count (tests/test_sources_streaming.py)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sink_dir = tempfile.mkdtemp(prefix="wmdedup_sink_")
     ckpt_dir = tempfile.mkdtemp(prefix="wmdedup_ckpt_")
     landing_dir = tempfile.mkdtemp(prefix="wmdedup_landing_")
@@ -416,10 +405,7 @@ def st9_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_path(sf_dir, "events"), os.path.join(landing_dir, "events.parquet")
     )
     stream = (
-        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
-        .format("parquet")
-        .load(landing_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _events_stream(spark, landing_dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("event_id", "user_id", "event_type")

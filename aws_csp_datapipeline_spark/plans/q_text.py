@@ -335,9 +335,9 @@ def t14_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t15_bigram_logprob",
-    r"""
+# t15's full SQL, exposed so downstream curation queries (t19) can
+# embed it as a subquery
+BIGRAM_LOGPROB_SQL = r"""
     WITH tok AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       FROM documents
@@ -357,8 +357,10 @@ def t14_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN bc USING (bigram)
     JOIN uc ON split_part(bg.bigram, ' ', 1) = uc.w1
     GROUP BY doc_id
-    """,
-)
+    """
+
+
+@register("t15_bigram_logprob", BIGRAM_LOGPROB_SQL)
 def t15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style bigram-LM quality score: each document's mean
     conditional log-probability ln(count(w1 w2)/count(w1 ·)) under
@@ -370,6 +372,12 @@ def t15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the join keys become 64-bit fingerprints and the
     per-doc side pre-aggregates (doc, bigram, n) before joining."""
     d = load_table(spark, sf_dir, "documents")
+    return doc_bigram_logprob(d)
+
+
+def doc_bigram_logprob(d: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) under the corpus's own bigram
+    LM — t15's body, reusable by downstream curation queries (t19)."""
     # the exploded bigram table feeds three consumers (per-doc rows,
     # bigram counts, first-word counts) — cache it so the documents
     # scan + explode run once, not three times (spillable, job-scoped
