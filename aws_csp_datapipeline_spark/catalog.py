@@ -161,6 +161,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune_runtime(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→TimestampType branch of normalize_event_ts interprets
+        # naive wall time in the SESSION timezone; the engine's contract
+        # (and every oracle comparison) is UTC. Force it here so a
+        # caller-built non-UTC session can't silently shift event times.
+        if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(table_path(sf_dir, name))
         return df.withColumn("ts", normalize_event_ts(df))
     return spark.read.parquet(table_path(sf_dir, name))
@@ -169,9 +175,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def normalize_event_ts(df: DataFrame):
     """Column expression turning whatever physical type ``ts`` was
     read as (long nanos | TIMESTAMP_NTZ | TIMESTAMP) into
-    TimestampType."""
-    from pyspark.sql import types as T
-
+    TimestampType. The non-long branch assumes a UTC session (forced
+    in ``load_table``)."""
     if isinstance(df.schema["ts"].dataType, T.LongType):
         return F.timestamp_micros(F.expr("ts div 1000"))
     return F.col("ts").cast("timestamp")

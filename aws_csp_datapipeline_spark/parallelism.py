@@ -28,9 +28,32 @@ from pyspark.sql import DataFrame
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition ``df`` up to ``min_partitions`` (default:
-    the session's core count) — a no-op when the plan already has at
-    least that many partitions."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    the session's core count) — a no-op when the input layout already
+    guarantees at least that many scan tasks.
+
+    The decision reads only ``df.inputFiles()`` (driver-side listing on
+    the analyzed plan — no physical planning, no job, and critically no
+    ``df.rdd`` conversion, which would force a full plan + RDD-DAG
+    build per call on the driver):
+
+    - >= target input files: every file is at least one scan task, the
+      guard is a no-op.
+    - fewer files but on a remote filesystem (s3/hdfs/...): a cluster
+      layout; large parquet files there byte-range-split into many
+      tasks, so no exchange is forced onto a 100-TB scan.
+    - fewer LOCAL files: the single-file/single-row-group extract this
+      guard exists for — repartition the narrow projection.
+    - no input files (in-memory test relations) or listing unavailable:
+      repartition; the data is driver-created and tiny by construction.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df.repartition(target)
+    if len(files) >= target:
+        return df
+    if files and any(not f.startswith("file:") for f in files):
         return df
     return df.repartition(target)

@@ -1,8 +1,17 @@
 """Multi-join analytical queries (TPC-H-shaped), set operations, and
 grouping extensions — the star-schema analytics the reference points
-at with "Add more tables for dimensional modelling" (README.md:116),
-expressed with scale-correct physical shapes: dimensions broadcast,
-facts never shuffle for joins, only grouped results move.
+at with "Add more tables for dimensional modelling" (README.md:116).
+
+Physical-shape policy: explicit ``F.broadcast()`` hints are applied
+ONLY to true dimensions whose size is independent of the scale factor
+(nation: 25 rows, region: 5 rows) and to 1-row scalar intermediates.
+Every sf-scaled side (orders, part, customer, supplier, and any join
+derived from them) carries NO hint: AQE (enabled in session.py) reads
+the runtime size and converts to broadcast when the side is under the
+threshold — which it is at test scale — and falls back to a shuffle
+hash join at 100× where a forced broadcast would OOM the executors.
+This is the canonical TPC-H shape: dims broadcast, fact⋈orders as a
+shuffle join chosen at runtime.
 """
 
 from __future__ import annotations
@@ -33,10 +42,13 @@ from aws_csp_datapipeline_spark.plans.registry import register
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dim filter → fact join → grouped
-    revenue → top-10. customer(filtered) broadcasts into orders, that
-    result broadcasts into lineitem: the 100-TB fact table is scanned
-    once with both filters pushed, and never shuffles."""
+    """TPC-H Q3 shape: selective filters pushed to all three scans,
+    then customer⋈orders⋈lineitem with no broadcast hints — customer,
+    orders, and the orders-derived intermediate all grow with the
+    data, so the join strategy is left to AQE: at test scale it
+    broadcasts the small sides at runtime; at cluster scale the same
+    plan degrades gracefully to shuffle hash joins on the join keys
+    instead of OOMing on a forced broadcast."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
@@ -44,8 +56,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
     )
-    co = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-    j = li.join(F.broadcast(co), li.l_orderkey == co.o_orderkey)
+    co = o.join(c, o.o_custkey == c.c_custkey)
+    j = li.join(co, li.l_orderkey == co.o_orderkey)
     return (
         j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -80,8 +92,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: five-way star join with the local-supplier
-    constraint, revenue per nation. All dims broadcast; lineitem joins
-    orders via broadcast of the (filtered) order set."""
+    constraint, revenue per nation. Only the fixed-size dims carry
+    broadcast hints (region: 5 rows, nation⋈region: ≤25 rows);
+    customer, orders, lineitem, and supplier are all sf-scaled, so
+    their join strategies are left to AQE — runtime broadcast at test
+    scale, shuffle hash join at cluster scale."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -91,10 +106,10 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     cnr = c.join(F.broadcast(nr), c.c_nationkey == nr.n_nationkey)
-    oc = o.join(F.broadcast(cnr), o.o_custkey == cnr.c_custkey)
-    lio = li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+    oc = o.join(cnr, o.o_custkey == cnr.c_custkey)
+    lio = li.join(oc, li.l_orderkey == oc.o_orderkey)
     j = lio.join(
-        F.broadcast(s),
+        s,
         (lio.l_suppkey == s.s_suppkey) & (s.s_nationkey == lio.c_nationkey),
     )
     return j.groupBy("n_name").agg(
@@ -121,14 +136,17 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item revenue per customer, top-20."""
+    """TPC-H Q10 shape: returned-item revenue per customer, top-20.
+    nation broadcasts (25 rows); customer, orders, and the
+    orders-derived intermediate are sf-scaled — no hints, AQE picks
+    the join strategy from runtime sizes."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    oc = o.join(F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)),
+    oc = o.join(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey),
                 o.o_custkey == F.col("c_custkey"))
-    j = li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+    j = li.join(oc, li.l_orderkey == oc.o_orderkey)
     return (
         j.groupBy("c_custkey", "c_name", "n_name")
         .agg(

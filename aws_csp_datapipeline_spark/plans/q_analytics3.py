@@ -57,10 +57,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-conjunctions across both join sides.
     Catalyst extracts the common per-side filters from the
-    disjunction and pushes them below the join."""
+    disjunction and pushes them below the join. part is sf-scaled —
+    no broadcast hint, AQE decides from runtime size."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         (F.col("p_brand") == "Brand#11")
         & F.col("p_size").between(1, 10)

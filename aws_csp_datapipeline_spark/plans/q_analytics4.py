@@ -50,7 +50,9 @@ def q4_priority_with_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume by (year, nation) — date-part
-    extraction as a grouping key over the broadcast star."""
+    extraction as a grouping key. Only nation (25 rows) carries a
+    broadcast hint; customer/orders sides are sf-scaled so AQE picks
+    their join strategy from runtime sizes."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         F.year("o_orderdate").between(1996, 1998)
@@ -58,8 +60,8 @@ def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-    oc = o.join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
-    j = li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+    oc = o.join(cn, o.o_custkey == cn.c_custkey)
+    j = li.join(oc, li.l_orderkey == oc.o_orderkey)
     return (
         j.groupBy(
             F.year("o_orderdate").cast("int").alias("o_year"), F.col("n_name")
@@ -91,14 +93,15 @@ def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: market share = conditional-sum ratio per year
-    (single pass; the CASE folds the filter into the aggregate)."""
+    (single pass; the CASE folds the filter into the aggregate).
+    Broadcast hint on nation only; sf-scaled sides are AQE's call."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-    oc = o.join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
-    j = li.join(F.broadcast(oc), li.l_orderkey == oc.o_orderkey)
+    oc = o.join(cn, o.o_custkey == cn.c_custkey)
+    j = li.join(oc, li.l_orderkey == oc.o_orderkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     vol = j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
         F.sum(rev).alias("total"),
@@ -148,10 +151,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q12_two_case_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: two conditional counts in one pass (the
-    CASE-pivot idiom)."""
+    CASE-pivot idiom). lineitem⋈orders is a fact-to-fact join on
+    the order key — both sides sf-scaled, so no broadcast hint:
+    AQE picks shuffle hash join at scale."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return j.groupBy("l_linestatus").agg(
         F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_count"),
@@ -171,10 +176,11 @@ def q12_two_case_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: percentage-of-total scalar (conditional sum /
-    total sum in one aggregate)."""
+    total sum in one aggregate). part grows with sf (sf×200k rows) —
+    no broadcast hint; AQE decides from runtime size."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = (F.col("p_type") == "PROMO") | F.col("p_name").like("red%")
     return j.agg(

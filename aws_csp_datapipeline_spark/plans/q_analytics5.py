@@ -30,11 +30,12 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit (revenue minus a cost proxy) per
     (supplier nation, order year) across a 4-way star. The selective
     part filter is applied BEFORE the join so the fact rows that
-    survive are only those touching '%red%' parts; all dimension
-    sides broadcast, so the fact table never shuffles for the joins —
-    only the tiny (nation, year) grouped result does. At 100 TB the
-    same plan holds: dims stay broadcast-size, and the one shuffle is
-    bounded by |nations| x |years|."""
+    survive are only those touching '%red%' parts. Only nation (25
+    rows) is hint-broadcast; part, supplier, and orders all grow with
+    sf, so their join strategies are AQE's call — runtime broadcast
+    at test scale, shuffle hash joins keyed on partkey / suppkey /
+    orderkey at cluster scale. The final shuffle is the tiny
+    (nation, year) grouped result."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
     s = load_table(spark, sf_dir, "supplier")
@@ -42,9 +43,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     j = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(sn), F.col("l_suppkey") == sn.s_suppkey)
-        .join(F.broadcast(o), F.col("l_orderkey") == o.o_orderkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(sn, F.col("l_suppkey") == sn.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
     )
     profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.4 * F.col(
         "p_retailprice"
@@ -88,7 +89,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(top))
         .filter(F.col("total_rev") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
     )
 
@@ -109,20 +110,21 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: IN against an aggregated subquery — suppliers
     who shipped more than a threshold quantity of the filtered parts.
-    Done as filter -> broadcast part join -> grouped HAVING ->
-    left-semi back to supplier; the semi-join probe side is the tiny
-    HAVING survivors, broadcast to the supplier scan."""
+    Done as filter -> part join -> grouped HAVING -> left-semi back
+    to supplier. part and the HAVING survivors are both bounded by
+    sf-scaled tables, so neither is hint-broadcast — AQE broadcasts
+    the (small at runtime) semi-join probe side itself."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 2000)
     )
     s = load_table(spark, sf_dir, "supplier")
     return s.join(
-        F.broadcast(shipped), s.s_suppkey == shipped.l_suppkey, "left_semi"
+        shipped, s.s_suppkey == shipped.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name", "s_nationkey")
 
 

@@ -14,8 +14,10 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from aws_csp_datapipeline_spark.catalog import (
+    SCHEMAS,
     load_table,
     normalize_event_ts,
     table_path,
@@ -34,8 +36,23 @@ def _events_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     TIMESTAMP(MICROS) → TIMESTAMP_NTZ) — the file source needs the
     explicit schema either way, and normalize_event_ts converts both."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(landing_dir)
-    stream = spark.readStream.schema(raw.schema).format("parquet").load(landing_dir)
+    try:
+        schema = spark.read.parquet(landing_dir).schema
+    except Exception:
+        # Landing dir empty at stream-definition time (files arrive
+        # later): fall back to the catalog schema, with ts as long
+        # because nanosAsLong is set and the driver's current testdata
+        # generation ships TIMESTAMP(NANOS); normalize_event_ts
+        # converts either representation.
+        schema = T.StructType(
+            [
+                T.StructField("ts", T.LongType())
+                if f.name == "ts"
+                else f
+                for f in SCHEMAS["events"].fields
+            ]
+        )
+    stream = spark.readStream.schema(schema).format("parquet").load(landing_dir)
     return stream.withColumn("ts", normalize_event_ts(stream))
 
 

@@ -405,6 +405,31 @@ def doc_bigram_logprob(d: DataFrame) -> DataFrame:
 
 
 @register(
+    "t19_lm_quality_gate",
+    f"""
+    WITH scored AS ({BIGRAM_LOGPROB_SQL})
+    SELECT doc_id, n_bigrams, avg_logprob
+    FROM scored
+    WHERE n_bigrams >= 12 AND avg_logprob >= -3.42
+    """,
+)
+def t19_lm_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style curation gate: keep documents whose mean bigram
+    log-probability under the corpus's own LM (t15's score, reused via
+    ``doc_bigram_logprob``) clears a fluency floor and that have
+    enough bigrams for the score to be meaningful. Low scorers are
+    the boilerplate / gibberish bucket a training-data pipeline routes
+    to quarantine. Same physical shape as t15 (one cached exploded
+    bigram table, vocab-scale model sides broadcast back by AQE) plus
+    a final codegen'd filter."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = doc_bigram_logprob(d)
+    return scored.filter(
+        (F.col("n_bigrams") >= 12) & (F.col("avg_logprob") >= -3.42)
+    )
+
+
+@register(
     "x8_explode_outer",
     r"""
     WITH tok AS (

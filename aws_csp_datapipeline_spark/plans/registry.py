@@ -49,57 +49,69 @@ def register(name: str, oracle: str | None = None):
 # window, as-of, pattern, graph, quality, core analytics) rather than the
 # module-import order, which would front-load the analytics block.
 # Every name here is oracle-paired except the rows-only streaming checks.
+#
+# The window ROTATES each round: ~30 core names stay fixed so the external
+# record keeps longitudinal coverage of every family, and the tail swaps in
+# queries the driver has never attested (rounds 2-4 shipped an identical
+# window, so 163 of 213 registry queries had only in-repo pytest attestation).
+# Round 5 rotates in the full de-broadcast TPC-H block (q5/q7/q9/q12/q14/
+# q15/q19/q20 — so the AQE-join fix is externally hash-checked), the second
+# representatives of the agg/window/quality/sampling/similarity/pattern
+# families, and the new t19 gate. Everything rotated OUT stays green in
+# tests/test_registry_oracle.py (same DuckDB compare, all 200+ queries).
 _WINDOW: tuple[str, ...] = (
+    # --- fixed core (cross-family longitudinal sample) ---
     "q1_pricing_summary",
     "m1_serial_insert",
-    "m2_insert_if_absent",
-    "m3_update_by_key",
     "m4_soft_delete_visible",
     "m7_dedup_by_keys",
     "m8_scd2_versioning",
     "m9_merge_upsert",
-    "m10_cdc_apply",
     "f3_null_normalize",
     "f7_messy_dates",
-    "f8_schema_evolution",
     "d1_exact_dedup",
-    "d2_ngram_jaccard_pairs",
     "d3_minhash_lsh_pairs",
     "d6_neardup_groups",
     "t1_token_stats",
     "t2_quality_score",
-    "t3_lang_id_confusion",
-    "t9_tfidf_stats",
     "t12_bm25_topdocs",
     "s1_cosine_topk",
     "s2_knn_join",
-    "s6_l2_normalize",
     "st1_stream_ingest_dedup",
     "st2_windowed_counts",
-    "st3_stateful_totals",
-    "st6_session_window",
     "tt1_hash_split",
-    "tt3_stratified_sample",
     "tt6_greedy_pack",
     "tt8_ngram_decontaminate",
     "w1_topk_per_group",
     "w3_sessionize",
-    "w5_rank_battery",
     "x1_asof_join",
-    "x2_interval_join",
-    "x6_asof_nearest",
-    "pm1_path_regex",
     "pm4_last_touch_attribution",
     "gr1_triangle_count",
-    "gr4_hierarchy_closure",
     "dq1_column_profile",
-    "dq8_expectation_suite",
-    "p9_exists_semijoin",
     "a5_group_count_2key",
     "j2_star_agg",
-    "o3_topk",
-    "g4_grouping_sets",
     "q3_shipping_priority",
+    # --- round-5 rotation: first-ever driver attestation for these ---
+    "q5_revenue_by_nation",
+    "q7_volume_by_year",
+    "q9_profit_by_nation_year",
+    "q12_two_case_sums",
+    "q14_promo_ratio",
+    "q15_top_supplier",
+    "q19_disjunctive_filter",
+    "q20_excess_shippers",
+    "a5_pivot_count",
+    "g1_cube_counts",
+    "w10_gaps_islands",
+    "dq4_duplicate_keys",
+    "dq7_distribution_drift",
+    "tt7_weighted_sample",
+    "s10_hybrid_rrf",
+    "pm6_linear_attribution",
+    "t15_bigram_logprob",
+    "t19_lm_quality_gate",
+    "j3_salted_join",
+    "set1_union_distinct",
 )
 
 
