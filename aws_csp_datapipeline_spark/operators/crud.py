@@ -3,9 +3,12 @@ DataFrame -> DataFrame transformations (SURVEY.md §2.8 M1-M7).
 
 The reference mutates one Redshift table in place behind a whole-table
 exclusive lock (lambda/lambda_function.py:266-273); here each mutation
-is a snapshot-in → snapshot-out transformation. Persistence (Parquet
-overwrite, or Delta MERGE where ACID against concurrent writers is
-needed) is a separate concern — these operators stay storage-agnostic.
+is a snapshot-in → snapshot-out transformation. Persistence and the
+concurrent-writer guarantee the reference's lock provided are supplied
+by ``sources/snapshot_store.py`` (optimistic put-if-absent commits with
+conflict retry — demonstrated in tests/test_concurrency.py, including
+the concurrent MAX(key)+1 insert case) or by Delta MERGE where the jar
+is available — these operators stay storage-agnostic.
 
 Scale notes are per-function; the one intrinsically serial piece
 (contiguous key assignment) windows ONLY the new batch, never the

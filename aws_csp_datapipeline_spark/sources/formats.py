@@ -42,7 +42,11 @@ def write_delta(df: DataFrame, path: str, mode: str = "append") -> None:
     """Delta Lake sink — requires the delta-spark package. This is the
     ACID upgrade path for the mutation layer (operators/crud.py): the
     same M1-M7 semantics become MERGE/DELETE against a transactional
-    log instead of snapshot rewrites."""
+    log instead of snapshot rewrites. With the jar absent, the SAME
+    commit protocol (optimistic put-if-absent versioning + conflict
+    retry) is implemented and exercised in ``snapshot_store.py`` /
+    tests/test_concurrency.py, so the concurrent-writer guarantee is
+    demonstrated in-repo rather than deferred to this gate."""
     try:
         df.write.format("delta").mode(mode).save(path)
     except Exception as e:  # pragma: no cover - jar not in this image

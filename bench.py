@@ -5,6 +5,14 @@
 Each query is fully executed (count() action → all partitions
 materialize) and timed after a warm-up of the session + parquet
 footer reads.
+
+Single-run timings at this scale are dominated by machine noise: three
+back-to-back runs of identical round-4 code on this host totalled
+33.0 / 40.4 / 39.8 s (±20 %), with per-query swings up to 65 % on
+queries whose code had not changed (see SCALE.md "Bench variance").
+Each query therefore runs $SPARK_GRAFT_BENCH_REPS times (default 2)
+and reports the per-query MIN — the capability number, stable across
+runs — plus per-rep totals so the spread stays visible.
 """
 
 from __future__ import annotations
@@ -71,11 +79,20 @@ def main() -> None:
     # Warm-up: touch the session and parquet footers once, not timed.
     qs[names[0]](spark, sf_dir).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    rep_totals: list[float] = []
+    for _ in range(reps):
+        rep_total = 0.0
+        for name in names:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            rep_total += dt
+            prev = timings.get(name)
+            if prev is None or dt < prev:
+                timings[name] = round(dt, 4)
+        rep_totals.append(round(rep_total, 4))
 
     total = round(sum(timings.values()), 4)
     print(
@@ -86,6 +103,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "rep_totals": rep_totals,
             }
         )
     )
