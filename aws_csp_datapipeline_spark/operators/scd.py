@@ -69,16 +69,22 @@ def pit_lookup(
     fact_ts: str,
     effective_from: str = "effective_from",
     effective_to: str = "effective_to",
+    broadcast_dim: bool = False,
 ) -> DataFrame:
     """Point-in-time dimension lookup: join each fact row to the SCD2
     version that was valid at its timestamp (from ≤ ts < to, open
     version when ``effective_to`` IS NULL) — the read side of
-    ``scd2_apply``. Dimensions are broadcast (versioned dims stay
-    dim-sized); the validity range rides as a residual predicate on
-    the broadcast hash join, so the fact side never shuffles."""
+    ``scd2_apply``. The equality on the dim key drives the join and
+    the validity range rides as a residual predicate, so this is a
+    hash/merge join on the key, never a range explosion. A versioned
+    dim can itself be data-scaled (billions of customer versions), so
+    there is no broadcast hint: statistics + AQE broadcast genuinely
+    small dims and fall back to a keyed shuffle join for big ones.
+    Pass ``broadcast_dim=True`` only when the caller KNOWS the dim is
+    bounded."""
     cond = (
         (fact[fact_key] == dim[dim_key])
         & (fact[fact_ts] >= dim[effective_from])
         & (dim[effective_to].isNull() | (fact[fact_ts] < dim[effective_to]))
     )
-    return fact.join(F.broadcast(dim), cond)
+    return fact.join(F.broadcast(dim) if broadcast_dim else dim, cond)

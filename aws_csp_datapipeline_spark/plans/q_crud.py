@@ -452,9 +452,11 @@ def m12_pit_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     version cut) join the dimension version valid AT EACH event's
     timestamp — the query side of m8's versioned upsert, built by
     running scd2_apply then pit_lookup. Rows before the cut see V1
-    names, rows after see V2. The versioned dim broadcasts with the
-    validity range as a residual predicate, so the fact scan never
-    shuffles; output is |versions| rows."""
+    names, rows after see V2. The versioned dim carries no broadcast
+    hint (a data-scaled dim must not be forced into executors —
+    AQE broadcasts this nation-sized one at runtime); the validity
+    range rides as a residual predicate on the keyed join. Output is
+    |versions| rows."""
     from aws_csp_datapipeline_spark.operators.scd import pit_lookup, scd2_apply
 
     n = load_table(spark, sf_dir, "nation")

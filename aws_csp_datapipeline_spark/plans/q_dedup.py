@@ -154,10 +154,13 @@ def d7_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-canonical members of near-dup clusters (canonical = min
     doc_id per component, d6's group labels), each kept row carrying
     its cluster size — the final 'emit the clean training set' step
-    the pair/group queries feed. The group table is edge-scale (near-
-    dup docs only), so it broadcasts; the corpus is filtered with one
-    broadcast left join and never shuffles. Bodies move zero times at
-    any corpus size."""
+    the pair/group queries feed. The group table holds only docs in
+    near-dup clusters, but that count GROWS with the corpus (20-50 %
+    duplication is normal at crawl scale), so it carries no broadcast
+    hint: AQE broadcasts it while it is small and switches to a keyed
+    shuffle join on doc_id at scale — which moves (doc_id, group_id,
+    n_members) triples only; document bodies are pruned before the
+    join either way."""
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
@@ -165,7 +168,7 @@ def d7_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = D.neardup_groups(pairs)
     sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_members"))
     gs = groups.join(sizes, "group_id")
-    joined = d.join(F.broadcast(gs), d.doc_id == gs.doc, "left")
+    joined = d.join(gs, d.doc_id == gs.doc, "left")
     return joined.filter(
         gs.doc.isNull() | (gs.group_id == d.doc_id)
     ).select(
@@ -203,9 +206,10 @@ def d8_redundancy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Redundancy audit per ingestion source: what fraction of each
     source's documents are non-canonical near-dup copies (d6/d7's
     cluster labels rolled up by provenance) — the signal that
-    decides which feed gets its crawl budget cut. Group labels are
-    edge-scale → broadcast onto the corpus scan; one |sources|-row
-    aggregate out."""
+    decides which feed gets its crawl budget cut. The redundant-doc
+    set grows with the corpus, so no broadcast hint — AQE picks the
+    join; only (doc_id, flag) pairs move, and the output is one
+    |sources|-row aggregate."""
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
@@ -214,7 +218,7 @@ def d8_redundancy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     redundant = groups.filter(F.col("doc") != F.col("group_id")).select(
         F.col("doc").alias("doc_id"), F.lit(1).alias("__r")
     )
-    joined = d.join(F.broadcast(redundant), "doc_id", "left")
+    joined = d.join(redundant, "doc_id", "left")
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.coalesce(F.col("__r"), F.lit(0))).alias("n_redundant"),

@@ -369,11 +369,13 @@ def mm3_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: the event stream joins a static
-    dimension inside the micro-batch (stateless — the dim is
-    broadcast per batch, no streaming state at all), the canonical
-    'attach account metadata to a click stream' pipeline. Driven as a
-    REAL checkpointed availableNow stream into a parquet sink; the
-    result is provably the batch join, which is the oracle."""
+    dimension inside the micro-batch (stateless — no streaming state
+    at all), the canonical 'attach account metadata to a click
+    stream' pipeline. customer is sf-scaled, so the join carries no
+    broadcast hint: each micro-batch plans it from runtime sizes
+    (broadcast while the dim is small, keyed join at scale). Driven
+    as a REAL checkpointed availableNow stream into a parquet sink;
+    the result is provably the batch join, which is the oracle."""
     sink_dir = tempfile.mkdtemp(prefix="enrich_sink_")
     ckpt_dir = tempfile.mkdtemp(prefix="enrich_ckpt_")
     landing_dir = tempfile.mkdtemp(prefix="enrich_landing_")
@@ -386,7 +388,7 @@ def st8_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         _events_stream(spark, landing_dir)
         .select("event_id", "user_id", "value")
-        .join(F.broadcast(dim), "user_id")
+        .join(dim, "user_id")
     )
     q = (
         stream.writeStream.format("parquet")

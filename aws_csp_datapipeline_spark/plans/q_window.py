@@ -222,15 +222,18 @@ def fun1_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fun2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users' first-activity week vs every
     week they were active. The (user, week) distinct set is the only
-    big shuffle; the cohort table is per-user (small) and broadcasts
-    back. Week truncation is precision-safe across engines."""
+    big shuffle; the cohort table is one row PER USER — which grows
+    with the data — so it carries no broadcast hint (AQE decides; at
+    scale the wk⋈cohort join reuses the user_id hash partitioning the
+    groupBy already established, so no extra exchange either way).
+    Week truncation is precision-safe across engines."""
     ev = load_table(spark, sf_dir, "events")
     wk = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
     ).distinct()
     cohort = wk.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
-        wk.join(F.broadcast(cohort), "user_id")
+        wk.join(cohort, "user_id")
         .groupBy("cohort_week", "week")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )

@@ -73,6 +73,15 @@ _PLAN_BUDGETS = [
     ("q9_profit_by_nation_year", 1, "nation"),
     ("q15_top_supplier", 1, "1-row scalar max"),
     ("q11_important_stock", 1, "1-row scalar threshold"),
+    # round-5 sweep beyond the TPC-H block: sides that grow with the
+    # data (near-dup group labels, per-user cohorts, versioned dims)
+    # must not be hint-broadcast either.
+    ("d8_redundancy_by_source", 0, "redundant-doc set grows with corpus"),
+    ("fun2_retention", 0, "cohort table is one row per user"),
+    # m12: the 2 allowed hints are scd2_apply's on the per-batch CDC
+    # update set (bounded per batch by contract); the versioned DIM
+    # side of pit_lookup itself is unhinted (broadcast_dim=False).
+    ("m12_pit_lookup", 2, "SCD2 change batch, bounded per CDC batch"),
 ]
 
 
