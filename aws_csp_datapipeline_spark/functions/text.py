@@ -185,6 +185,32 @@ def bigrams(col: Column) -> Column:
     return F.element_at(F.transform(F.array(tokens(col)), bg_of), 1)
 
 
+def trigrams(col: Column) -> Column:
+    """Adjacent-token trigram array ("a b c") — bigrams' zip-shift
+    construction extended one position (two nested zip_withs; the
+    token array is bound once through the same one-element-array
+    wrapper). Feeds the Gopher-style duplicate-n-gram quality rule:
+    corpus-independent, per-row, no join and no explode."""
+
+    def tg_of(t):
+        n = F.size(t)
+        ab = F.zip_with(
+            F.slice(t, F.lit(1), n - 2),
+            F.slice(t, F.lit(2), n - 2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return F.when(
+            n >= 3,
+            F.zip_with(
+                ab,
+                F.slice(t, F.lit(3), n - 2),
+                lambda ab_, c: F.concat_ws(" ", ab_, c),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), tg_of), 1)
+
+
 def bm25_scores(
     docs: DataFrame, terms: list[str], k1: float = 1.2, b: float = 0.75
 ) -> DataFrame:

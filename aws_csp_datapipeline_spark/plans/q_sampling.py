@@ -4,7 +4,7 @@ per-class downsampling over the documents corpus)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aws_csp_datapipeline_spark.catalog import load_table
@@ -199,6 +199,49 @@ def tt7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
     return docs.filter(bucket < thresh).select("doc_id")
+
+
+def _tt10_sql() -> str:
+    from aws_csp_datapipeline_spark.plans.q_text import QUALITY_EXPR_SQL
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, {QUALITY_EXPR_SQL} AS q FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY q DESC, doc_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= 15
+    """
+
+
+@register("tt10_per_source_cap", _tt10_sql())
+def tt10_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (per-domain caps in crawl curation: no
+    single feed may dominate the training mix): keep the K
+    highest-quality docs per source, deterministic tie-break on
+    doc_id. One hash shuffle on ``source``; the window sort is
+    per-group and spillable, AQE splits skewed groups — and for a
+    pathological mega-domain the same contract can run as two-phase
+    top-K (per-partition heads, then per-key head) without changing
+    this query's result, since the output depends only on each
+    group's top K rows."""
+    from aws_csp_datapipeline_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", quality_score(F.col("text")).alias("__q")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("__q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 15)
+        .select("doc_id", "source", "rk")
+    )
 
 
 def _pipe1_sql() -> str:

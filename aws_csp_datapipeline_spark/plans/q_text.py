@@ -405,6 +405,58 @@ def doc_bigram_logprob(d: DataFrame) -> DataFrame:
 
 
 @register(
+    "t20_gopher_repetition_gate",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(list_zip(t[:-3], t[2:-2], t[3:]),
+                            z -> z[1] || ' ' || z[2] || ' ' || z[3]) AS gs
+      FROM tok WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(gs) AS BIGINT) AS n_trigrams,
+           ROUND(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+             + 0.0 AS dup_frac,
+           (1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)) > 0.02
+             AS flagged
+    FROM g
+    """,
+)
+def t20_gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-n-gram quality rule (the MassiveText/Gopher filter
+    family, complementing t7's token-level repetition): the fraction
+    of a document's trigrams that repeat an earlier trigram; docs
+    over the threshold are boilerplate/spam candidates. Pure per-row
+    array expressions — the trigram array is built once per row (see
+    ``text.trigrams``) and consumed by size + array_distinct inside
+    one bound struct, so nothing is recomputed, nothing explodes,
+    and the operator is corpus-size-independent (no shuffle at all)."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = F.element_at(
+        F.transform(
+            F.array(X.trigrams(F.col("text"))),
+            lambda gs: F.struct(
+                F.size(gs).alias("n"),
+                F.size(F.array_distinct(gs)).alias("nd"),
+            ),
+        ),
+        1,
+    )
+    scored = d.select("doc_id", stats.alias("__s")).filter(F.col("__s.n") >= 1)
+    dup = 1.0 - F.col("__s.nd").cast("double") / F.col("__s.n").cast("double")
+    return scored.select(
+        "doc_id",
+        F.col("__s.n").cast("long").alias("n_trigrams"),
+        (F.round(dup, 6) + 0.0).alias("dup_frac"),
+        (dup > 0.02).alias("flagged"),
+    )
+
+
+@register(
     "t19_lm_quality_gate",
     f"""
     WITH scored AS ({BIGRAM_LOGPROB_SQL})
