@@ -7,11 +7,15 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` stages —
 per-batch Python cost, never per-row, and the batch size bounds
 executor memory regardless of corpus size.
 
-The actual codec calls are STUBBED here (no PIL/ffmpeg in this
-environment): ``decode_image_meta`` raises ``NotImplementedError``
-unless ``fake=True``, in which case it produces a deterministic fake
-decode derived from the payload bytes — the Spark-side plumbing
-(schemas, batching, partitioning) is real and tested either way.
+Codec status: PNG decode/resize is REAL (``png_codec.py`` — a
+stdlib-only implementation of the public PNG format; exercised on
+real image bytes in tests/test_multimodal_codec.py). JPEG / audio /
+video genuinely need native libraries absent from this container, so
+for non-PNG payloads ``decode_image_meta`` raises
+``NotImplementedError`` unless ``fake=True``, in which case it
+produces a deterministic fake decode derived from the payload bytes —
+the Spark-side plumbing (schemas, batching, partitioning) is real and
+tested either way.
 """
 
 from __future__ import annotations
@@ -48,13 +52,22 @@ def to_media_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def decode_image_meta(payload: bytes, fake: bool) -> tuple[int, int, int]:
     """Decode → (width, height, channels).
 
-    STUB: real decoding needs an image codec (PIL / libjpeg) that is
-    not in this container. With ``fake=True`` returns a deterministic
-    fake derived from the payload so the pipeline shape is testable.
+    PNG payloads take the REAL decode path (``png_codec.decode_png``,
+    stdlib-only) regardless of ``fake``. Other formats need a native
+    codec (libjpeg/ffmpeg) that is not in this container: with
+    ``fake=True`` they get a deterministic fake derived from the
+    payload so the pipeline shape stays testable; otherwise
+    NotImplementedError.
     """
+    from aws_csp_datapipeline_spark.functions import png_codec
+
+    if png_codec.is_png(payload):
+        w, h, c, _ = png_codec.decode_png(payload)
+        return (w, h, c)
     if not fake:
         raise NotImplementedError(
-            "image decode requires a codec library (PIL); not available here"
+            "non-PNG decode requires a codec library (PIL/libjpeg); "
+            "not available here"
         )
     h = 0
     for b in payload[:64]:
@@ -118,22 +131,28 @@ def resize_images(
     media: DataFrame, width: int, height: int, fake_decode: bool = True
 ) -> DataFrame:
     """Batch image resize via Arrow-batched mapInPandas: decode →
-    resample to (width, height) → re-encode. The codec step is
-    STUBBED (no PIL here): the fake 'resize' emits a deterministic
-    payload of exactly width*height bytes cycled from the source
-    bytes, so output size — the property the downstream pipeline
-    depends on (fixed tensor shape, bounded batch memory) — behaves
-    exactly like a real resampler. The Spark plumbing (Arrow batch
-    shape, binary columns both ways, output schema) is real."""
+    resample to (width, height) → re-encode. PNG payloads go through
+    the REAL stdlib codec (nearest-neighbor, ``png_codec.resize_png``).
+    For other formats the 'resize' is a deterministic fake emitting
+    exactly width*height bytes cycled from the source, so output size
+    — the property the downstream pipeline depends on (fixed tensor
+    shape, bounded batch memory) — behaves like a real resampler. The
+    Spark plumbing (Arrow batch shape, binary columns both ways,
+    output schema) is identical in both lanes."""
+    from aws_csp_datapipeline_spark.functions import png_codec
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
+                if png_codec.is_png(p):
+                    out.append(png_codec.resize_png(bytes(p), width, height))
+                    continue
                 if not fake_decode:
                     raise NotImplementedError(
-                        "image resize requires a codec library (PIL); not available here"
+                        "non-PNG resize requires a codec library (PIL); "
+                        "not available here"
                     )
                 reps = target // max(len(p), 1) + 1
                 out.append(bytes((p * reps)[:target]))

@@ -1,0 +1,142 @@
+"""Real PNG codec lane for the multimodal operators.
+
+The decode step was previously fully stubbed; png_codec.py implements
+the public PNG format on the stdlib. These tests exercise: encode →
+decode round-trip over every supported color type, hand-crafted
+scanline filters (Sub/Up/Average/Paeth — built by filtering known
+pixels by hand and checking the decoder reconstructs them), nearest-
+neighbor resize, and the Spark mapInPandas lane decoding REAL image
+bytes (fake_decode=False) end to end.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from aws_csp_datapipeline_spark.functions import png_codec as P
+from aws_csp_datapipeline_spark.functions.multimodal import (
+    FEATURE_SCHEMA,
+    extract_features,
+    resize_images,
+)
+
+
+def _gradient(w: int, h: int, c: int) -> bytes:
+    return bytes(((x * 7 + y * 13 + ch * 29) & 0xFF)
+                 for y in range(h) for x in range(w) for ch in range(c))
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_roundtrip_all_color_types(channels):
+    w, h = 13, 9  # deliberately non-square, non-power-of-two
+    px = _gradient(w, h, channels)
+    data = P.encode_png(px, w, h, channels)
+    assert P.is_png(data)
+    w2, h2, c2, px2 = P.decode_png(data)
+    assert (w2, h2, c2) == (w, h, channels)
+    assert px2 == px
+
+
+def _png_with_filters(rows_filtered: list[tuple[int, bytes]], w: int, c: int) -> bytes:
+    """Build a PNG whose IDAT uses the given (filter_byte, filtered
+    row bytes) pairs verbatim."""
+    h = len(rows_filtered)
+    raw = bytearray()
+    for f, line in rows_filtered:
+        raw.append(f)
+        raw += line
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[c]
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_sub_up_average_paeth_filters():
+    """Two 4-px greyscale rows with known pixel values, each filter
+    applied by hand; the decoder must reconstruct the originals."""
+    row1 = [10, 25, 45, 70]   # reconstructed target, y=0
+    row2 = [12, 30, 55, 85]   # reconstructed target, y=1
+
+    # Sub on row1: line[i] = x[i] - x[i-1]
+    sub1 = bytes([(row1[0]) & 0xFF] + [(row1[i] - row1[i - 1]) & 0xFF for i in [1, 2, 3]])
+    # Up on row2: line[i] = x[i] - prev[i]
+    up2 = bytes([(row2[i] - row1[i]) & 0xFF for i in range(4)])
+    w, h, c, px = P.decode_png(_png_with_filters([(1, sub1), (2, up2)], 4, 1))
+    assert list(px) == row1 + row2
+
+    # Average on row2: line[i] = x[i] - (left + up)//2
+    avg2 = bytearray()
+    for i in range(4):
+        left = row2[i - 1] if i else 0
+        avg2.append((row2[i] - (left + row1[i]) // 2) & 0xFF)
+    w, h, c, px = P.decode_png(_png_with_filters([(1, sub1), (3, bytes(avg2))], 4, 1))
+    assert list(px) == row1 + row2
+
+    # Paeth on row2
+    def paeth(a, b, cc):
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else cc
+
+    pae2 = bytearray()
+    for i in range(4):
+        left = row2[i - 1] if i else 0
+        ul = row1[i - 1] if i else 0
+        pae2.append((row2[i] - paeth(left, row1[i], ul)) & 0xFF)
+    w, h, c, px = P.decode_png(_png_with_filters([(1, sub1), (4, bytes(pae2))], 4, 1))
+    assert list(px) == row1 + row2
+
+
+def test_resize_nearest_semantics():
+    # 2x2 RGB quadrants scaled to 4x4: each quadrant becomes a 2x2 block
+    q = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    px = bytes(v for p in q for v in p)
+    out = P.resize_nearest(px, 2, 2, 3, 4, 4)
+    got = [tuple(out[i : i + 3]) for i in range(0, len(out), 3)]
+    assert got[0] == got[1] == got[4] == got[5] == q[0]
+    assert got[2] == got[3] == got[6] == got[7] == q[1]
+    assert got[8] == got[9] == got[12] == got[13] == q[2]
+    assert got[10] == got[11] == got[14] == got[15] == q[3]
+
+
+def test_spark_lane_decodes_real_png(spark):
+    """mapInPandas feature extraction with fake_decode=False over REAL
+    PNG bytes — the previously-stubbed path, now exercised for real."""
+    imgs = [
+        (1, P.encode_png(_gradient(17, 11, 3), 17, 11, 3)),
+        (2, P.encode_png(_gradient(8, 21, 1), 8, 21, 1)),
+        (3, P.encode_png(_gradient(5, 5, 4), 5, 5, 4)),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(d), "image/png", len(d)) for i, d in imgs],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    feats = {r["doc_id"]: r for r in extract_features(media, fake_decode=False).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["channels"]) == (17, 11, 3)
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["channels"]) == (8, 21, 1)
+    assert (feats[3]["width"], feats[3]["height"], feats[3]["channels"]) == (5, 5, 4)
+
+    resized = {r["doc_id"]: r for r in resize_images(media, 6, 4, fake_decode=False).collect()}
+    for i in (1, 2, 3):
+        w, h, c, px = P.decode_png(bytes(resized[i]["payload"]))
+        assert (w, h) == (6, 4)
+        assert len(px) == 6 * 4 * c
+
+
+def test_non_png_still_gated(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff not a png"), "image/jpeg", 14)],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(media, fake_decode=False).collect()
