@@ -124,6 +124,51 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
     )
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_frames long, "
+    "duration_ms double, rms double, peak int"
+)
+
+
+def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Audio feature extraction via Arrow-batched mapInPandas: WAV/PCM
+    payloads take the REAL stdlib decode (``wav_codec``) and yield the
+    loudness/duration stats curation filters key on; compressed audio
+    needs a native codec — deterministic fake under ``fake_decode``,
+    NotImplementedError otherwise. Same per-batch Python cost model as
+    the image lane."""
+    from aws_csp_datapipeline_spark.functions import wav_codec
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if wav_codec.is_wav(p):
+                    rate, ch, n, dur, rms, peak = wav_codec.wav_features(bytes(p))
+                elif fake_decode:
+                    h = 0
+                    for b in bytes(p)[:64]:
+                        h = (h * 131 + b) & 0x7FFFFFFF
+                    n = len(p)
+                    rate, ch = 8000 + h % 40000, 1 + h % 2
+                    dur, rms, peak = 1000.0 * n / rate, float(h % 128), h % 256
+                else:
+                    raise NotImplementedError(
+                        "non-WAV audio decode requires a codec library; "
+                        "not available here"
+                    )
+                rows.append((doc_id, rate, ch, n, dur, rms, peak))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_frames",
+                    "duration_ms", "rms", "peak",
+                ],
+            )
+
+    return media.mapInPandas(per_batch, schema=AUDIO_FEATURE_SCHEMA)
+
+
 RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"
 
 

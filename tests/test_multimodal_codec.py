@@ -140,3 +140,55 @@ def test_non_png_still_gated(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_features(media, fake_decode=False).collect()
+
+
+def test_wav_roundtrip_and_features():
+    import math
+
+    from aws_csp_datapipeline_spark.functions import wav_codec as W
+
+    rate, n = 8000, 800
+    pcm = b"".join(
+        struct.pack("<h", int(12000 * math.sin(2 * math.pi * 440 * i / rate)))
+        for i in range(n)
+    )
+    data = W.encode_wav(pcm, rate, 1, 2)
+    assert W.is_wav(data)
+    r2, ch, width, pcm2 = W.decode_wav(data)
+    assert (r2, ch, width) == (rate, 1, 2)
+    assert pcm2 == pcm
+    sr, channels, frames, dur, rms, peak = W.wav_features(data)
+    assert frames == n and abs(dur - 100.0) < 1e-6
+    # sine RMS ≈ amplitude/sqrt(2)
+    assert abs(rms - 12000 / math.sqrt(2)) < 120
+    assert 11900 <= peak <= 12000
+    half = W.downsample_wav(data, 2)
+    sr2, _, frames2, dur2, _, _ = W.wav_features(half)
+    assert frames2 == n // 2 and sr2 == rate // 2
+
+
+def test_spark_lane_decodes_real_wav(spark):
+    import math
+
+    from aws_csp_datapipeline_spark.functions import wav_codec as W
+    from aws_csp_datapipeline_spark.functions.multimodal import extract_audio_features
+
+    def tone(freq, n, rate=8000):
+        return W.encode_wav(
+            b"".join(
+                struct.pack("<h", int(9000 * math.sin(2 * math.pi * freq * i / rate)))
+                for i in range(n)
+            ),
+            rate, 1, 2,
+        )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(tone(440, 400)), "audio/wav", 0),
+         (2, bytearray(tone(880, 1600)), "audio/wav", 0)],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    got = {r["doc_id"]: r for r in extract_audio_features(media, fake_decode=False).collect()}
+    assert got[1]["n_frames"] == 400 and got[2]["n_frames"] == 1600
+    assert abs(got[1]["duration_ms"] - 50.0) < 1e-6
+    assert abs(got[2]["duration_ms"] - 200.0) < 1e-6
+    assert got[1]["sample_rate"] == 8000 and got[1]["channels"] == 1
