@@ -213,6 +213,47 @@ def resize_images(
     return media.mapInPandas(per_batch, schema=RESIZED_SCHEMA)
 
 
+VIDEO_META_SCHEMA = (
+    "doc_id long, duration_ms double, n_tracks int, width int, height int"
+)
+
+
+def extract_video_meta(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Video container metadata via Arrow-batched mapInPandas: MP4
+    payloads take the REAL stdlib box parse (``mp4_meta`` — duration,
+    track count, video dimensions: the fields duration caps and
+    resolution floors filter on before any decode). Frame DECODING
+    needs ffmpeg-class native code for every real container, so
+    non-MP4 payloads follow the fake/gate contract of the other
+    lanes."""
+    from aws_csp_datapipeline_spark.functions import mp4_meta as M
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if M.is_mp4(p):
+                    dur, n_tracks, w, h = M.mp4_meta(bytes(p))
+                elif fake_decode:
+                    hsh = 0
+                    for b in bytes(p)[:64]:
+                        hsh = (hsh * 131 + b) & 0x7FFFFFFF
+                    dur = 1000.0 + hsh % 60000
+                    n_tracks, w, h = 1 + hsh % 3, 320 + hsh % 1600, 240 + (hsh >> 8) % 900
+                else:
+                    raise NotImplementedError(
+                        "non-MP4 container parse requires a media library; "
+                        "not available here"
+                    )
+                rows.append((doc_id, dur, n_tracks, w, h))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "duration_ms", "n_tracks", "width", "height"],
+            )
+
+    return media.mapInPandas(per_batch, schema=VIDEO_META_SCHEMA)
+
+
 MODALITY_SCHEMA = "doc_id long, modality string, n_bytes long"
 
 

@@ -192,3 +192,52 @@ def test_spark_lane_decodes_real_wav(spark):
     assert abs(got[1]["duration_ms"] - 50.0) < 1e-6
     assert abs(got[2]["duration_ms"] - 200.0) < 1e-6
     assert got[1]["sample_rate"] == 8000 and got[1]["channels"] == 1
+
+
+def _mini_mp4(duration_ms=2500, width=640, height=360, timescale=1000):
+    """Hand-built ISO-BMFF: ftyp + moov(mvhd v0 + trak(tkhd v0))."""
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd_body = (
+        b"\x00\x00\x00\x00"                       # version/flags
+        + struct.pack(">II", 0, 0)                  # ctime, mtime
+        + struct.pack(">II", timescale, duration_ms * timescale // 1000)
+        + b"\x00" * 80                              # rate..next_track_id
+    )
+    tkhd_body = (
+        b"\x00\x00\x00\x07"                        # version/flags (enabled)
+        + struct.pack(">II", 0, 0)                  # ctime, mtime
+        + struct.pack(">I", 1) + b"\x00" * 4        # track id + reserved
+        + struct.pack(">I", duration_ms)            # duration
+        + b"\x00" * 52                              # reserved..matrix
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_body) + box(b"trak", box(b"tkhd", tkhd_body)))
+    return ftyp + moov
+
+
+def test_mp4_meta_parses_handbuilt_container():
+    from aws_csp_datapipeline_spark.functions import mp4_meta as M
+
+    data = _mini_mp4(duration_ms=2500, width=640, height=360)
+    assert M.is_mp4(data)
+    dur, n_tracks, w, h = M.mp4_meta(data)
+    assert abs(dur - 2500.0) < 1e-6
+    assert n_tracks == 1 and (w, h) == (640, 360)
+
+
+def test_spark_lane_parses_real_mp4(spark):
+    from aws_csp_datapipeline_spark.functions.multimodal import extract_video_meta
+
+    media = spark.createDataFrame(
+        [(1, bytearray(_mini_mp4(2500, 640, 360)), "video/mp4", 0),
+         (2, bytearray(_mini_mp4(120000, 1920, 1080)), "video/mp4", 0)],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    got = {r["doc_id"]: r for r in extract_video_meta(media, fake_decode=False).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (640, 360)
+    assert (got[2]["width"], got[2]["height"]) == (1920, 1080)
+    assert abs(got[2]["duration_ms"] - 120000.0) < 1e-6
+    assert got[1]["n_tracks"] == 1
