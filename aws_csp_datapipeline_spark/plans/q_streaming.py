@@ -357,6 +357,35 @@ def mm3_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm5_audio_features", None)
+def mm5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio lane through the registry surface: loudness /
+    duration stats per payload via Arrow-batched mapInPandas
+    (rows-only: the testdata corpus has no real WAV bytes, so the
+    deterministic fake lane runs here; real WAV payloads take the
+    stdlib ``wav_codec`` path — tests/test_multimodal_codec.py proves
+    that on generated PCM)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_column(d, "doc_id", "text")
+    return MM.extract_audio_features(media).select(
+        "doc_id", "sample_rate", "channels", "n_frames", "duration_ms"
+    )
+
+
+@register("mm6_video_meta", None)
+def mm6_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video lane through the registry surface: container
+    metadata (duration / tracks / dimensions — what duration caps and
+    resolution floors filter on) via mapInPandas (rows-only; real MP4
+    payloads take the stdlib ``mp4_meta`` box parse, proven on
+    hand-built ISO-BMFF fixtures in tests)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_column(d, "doc_id", "text")
+    return MM.extract_video_meta(media).select(
+        "doc_id", "duration_ms", "n_tracks", "width", "height"
+    )
+
+
 @register(
     "st8_stream_static_enrich",
     """
