@@ -54,11 +54,11 @@ def register(name: str, oracle: str | None = None):
 # record keeps longitudinal coverage of every family, and the tail swaps in
 # queries the driver has never attested (rounds 2-4 shipped an identical
 # window, so 163 of 213 registry queries had only in-repo pytest attestation).
-# Round 5 rotates in the full de-broadcast TPC-H block (q5/q7/q9/q12/q14/
-# q15/q19/q20 — so the AQE-join fix is externally hash-checked), the second
-# representatives of the agg/window/quality/sampling/similarity/pattern
-# families, and the new t19 gate. Everything rotated OUT stays green in
-# tests/test_registry_oracle.py (same DuckDB compare, all 200+ queries).
+# Round 6 rotates in the base projection/filter block (p3-p9), the scalar
+# aggregates (a1-a9), outer/null-safe joins (j4-j6), the remaining set ops
+# (set2/set3), and m5 — none of which had ever been driver-attested.
+# Everything rotated OUT stays green in tests/test_registry_oracle.py
+# (same DuckDB compare, all 200+ queries).
 _WINDOW: tuple[str, ...] = (
     # --- fixed core (cross-family longitudinal sample) ---
     "q1_pricing_summary",
@@ -91,27 +91,32 @@ _WINDOW: tuple[str, ...] = (
     "a5_group_count_2key",
     "j2_star_agg",
     "q3_shipping_priority",
-    # --- round-5 rotation: first-ever driver attestation for these ---
-    "q5_revenue_by_nation",
-    "q7_volume_by_year",
-    "q9_profit_by_nation_year",
-    "q12_two_case_sums",
-    "q14_promo_ratio",
-    "q15_top_supplier",
-    "q19_disjunctive_filter",
-    "q20_excess_shippers",
-    "a5_pivot_count",
-    "g1_cube_counts",
-    "w10_gaps_islands",
-    "dq4_duplicate_keys",
-    "dq7_distribution_drift",
-    "tt7_weighted_sample",
-    "s10_hybrid_rrf",
-    "pm6_linear_attribution",
-    "t15_bigram_logprob",
-    "t19_lm_quality_gate",
-    "j3_salted_join",
-    "set1_union_distinct",
+    # --- round-6 rotation: first-ever driver attestation for these ---
+    # (the round-5 block — TPC-H q5-q20, pivot/cube, dq4/dq7, tt7, s10,
+    # pm6, t15/t19, j3, set1 — rotated out; all stay green in
+    # tests/test_registry_oracle.py). This block covers the remaining
+    # never-attested projection/filter, scalar-aggregate, outer/null-safe
+    # join, set-op, and mutation families.
+    "p3_detail_projection",
+    "p4_point_lookup",
+    "p5_filter_eq_string",
+    "p7_conjunctive_filter",
+    "p8_contains_ci",
+    "p9_not_exists_antijoin",
+    "a1_scalar_max",
+    "a2_summary_stats",
+    "a3_total_count",
+    "a4_group_count",
+    "a6_group_sum",
+    "a7_next_serial_key",
+    "a8_count_distinct",
+    "a9_approx_distinct",
+    "j4_left_outer_join",
+    "j5_full_outer_agg",
+    "j6_null_safe_join",
+    "set2_intersect",
+    "set3_except",
+    "m5_hard_delete",
 )
 
 
