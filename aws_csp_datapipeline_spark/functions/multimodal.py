@@ -9,23 +9,45 @@ executor memory regardless of corpus size.
 
 Codec status: PNG decode/resize is REAL (``png_codec.py`` — a
 stdlib-only implementation of the public PNG format; exercised on
-real image bytes in tests/test_multimodal_codec.py). JPEG / audio /
-video genuinely need native libraries absent from this container, so
-for non-PNG payloads ``decode_image_meta`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it
-produces a deterministic fake decode derived from the payload bytes —
-the Spark-side plumbing (schemas, batching, partitioning) is real and
-tested either way.
+real image bytes in tests/test_multimodal_codec.py), and JPEG
+metadata is REAL (``jpeg_meta.py`` — SOF marker walk). Full JPEG
+pixel decode / compressed audio / video frames genuinely need native
+libraries absent from this container, so those payloads raise
+``NotImplementedError`` unless ``fake=True``, in which case they get
+a deterministic fake decode derived from the payload bytes — the
+Spark-side plumbing (schemas, batching, partitioning) is real and
+tested either way. Real-codec calls are try/except-guarded so a
+corrupt payload behind a matching magic byte degrades to the fake
+lane (under ``fake=True``) instead of failing the whole job.
 """
 
 from __future__ import annotations
 
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# A payload can match a codec's magic bytes and still be corrupt or an
+# unsupported variant (palette/interlaced PNG, truncated RIFF, malformed
+# MP4 boxes). Real-codec calls are wrapped so that under fake_decode the
+# fake lane absorbs the failure — one bad payload must not kill a
+# corpus-scale job. With fake_decode=False the error propagates: the
+# caller asked for real decode only.
+_CODEC_ERRORS = (
+    ValueError,
+    NotImplementedError,
+    zlib.error,
+    wave.Error,
+    struct.error,
+    EOFError,
+    IndexError,
+)
 
 MEDIA_SCHEMA = (
     "doc_id long, payload binary, mime string, n_bytes long"
@@ -49,35 +71,50 @@ def to_media_column(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image_meta(payload: bytes, fake: bool) -> tuple[int, int, int]:
-    """Decode → (width, height, channels).
-
-    PNG payloads take the REAL decode path (``png_codec.decode_png``,
-    stdlib-only) regardless of ``fake``. Other formats need a native
-    codec (libjpeg/ffmpeg) that is not in this container: with
-    ``fake=True`` they get a deterministic fake derived from the
-    payload so the pipeline shape stays testable; otherwise
-    NotImplementedError.
-    """
-    from aws_csp_datapipeline_spark.functions import png_codec
-
-    if png_codec.is_png(payload):
-        w, h, c, _ = png_codec.decode_png(payload)
-        return (w, h, c)
-    if not fake:
-        raise NotImplementedError(
-            "non-PNG decode requires a codec library (PIL/libjpeg); "
-            "not available here"
-        )
+def _fake_image_meta(payload: bytes) -> tuple[int, int, int]:
     h = 0
     for b in payload[:64]:
         h = (h * 131 + b) & 0x7FFFFFFF
     return (64 + h % 192, 64 + (h >> 8) % 192, 3 if h % 4 else 1)
 
 
+def decode_image_meta(payload: bytes, fake: bool) -> tuple[int, int, int]:
+    """Decode → (width, height, channels).
+
+    PNG payloads take the REAL decode path (``png_codec.decode_png``,
+    stdlib-only) and JPEG payloads the REAL SOF-marker header walk
+    (``jpeg_meta.jpeg_meta``) regardless of ``fake``. Other formats
+    need a native codec (ffmpeg/libwebp) that is not in this
+    container: with ``fake=True`` they get a deterministic fake
+    derived from the payload so the pipeline shape stays testable;
+    otherwise NotImplementedError. A corrupt payload behind a
+    matching magic byte falls back to the fake lane under
+    ``fake=True`` instead of failing the job.
+    """
+    from aws_csp_datapipeline_spark.functions import jpeg_meta, png_codec
+
+    try:
+        if png_codec.is_png(payload):
+            w, h, c, _ = png_codec.decode_png(bytes(payload))
+            return (w, h, c)
+        if jpeg_meta.is_jpeg(payload):
+            return jpeg_meta.jpeg_meta(bytes(payload))
+    except _CODEC_ERRORS:
+        if not fake:
+            raise
+        return _fake_image_meta(bytes(payload))
+    if not fake:
+        raise NotImplementedError(
+            "non-PNG/JPEG decode requires a codec library (PIL/ffmpeg); "
+            "not available here"
+        )
+    return _fake_image_meta(bytes(payload))
+
+
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Feature extraction over media batches via mapInPandas: byte
-    stats (real) + decoded dimensions (stubbed codec). Arrow moves
+    stats (real) + decoded dimensions (real PNG/JPEG headers,
+    fake lane for other formats). Arrow moves
     whole batches; Python touches each batch once."""
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -144,7 +181,15 @@ def extract_audio_features(media: DataFrame, fake_decode: bool = True) -> DataFr
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 if wav_codec.is_wav(p):
-                    rate, ch, n, dur, rms, peak = wav_codec.wav_features(bytes(p))
+                    try:
+                        rate, ch, n, dur, rms, peak = wav_codec.wav_features(
+                            bytes(p)
+                        )
+                    except _CODEC_ERRORS:
+                        if not fake_decode:
+                            raise
+                        rate = ch = n = peak = 0
+                        dur = rms = 0.0
                 elif fake_decode:
                     h = 0
                     for b in bytes(p)[:64]:
@@ -192,9 +237,14 @@ def resize_images(
             out = []
             for p in pdf["payload"]:
                 if png_codec.is_png(p):
-                    out.append(png_codec.resize_png(bytes(p), width, height))
-                    continue
-                if not fake_decode:
+                    try:
+                        out.append(png_codec.resize_png(bytes(p), width, height))
+                        continue
+                    except _CODEC_ERRORS:
+                        if not fake_decode:
+                            raise
+                        # corrupt PNG → fake lane below
+                elif not fake_decode:
                     raise NotImplementedError(
                         "non-PNG resize requires a codec library (PIL); "
                         "not available here"
@@ -233,7 +283,13 @@ def extract_video_meta(media: DataFrame, fake_decode: bool = True) -> DataFrame:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 if M.is_mp4(p):
-                    dur, n_tracks, w, h = M.mp4_meta(bytes(p))
+                    try:
+                        dur, n_tracks, w, h = M.mp4_meta(bytes(p))
+                    except _CODEC_ERRORS:
+                        if not fake_decode:
+                            raise
+                        dur = 0.0
+                        n_tracks = w = h = 0
                 elif fake_decode:
                     hsh = 0
                     for b in bytes(p)[:64]:

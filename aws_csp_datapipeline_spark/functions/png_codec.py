@@ -6,7 +6,8 @@ spec / RFC 2083): zlib-compressed scanlines behind one of five
 per-row byte filters. This module implements enough of it — 8-bit
 greyscale / RGB / grey+alpha / RGBA, non-interlaced — to give the
 Spark pipeline a REAL decode→transform→encode path for PNG payloads,
-with no third-party dependency. JPEG/video stay behind the
+with no third-party dependency. JPEG headers parse for real too
+(``jpeg_meta.py``); full JPEG pixel decode / video stay behind the
 NotImplementedError gate (their codecs genuinely need native libs).
 
 Scope and scale notes: this is a correctness lane for fixtures and

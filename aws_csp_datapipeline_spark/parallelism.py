@@ -23,7 +23,53 @@ the session's cores before the expensive expressions are applied:
 
 from __future__ import annotations
 
+import math
+import os
+import re
+from urllib.parse import unquote, urlparse
+
 from pyspark.sql import DataFrame
+
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10, "kib": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20, "mib": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30, "gib": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40, "tib": 1 << 40,
+}
+
+
+def _parse_byte_conf(value: str, default: int = 128 << 20) -> int:
+    m = re.match(r"^\s*(\d+)\s*([a-z]*)\s*$", value.lower())
+    if not m or m.group(2) not in _SIZE_SUFFIX:
+        return default
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
+
+
+def _estimated_local_scan_tasks(spark, files: list[str]) -> int:
+    """Estimate how many non-empty scan tasks a FileSourceScan gets for
+    the given ``file:`` URIs. Byte ranges of ``maxPartitionBytes`` cap
+    the split count, and for parquet a split is only non-empty if a
+    row-group midpoint falls inside it — so per file the estimate is
+    min(byte-range splits, row groups); non-parquet files (multiLine
+    CSV/JSON don't byte-range-split) count as one task."""
+    max_bytes = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover
+        pq = None
+    total = 0
+    for f in files:
+        path = unquote(urlparse(f).path)
+        splits = max(1, math.ceil(os.path.getsize(path) / max_bytes))
+        if splits > 1 and pq is not None and path.endswith(".parquet"):
+            splits = min(splits, pq.ParquetFile(path).num_row_groups)
+        elif not path.endswith(".parquet"):
+            splits = 1
+        total += splits
+    return total
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -31,29 +77,46 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     the session's core count) — a no-op when the input layout already
     guarantees at least that many scan tasks.
 
-    The decision reads only ``df.inputFiles()`` (driver-side listing on
-    the analyzed plan — no physical planning, no job, and critically no
-    ``df.rdd`` conversion, which would force a full plan + RDD-DAG
-    build per call on the driver):
+    The decision reads ``df.inputFiles()`` (driver-side listing on the
+    analyzed plan — no physical planning, no job) plus, for few LOCAL
+    files, their sizes and parquet footers (cheap local metadata):
 
     - >= target input files: every file is at least one scan task, the
       guard is a no-op.
     - fewer files but on a remote filesystem (s3/hdfs/...): a cluster
       layout; large parquet files there byte-range-split into many
       tasks, so no exchange is forced onto a 100-TB scan.
-    - fewer LOCAL files: the single-file/single-row-group extract this
-      guard exists for — repartition the narrow projection.
-    - no input files (in-memory test relations) or listing unavailable:
-      repartition; the data is driver-created and tiny by construction.
+    - fewer LOCAL files: estimate the actual scan-task count from file
+      size vs ``spark.sql.files.maxPartitionBytes`` capped by parquet
+      row-group count — a single LARGE local file that already splits
+      into >= target tasks is left alone; the single-row-group extract
+      this guard exists for is repartitioned.
+    - no input files (in-memory test relations): repartition only if
+      the RDD lineage reports fewer than target partitions (the data
+      is driver-created and tiny by construction, so the ``df.rdd``
+      probe is cheap here).
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
-        return df.repartition(target)
+        files = []
     if len(files) >= target:
         return df
     if files and any(not f.startswith("file:") for f in files):
         return df
+    if files:
+        try:
+            if _estimated_local_scan_tasks(spark, files) >= target:
+                return df
+        except OSError:
+            pass  # unreadable path metadata: fall through to repartition
+        return df.repartition(target)
+    # No listable input files: in-memory relation (or listing failed).
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target)

@@ -48,11 +48,14 @@ _REL_NS = (
 _CELL_REF = re.compile(r"([A-Z]+)(\d+)")
 
 
-def _col_index(ref: str) -> int:
-    """A1-style column letters -> 0-based index (A=0, Z=25, AA=26)."""
-    m = _CELL_REF.match(ref)
+def _col_index(ref: str | None) -> int | None:
+    """A1-style column letters -> 0-based index (A=0, Z=25, AA=26).
+    None for a missing/unparsable ref: the r= attribute is optional in
+    ECMA-376, and an unreferenced cell occupies the column after the
+    previous cell (the caller tracks that running position)."""
+    m = _CELL_REF.match(ref) if ref else None
     if not m:
-        return 0
+        return None
     n = 0
     for ch in m.group(1):
         n = n * 26 + (ord(ch) - ord("A") + 1)
@@ -88,6 +91,9 @@ def _first_sheet_path(zf: zipfile.ZipFile) -> str:
         )
         target = rel_targets.get(rid)
         if target:
+            # OPC rel targets may be package-absolute ("/xl/...") or
+            # relative to xl/ ("worksheets/sheet1.xml").
+            target = target.lstrip("/")
             return target if target.startswith("xl/") else f"xl/{target}"
     return "xl/worksheets/sheet1.xml"
 
@@ -122,8 +128,11 @@ def parse_xlsx_bytes(data: bytes) -> list[list[str | None]]:
     rows: list[list[str | None]] = []
     for row in sheet.iter(f"{_NS}row"):
         cells: list[str | None] = []
+        pos = 0  # running column: cells without r= occupy the next slot
         for c in row.iter(f"{_NS}c"):
-            idx = _col_index(c.get("r", ""))
+            idx = _col_index(c.get("r"))
+            if idx is None:
+                idx = pos
             while len(cells) < idx:
                 cells.append(None)
             val = _cell_value(c, shared)
@@ -131,6 +140,7 @@ def parse_xlsx_bytes(data: bytes) -> list[list[str | None]]:
                 cells.append(val)
             else:  # malformed duplicate ref: last write wins
                 cells[idx] = val
+            pos = idx + 1
         rows.append(cells)
     return rows
 
@@ -176,20 +186,21 @@ def read_excel(
     if schema is not None:
         out_names = [f.name for f in schema.fields]
     else:
-        # peek one workbook on the driver for column names (header-only
-        # read of the smallest file; the data parse stays distributed)
-        import glob as _glob
-        import os
-
-        candidates = sorted(
-            _glob.glob(os.path.join(path, "*.xlsx"))
-            if os.path.isdir(path)
-            else _glob.glob(path)
+        # infer column names by pulling ONE workbook through the same
+        # binaryFile scan the data parse uses — works for any path the
+        # cluster can read (s3a://, hdfs://, local), not just driver-
+        # local files; the data parse itself stays distributed
+        first = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.xlsx")
+            .load(path)
+            .select("content")
+            .limit(1)
+            .collect()
         )
-        if not candidates:
+        if not first:
             raise FileNotFoundError(f"no .xlsx under {path}")
-        with open(candidates[0], "rb") as fh:
-            out_names, _ = _workbook_records(fh.read(), null_values)
+        out_names, _ = _workbook_records(bytes(first[0]["content"]), null_values)
 
     str_schema = T.StructType([T.StructField(n, T.StringType()) for n in out_names])
 

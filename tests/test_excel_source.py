@@ -159,6 +159,61 @@ def test_read_excel_distributed_many_files(spark):
     assert got[6]["name"] == "row6"
 
 
+def _write_xlsx_raw(path: str, sheet_xml: str, wb_rels: str = _WORKBOOK_RELS) -> None:
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("_rels/.rels", _ROOT_RELS)
+        zf.writestr("xl/workbook.xml", _WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+
+
+def test_cells_without_ref_attribute_occupy_consecutive_columns():
+    """The r= attribute is optional in ECMA-376; some writers omit it.
+    Unreferenced cells must take consecutive columns (and resume after
+    an explicit ref), not all collapse onto column 0."""
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        # row 1: no refs at all -> columns 0,1,2
+        '<row><c t="inlineStr"><is><t>a</t></is></c>'
+        '<c t="inlineStr"><is><t>b</t></is></c>'
+        '<c t="inlineStr"><is><t>c</t></is></c></row>'
+        # row 2: explicit C2 then an unreferenced cell -> column 3
+        '<row r="2"><c r="A2"><v>1</v></c><c r="C2"><v>3</v></c>'
+        "<c><v>4</v></c></row>"
+        "</sheetData></worksheet>"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "noref.xlsx")
+        _write_xlsx_raw(p, sheet)
+        with open(p, "rb") as fh:
+            rows = parse_xlsx_bytes(fh.read())
+    assert rows[0] == ["a", "b", "c"]
+    assert rows[1] == ["1", None, "3", "4"]
+
+
+def test_absolute_rel_target_resolves():
+    """OPC rel targets may be package-absolute ('/xl/...')."""
+    abs_rels = _WORKBOOK_RELS.replace(
+        'Target="worksheets/sheet1.xml"', 'Target="/xl/worksheets/sheet1.xml"'
+    )
+    assert 'Target="/xl/' in abs_rels
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>hdr</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>7</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "abs.xlsx")
+        _write_xlsx_raw(p, sheet, wb_rels=abs_rels)
+        with open(p, "rb") as fh:
+            rows = parse_xlsx_bytes(fh.read())
+    assert rows == [["hdr"], ["7"]]
+
+
 def test_read_excel_infers_header_without_schema(spark):
     with tempfile.TemporaryDirectory() as d:
         write_xlsx(

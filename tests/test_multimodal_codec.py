@@ -133,13 +133,113 @@ def test_spark_lane_decodes_real_png(spark):
         assert len(px) == 6 * 4 * c
 
 
-def test_non_png_still_gated(spark):
+def test_unknown_format_still_gated(spark):
+    # GIF magic: neither PNG nor JPEG — real-decode mode must refuse.
     media = spark.createDataFrame(
-        [(1, bytearray(b"\xff\xd8\xff not a png"), "image/jpeg", 14)],
+        [(1, bytearray(b"GIF89a not decodable"), "image/gif", 20)],
         "doc_id long, payload binary, mime string, n_bytes long",
     )
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         extract_features(media, fake_decode=False).collect()
+
+
+def test_jpeg_meta_marker_walk():
+    from aws_csp_datapipeline_spark.functions import jpeg_meta as J
+
+    data = J.make_jpeg(1024, 768, 3)
+    assert J.is_jpeg(data)
+    assert J.jpeg_meta(data) == (1024, 768, 3)
+    assert J.jpeg_meta(J.make_jpeg(31, 7, 1)) == (31, 7, 1)
+
+    # Progressive JPEG (SOF2, 0xC2) with fill bytes before the marker
+    # and an RST standalone marker in between — the walk must skip both.
+    sof0 = J.make_jpeg(640, 480, 3)
+    body = sof0[2:-2]  # APP0 + SOF0 segments
+    progressive = (
+        b"\xff\xd8" + b"\xff\xd0"          # RST0 standalone (no length)
+        + b"\xff\xff" + body.replace(b"\xff\xc0", b"\xff\xc2", 1)
+        + b"\xff\xd9"
+    )
+    assert J.jpeg_meta(progressive) == (640, 480, 3)
+
+    # Truncated/malformed streams raise ValueError, never parse garbage.
+    with pytest.raises(ValueError):
+        J.jpeg_meta(b"\xff\xd8\xff\xe0\x00")      # truncated length
+    with pytest.raises(ValueError):
+        J.jpeg_meta(b"\xff\xd8\xff\xda\x00\x04ab")  # SOS before any SOF
+    with pytest.raises(ValueError):
+        J.jpeg_meta(b"\xff\xd8garbage")            # no marker where required
+
+
+def test_spark_lane_parses_real_jpeg(spark):
+    """mm1-style feature extraction with fake_decode=False over JPEG
+    bytes — the SOF header walk runs inside the mapInPandas lane."""
+    from aws_csp_datapipeline_spark.functions import jpeg_meta as J
+
+    imgs = [
+        (1, J.make_jpeg(1920, 1080, 3)),
+        (2, J.make_jpeg(64, 64, 1)),
+        (3, P.encode_png(_gradient(9, 6, 3), 9, 6, 3)),  # mixed formats
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(d), "image/*", len(d)) for i, d in imgs],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    feats = {r["doc_id"]: r for r in extract_features(media, fake_decode=False).collect()}
+    assert (feats[1]["width"], feats[1]["height"], feats[1]["channels"]) == (1920, 1080, 3)
+    assert (feats[2]["width"], feats[2]["height"], feats[2]["channels"]) == (64, 64, 1)
+    assert (feats[3]["width"], feats[3]["height"], feats[3]["channels"]) == (9, 6, 3)
+
+
+def test_corrupt_payloads_fall_back_not_fail(spark):
+    """A payload matching a codec's magic bytes but corrupt must not
+    kill the job under fake_decode=True (falls back to the fake lane /
+    zero features) and must raise under fake_decode=False."""
+    from aws_csp_datapipeline_spark.functions.multimodal import (
+        extract_audio_features,
+        extract_video_meta,
+    )
+
+    bad_png = b"\x89PNG\r\n\x1a\n" + b"garbage-after-signature"
+    bad_jpeg = b"\xff\xd8\xff\xe0\x00"  # truncated APP0 length
+    bad_wav = b"RIFF\x00\x00\x00\x00WAVEgarbage"
+
+    # ftyp + moov(mvhd) whose mvhd body is truncated at file end, so
+    # the timescale/duration unpack reads past the payload.
+    def _box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    bad_mp4 = _box(b"ftyp", b"isom") + _box(b"moov", _box(b"mvhd", b"\x00" * 4))
+
+    imedia = spark.createDataFrame(
+        [(1, bytearray(bad_png), "image/png", 0),
+         (2, bytearray(bad_jpeg), "image/jpeg", 0)],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    rows = extract_features(imedia, fake_decode=True).collect()
+    assert len(rows) == 2 and all(r["width"] > 0 for r in rows)
+    with pytest.raises(Exception):
+        extract_features(imedia, fake_decode=False).collect()
+    rrows = resize_images(imedia, 4, 3, fake_decode=True).collect()
+    assert len(rrows) == 2 and all(len(r["payload"]) == 12 for r in rrows)
+
+    amedia = spark.createDataFrame(
+        [(1, bytearray(bad_wav), "audio/wav", 0)],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    arows = extract_audio_features(amedia, fake_decode=True).collect()
+    assert len(arows) == 1 and arows[0]["n_frames"] == 0
+    with pytest.raises(Exception):
+        extract_audio_features(amedia, fake_decode=False).collect()
+
+    vmedia = spark.createDataFrame(
+        [(1, bytearray(bad_mp4), "video/mp4", 0)],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    vrows = extract_video_meta(vmedia, fake_decode=True).collect()
+    assert len(vrows) == 1 and vrows[0]["n_tracks"] == 0
+    with pytest.raises(Exception):
+        extract_video_meta(vmedia, fake_decode=False).collect()
 
 
 def test_wav_roundtrip_and_features():

@@ -126,14 +126,35 @@ def test_auto_broadcast_still_kicks_in_at_test_scale(spark, sf_oracle):
 
 def test_results_unchanged_by_join_strategy(spark, sf_oracle):
     """The join-strategy change is physical only: q3's rows are
-    identical with and without size-based broadcast."""
+    identical with and without size-based broadcast. Both thresholds
+    are pinned explicitly for EACH run — the no_auto_broadcast module
+    fixture may still have broadcast disabled when this test runs, so
+    relying on the ambient value would make the comparison vacuous
+    (both runs broadcast-free)."""
     by_name = {s.name: s for s in specs()}
     fn = by_name["q3_shipping_priority"].fn
-    with_auto = [tuple(r) for r in fn(spark, sf_oracle).collect()]
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    old = {k: spark.conf.get(k, None) for k in keys}
+
+    def _run(threshold: str):
+        for k in keys:
+            spark.conf.set(k, threshold)
+        return [tuple(r) for r in fn(spark, sf_oracle).collect()]
+
     try:
-        without_auto = [tuple(r) for r in fn(spark, sf_oracle).collect()]
+        with_auto = _run(str(64 * 1024 * 1024))
+        # the with_auto leg must actually broadcast, else this test
+        # compares identical physical plans and proves nothing
+        plan = _physical_plan(fn(spark, sf_oracle))
+        assert _broadcast_count(plan) >= 1, plan
+        without_auto = _run("-1")
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     assert with_auto == without_auto
