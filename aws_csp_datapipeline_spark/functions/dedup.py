@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from aws_csp_datapipeline_spark.functions.text import fingerprint, tokens
 from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
@@ -99,7 +100,16 @@ def ngram_jaccard_pairs(
     count common shingles per pair, then J = common / (|A|+|B|-common).
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = _shingle_table(df, text_col, id_col, n).cache()
+    # The shingle table feeds both the size table and the exploded
+    # self-join. MEMORY_AND_DISK explicitly: shingles are wider than
+    # the input text, so memory-only caching would silently recompute
+    # the shingling on eviction at corpus scale. The returned plan is
+    # lazy, so the consumer's first action materializes the cache;
+    # blocks are released when the plan is garbage-collected (Spark's
+    # ContextCleaner) or the caller unpersists.
+    sh = _shingle_table(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.select("doc", F.size("sh").alias("n_sh"))
     ex = sh.select("doc", F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -219,8 +229,11 @@ def minhash_lsh_pairs(
     """
     r = k // bands
     # the shingle table feeds the signature build AND both sides of
-    # the verification join — materialize it once (spills if large)
-    sh = _shingle_table(df, text_col, id_col, n).cache()
+    # the verification join — materialize it once, spilling to disk
+    # rather than recomputing on eviction (see ngram_jaccard_pairs)
+    sh = _shingle_table(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sig = _minhash_array(sh, k)
     band_cols = F.array(
         *[
@@ -286,7 +299,7 @@ def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
         .repartition(nparts, "a")
-        .cache()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.select(F.col("a").alias("doc")).distinct().withColumn(
         "grp", F.col("doc")
@@ -313,6 +326,10 @@ def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # This operator OWNS the consuming actions (the eager checkpoints
+    # above), so it releases its cache before returning: the final
+    # labels are checkpointed and no longer depend on the edge list.
+    edges.unpersist(blocking=False)
     return labels.select(F.col("doc"), F.col("grp").alias("group_id"))
 
 

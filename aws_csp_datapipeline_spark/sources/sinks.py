@@ -16,13 +16,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def json_envelope(df: DataFrame, limit: int | None = None) -> str:
+def json_envelope(
+    df: DataFrame, limit: int | None = None, allow_full_collect: bool = False
+) -> str:
     """``{total_count, records}`` envelope. total_count is computed
     distributed; only ``limit`` records are collected (the reference
     caps interactive results at LIMIT 150,
-    sql/ddl_create_tables.sql:36)."""
+    sql/ddl_create_tables.sql:36).
+
+    This is the one deliberate ``.collect()`` in the codebase — an
+    API-parity endpoint for bounded interactive results, not a query
+    operator. Misuse guard: with ``limit=None`` the WHOLE result ships
+    to the driver, so an unbounded collect must be opted into with
+    ``allow_full_collect=True``; otherwise this raises instead of
+    OOM-ing the driver on a corpus-scale plan."""
+    if limit is None and not allow_full_collect:
+        raise ValueError(
+            "json_envelope without a limit collects the entire result "
+            "on the driver; pass limit=N (the reference caps at 150) "
+            "or explicitly opt in with allow_full_collect=True"
+        )
     total = df.count()
-    rows = (df.limit(limit) if limit else df).toJSON().collect()
+    rows = (df.limit(limit) if limit is not None else df).toJSON().collect()
     return json.dumps({"total_count": total, "records": [json.loads(r) for r in rows]})
 
 

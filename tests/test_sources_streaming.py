@@ -5,6 +5,8 @@ import json
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_csp_datapipeline_spark.sources.csv_source import read_messy_csv
@@ -46,9 +48,23 @@ def test_messy_csv_roundtrip(spark):
 
 def test_json_envelope(spark, sf_smoke):
     nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
-    env = json.loads(json_envelope(nation.filter(F.col("n_nationkey") < 3)))
+    filtered = nation.filter(F.col("n_nationkey") < 3)
+    env = json.loads(json_envelope(filtered, limit=150))
     assert env["total_count"] == 3
     assert {r["n_nationkey"] for r in env["records"]} == {0, 1, 2}
+
+    # limit=0 is a legitimate bound (count-only envelope), not a
+    # truthiness edge that silently full-collects
+    env0 = json.loads(json_envelope(filtered, limit=0))
+    assert env0["total_count"] == 3 and env0["records"] == []
+
+
+def test_json_envelope_guards_full_collect(spark, sf_smoke):
+    nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    with pytest.raises(ValueError, match="allow_full_collect"):
+        json_envelope(nation)
+    env = json.loads(json_envelope(nation, allow_full_collect=True))
+    assert env["total_count"] == 25 and len(env["records"]) == 25
 
 
 def test_json_lines_distributed(spark, sf_smoke):
