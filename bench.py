@@ -10,15 +10,17 @@ Single-run timings at this scale are dominated by machine noise: three
 back-to-back runs of identical round-4 code on this host totalled
 33.0 / 40.4 / 39.8 s (±20 %), with per-query swings up to 65 % on
 queries whose code had not changed (see SCALE.md "Bench variance").
-Each query therefore runs $SPARK_GRAFT_BENCH_REPS times (default 2)
+Each query therefore runs $SPARK_GRAFT_BENCH_REPS times (default 3)
 and reports the per-query MIN — the capability number, stable across
-runs — plus per-rep totals so the spread stays visible.
+runs — plus the per-query MEDIAN (``queries_median``; the
+expected-case number) and per-rep totals so the spread stays visible.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -79,8 +81,8 @@ def main() -> None:
     # Warm-up: touch the session and parquet footers once, not timed.
     qs[names[0]](spark, sf_dir).count()
 
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    timings: dict[str, float] = {}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in names}
     rep_totals: list[float] = []
     for _ in range(reps):
         rep_total = 0.0
@@ -89,11 +91,11 @@ def main() -> None:
             qs[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
             rep_total += dt
-            prev = timings.get(name)
-            if prev is None or dt < prev:
-                timings[name] = round(dt, 4)
+            samples[name].append(dt)
         rep_totals.append(round(rep_total, 4))
 
+    timings = {n: round(min(s), 4) for n, s in samples.items()}
+    medians = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -102,6 +104,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "median_total": round(sum(medians.values()), 4),
                 "sf": sf,
                 "reps": reps,
                 "rep_totals": rep_totals,
