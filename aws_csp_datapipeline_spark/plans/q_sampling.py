@@ -286,6 +286,127 @@ def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pipe4_sql() -> str:
+    from aws_csp_datapipeline_spark.plans.q_text import (
+        BIGRAM_LOGPROB_SQL,
+        QUALITY_EXPR_SQL,
+    )
+
+    trigram_list = (
+        "list_transform(list_zip(t[:-3], t[2:-2], t[3:]), "
+        "z -> z[1] || ' ' || z[2] || ' ' || z[3])"
+    )
+    return rf"""
+    WITH tok AS (
+      SELECT doc_id, source, lang, text,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+             {QUALITY_EXPR_SQL} AS q
+      FROM documents
+    ),
+    rowgate AS (
+      SELECT doc_id, source, lang, text, q
+      FROM tok
+      WHERE q >= 0.35
+        AND (len(t) < 3 OR
+             1.0 - CAST(len(list_distinct({trigram_list})) AS DOUBLE)
+                 / len({trigram_list}) <= 0.02)
+    ),
+    lm AS ({BIGRAM_LOGPROB_SQL}),
+    lmkeep AS (
+      SELECT doc_id FROM lm WHERE n_bigrams >= 12 AND avg_logprob >= -3.42
+    ),
+    gated AS (SELECT r.* FROM rowgate r JOIN lmkeep USING (doc_id)),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(lower(text))
+    ),
+    deduped AS (SELECT g.* FROM gated g JOIN canon c USING (doc_id)),
+    capped AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY q DESC, doc_id) AS rk
+        FROM deduped
+      ) WHERE rk <= 15
+    ),
+    final AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                  THEN 'train' ELSE 'test' END AS split,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n
+      FROM capped
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM final GROUP BY split, lang
+    """
+
+
+@register("pipe4_full_curation", _pipe4_sql())
+def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline, raw docs → train-ready summary in
+    ONE lazy plan, threading every gate this repo ships (pipe1 plus
+    the round-5-requested composition):
+
+      quality floor (t2) → Gopher repeated-trigram gate (t20) →
+      bigram-LM fluency gate (t19, LM fit on the full corpus) →
+      exact dedup (d1) → per-source cap (tt10) → deterministic
+      split (tt1) → per-(split, lang) doc/token summary.
+
+    Shuffle budget at any corpus size: the LM's two vocab-scale
+    aggregations (AQE broadcasts the model back onto per-doc rows),
+    one fingerprint agg + semi-join for dedup, one hash shuffle on
+    ``source`` for the cap window, one summary agg. The per-row gates
+    (quality, repetition) are codegen'd projections that prune the
+    corpus BEFORE any shuffle; document bodies never move except
+    into the cap window's per-group sort, which the tt10 docstring's
+    two-phase top-K rewrite removes for pathological mega-sources."""
+    from aws_csp_datapipeline_spark.functions import text as X
+    from aws_csp_datapipeline_spark.functions.dedup import exact_dedup
+    from aws_csp_datapipeline_spark.plans.q_text import doc_bigram_logprob
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = F.element_at(
+        F.transform(
+            F.array(X.trigrams(F.col("text"))),
+            lambda gs: F.struct(
+                F.size(gs).alias("n"),
+                F.size(F.array_distinct(gs)).alias("nd"),
+            ),
+        ),
+        1,
+    )
+    rowgate = (
+        d.select(
+            "doc_id", "source", "lang", "text",
+            X.quality_score(F.col("text")).alias("__q"),
+            stats.alias("__s"),
+        )
+        .filter(F.col("__q") >= 0.35)
+        .filter(
+            (F.col("__s.n") == 0)
+            | (
+                F.lit(1.0)
+                - F.col("__s.nd").cast("double") / F.col("__s.n").cast("double")
+                <= 0.02
+            )
+        )
+        .drop("__s")
+    )
+    lmkeep = doc_bigram_logprob(d).filter(
+        (F.col("n_bigrams") >= 12) & (F.col("avg_logprob") >= -3.42)
+    ).select("doc_id")
+    gated = rowgate.join(lmkeep, "doc_id", "left_semi")
+    deduped = exact_dedup(gated, "text", "doc_id")
+    w = Window.partitionBy("source").orderBy(F.desc("__q"), F.asc("doc_id"))
+    capped = (
+        deduped.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 15)
+    )
+    final = SMP.hash_split(capped, "doc_id", 0.75)
+    return final.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
 @register(
     "tt8_ngram_decontaminate",
     """

@@ -56,6 +56,7 @@ HEADLINE = [
     "tt6_greedy_pack",
     "tt7_weighted_sample",
     "pipe1_curation_pipeline",
+    "pipe4_full_curation",
     "t12_bm25_topdocs",
     "tt8_ngram_decontaminate",
     "pm4_last_touch_attribution",
