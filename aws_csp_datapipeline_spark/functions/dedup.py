@@ -59,6 +59,66 @@ def word_shingles(col, n: int = 3):
     )
 
 
+def tiled_spans(col, width: int = 10):
+    """Non-overlapping ``width``-token span strings of lowered text
+    (array column) — the unit of exact substring/passage dedup (the
+    "Deduplicating Training Data Makes Language Models Better"
+    operator family works on fixed token spans, not whole docs).
+    Same bound-once token-array wrapper as ``word_shingles``."""
+
+    def spans_of(t):
+        return F.when(
+            F.size(t) >= width,
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor(F.size(t) / width).cast("int") - 1
+                ),
+                lambda j: F.concat_ws(" ", F.slice(t, j * width + 1, width)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), spans_of), 1)
+
+
+def duplicate_passage_stats(
+    df: DataFrame, text_col: str, id_col: str, width: int = 10
+) -> DataFrame:
+    """Per-document duplicated-passage statistics: tile each doc into
+    non-overlapping ``width``-token spans, count corpus-wide span
+    occurrences, and report per doc how many of its spans occur more
+    than once anywhere (doc_id, n_spans, n_dup_spans, dup_frac).
+    Docs shorter than ``width`` tokens have no spans and drop out.
+
+    Shuffle shape: one explode (1/width of the token count — tiling,
+    not sliding), one narrow count aggregate keyed by span, one join
+    back, one per-doc aggregate. At 100 TB the span key becomes a
+    128-bit fingerprint and the >1-occurrence span set (tiny relative
+    to the corpus) ships as a broadcast/bloom filter instead of the
+    equi-join; the span strings here stay verbatim so the DuckDB
+    oracle can restate the query exactly."""
+    narrow = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    )
+    ex = narrow.select(
+        "doc", F.explode(tiled_spans(F.col("__text"), width)).alias("span")
+    )
+    counts = ex.groupBy("span").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        ex.join(counts, "span")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_occ") > 1).cast("int")).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.sum((F.col("n_occ") > 1).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .withColumnRenamed("doc", "doc_id")
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-id row per content fingerprint.
 
@@ -78,16 +138,30 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(keep, id_col, "left_semi")
 
 
-def _shingle_table(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int, hashed: bool = False
+) -> DataFrame:
     # shingle expr guards short docs itself → exactly ONE regex split
     # per row; the too-short docs drop on the (cheap) array-size check.
     # Shingling is the per-row-expensive step, so spread the (id, text)
     # projection across all cores first (no-op on parallel scans).
+    #
+    # hashed=True maps each distinct shingle string to its xxhash64 —
+    # the representation the LSH path uses: 8-byte fixed-width keys
+    # instead of ~n-word strings make the cached table, the shuffle of
+    # the verification join, and array_intersect all several-fold
+    # cheaper, while Jaccard counts are unchanged short of a 64-bit
+    # collision (~1e-7 corpus-wide at millions of distinct shingles).
+    # The exact/oracle path (ngram_jaccard_pairs) keeps the verbatim
+    # strings so DuckDB can restate it symbol for symbol.
     narrow = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
     )
+    sh = word_shingles(F.col("__text"), n)
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
     return (
-        narrow.select("doc", word_shingles(F.col("__text"), n).alias("sh"))
+        narrow.select("doc", sh.alias("sh"))
         .filter(F.size("sh") > 0)
     )
 
@@ -161,7 +235,9 @@ def _minhash_array(sh: DataFrame, k: int) -> DataFrame:
     unrolled columns, which keeps the generated code small (the
     unrolled form cost seconds of Janino compile on first run).
 
-    Hash family: each shingle is string-hashed ONCE (xxhash64, bound
+    Hash family: each shingle is hashed ONCE (xxhash64 — of the
+    string, or of the int64 fingerprint when the caller supplies a
+    hashed shingle table; either way the value is bound
     as a lambda variable so codegen cannot inline/re-run it per
     permutation), then each permutation is an integer universal hash
     (a_j·x + b_j) mod 2^31 — k multiply-adds per shingle. Products
@@ -230,8 +306,13 @@ def minhash_lsh_pairs(
     r = k // bands
     # the shingle table feeds the signature build AND both sides of
     # the verification join — materialize it once, spilling to disk
-    # rather than recomputing on eviction (see ngram_jaccard_pairs)
-    sh = _shingle_table(df, text_col, id_col, n).persist(
+    # rather than recomputing on eviction (see ngram_jaccard_pairs).
+    # hashed=True: the LSH path never needs the shingle strings, only
+    # equality — int64 fingerprints shrink the cache and the
+    # verification shuffle and turn array_intersect into long
+    # comparisons (A/B at sf1, warm: full d3 9.2 s → 4.5 s, same
+    # 2551 output pairs).
+    sh = _shingle_table(df, text_col, id_col, n, hashed=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sig = _minhash_array(sh, k)

@@ -227,3 +227,40 @@ def d8_redundancy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("redundancy_rate"),
     )
+
+
+_PASSAGE_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, CAST(floor(len(t) / 10) AS BIGINT)),
+               j -> array_to_string(t[(j-1)*10+1 : j*10], ' '))) AS span
+      FROM tok WHERE len(t) >= 10
+    ),
+    cnt AS (SELECT span, COUNT(*) AS n_occ FROM spans GROUP BY span)
+    SELECT doc_id, COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           ROUND(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM spans JOIN cnt USING (span)
+    GROUP BY doc_id
+"""
+
+
+@register("d9_duplicate_passages", _PASSAGE_SQL)
+def d9_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (passage) dedup statistics — the sub-document
+    granularity the doc-level dedup family (d1-d8) doesn't cover:
+    tile each document into non-overlapping 10-token spans and count,
+    per doc, how many of its spans occur more than once corpus-wide
+    (the Lee et al. train-set-dedup signal; docs with high dup_frac
+    are boilerplate carriers even when no WHOLE document matches).
+    See ``functions.dedup.duplicate_passage_stats`` for the shuffle
+    budget and the 100-TB fingerprint+bloom restatement."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.duplicate_passage_stats(d, "text", "doc_id", width=10)
