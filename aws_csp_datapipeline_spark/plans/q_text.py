@@ -379,12 +379,14 @@ def doc_bigram_logprob(d: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, avg_logprob) under the corpus's own bigram
     LM — t15's body, reusable by downstream curation queries (t19)."""
     # the exploded bigram table feeds three consumers (per-doc rows,
-    # bigram counts, first-word counts) — cache it so the documents
-    # scan + explode run once, not three times (spillable, job-scoped
-    # like the LSH shingle table)
+    # bigram counts, first-word counts) — materialize it once with
+    # explicit MEMORY_AND_DISK (same policy as the LSH shingle table:
+    # spill, don't recompute the explode on eviction)
+    from pyspark.storagelevel import StorageLevel
+
     bg = d.select(
         "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
-    ).cache()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
     uc = (
         bg.select(F.substring_index("bigram", " ", 1).alias("w1"))
