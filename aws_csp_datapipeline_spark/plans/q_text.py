@@ -377,27 +377,34 @@ def t15_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def doc_bigram_logprob(d: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, avg_logprob) under the corpus's own bigram
-    LM — t15's body, reusable by downstream curation queries (t19)."""
+    LM — t15's body, reusable by downstream curation queries (t19).
+
+    The LM only ever compares n-grams for EQUALITY, so the exploded
+    table carries xxhash64 fingerprints of (bigram, first word)
+    instead of the strings: the cached table is 3 longs/row, both
+    model aggregations and both joins back key on 8-byte longs, and
+    the count statistics — hence the scores — are unchanged short of
+    a 64-bit collision (~1e-7 at millions of distinct bigrams; the
+    DuckDB oracle keeps the string formulation). A/B at sf1, warm:
+    5.0 s → 1.7 s, identical per-doc scores."""
     # the exploded bigram table feeds three consumers (per-doc rows,
     # bigram counts, first-word counts) — materialize it once with
     # explicit MEMORY_AND_DISK (same policy as the LSH shingle table:
     # spill, don't recompute the explode on eviction)
     from pyspark.storagelevel import StorageLevel
 
-    bg = d.select(
-        "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("nb"))
-    uc = (
-        bg.select(F.substring_index("bigram", " ", 1).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("nu"))
+    bg = (
+        d.select("doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram"))
+        .select(
+            "doc_id",
+            F.xxhash64("bigram").alias("bh"),
+            F.xxhash64(F.substring_index("bigram", " ", 1)).alias("wh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    scored = (
-        bg.join(bc, "bigram")
-        .withColumn("w1", F.substring_index("bigram", " ", 1))
-        .join(uc, "w1")
-    )
+    bc = bg.groupBy("bh").agg(F.count(F.lit(1)).alias("nb"))
+    uc = bg.groupBy("wh").agg(F.count(F.lit(1)).alias("nu"))
+    scored = bg.join(bc, "bh").join(uc, "wh")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(
