@@ -38,6 +38,7 @@ HEADLINE = [
     "t2_quality_score",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
+    "d9_duplicate_passages",
     "s1_cosine_topk",
     "s2_knn_join",
     "st2_windowed_counts",
