@@ -572,3 +572,56 @@ def f16_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).cast("long").alias("shl2"),
         F.shiftright(k, 3).cast("long").alias("shr3"),
     )
+
+
+@register(
+    "f18_variant_extract",
+    """
+    SELECT CAST(props->>'k' AS INT) % 7 AS k_mod,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(props->>'k' AS INT)), 4) AS avg_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def f18_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON via Spark 4 VariantType — the engine-native
+    fast path for schemaless columns: ``parse_json`` builds the binary
+    variant ONCE per row, ``variant_get`` then extracts typed fields
+    without re-parsing (vs f10's ``get_json_object``, which re-runs
+    Jackson per extraction). Same oracle family as f10 on a different
+    rollup so both JSON lanes stay independently attested. At 100 TB
+    the variant column would be materialized at ingest so every
+    downstream read skips string parsing entirely."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("__k"))
+        .groupBy((F.col("__k") % 7).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__k"), 4).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "p10_collated_eq",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE lower(c_mktsegment) = 'building'
+    """,
+)
+def p10_collated_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive predicate via Spark 4 COLLATIONS: compare
+    under UTF8_LCASE instead of wrapping both sides in lower() (the
+    p8 idiom). Collated comparisons keep the column's original bytes
+    (no derived expression), stay codegen'd, and — unlike the lower()
+    rewrite — compose with ORDER BY/GROUP BY semantics when a whole
+    column is declared case-insensitive. The oracle states the
+    equivalent lower() form."""
+    c = load_table(spark, sf_dir, "customer")
+    coll = F.collate(F.col("c_mktsegment"), "UTF8_LCASE")
+    return c.filter(coll == F.collate(F.lit("building"), "UTF8_LCASE")).select(
+        "c_custkey", "c_mktsegment"
+    )
