@@ -171,3 +171,58 @@ def test_watermark_drops_late_rows(spark):
         # the late 100.0 at 10:05 must NOT appear in the 10:00 window
         assert rows.get(10) == 1.0
         assert all(v < 100.0 for v in rows.values())
+
+
+def test_transform_with_state_matches_batch(spark):
+    """transformWithStateInPandas (the Spark 4 named-state API) must
+    carry state across micro-batches exactly like the
+    applyInPandasWithState twin: the last update per user equals the
+    batch aggregate. Skipped (with the gate asserted) when protobuf —
+    required by the state-server driver worker — is absent."""
+    import pytest
+
+    from aws_csp_datapipeline_spark.streaming.stateful import (
+        batch_user_totals,
+        have_transform_with_state,
+        running_user_totals_tws,
+    )
+
+    if not have_transform_with_state():
+        with tempfile.TemporaryDirectory() as empty:
+            stream = spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            ).parquet(empty)
+            with pytest.raises(NotImplementedError, match="protobuf"):
+                running_user_totals_tws(stream)
+        pytest.skip("protobuf not installed: transformWithState gated")
+
+    with tempfile.TemporaryDirectory() as td:
+        df, landing = _landing_two_batches(spark, td)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        out = running_user_totals_tws(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("running_totals_tws")
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(td, "ckpt_tws"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        final = {}
+        for r in spark.sql("SELECT * FROM running_totals_tws").collect():
+            cur = final.get(r["user_id"])
+            row = (r["n_events"], r["total_value"], r["max_value"])
+            if cur is None or row[0] >= cur[0]:
+                final[r["user_id"]] = row
+        expected = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+            for r in batch_user_totals(df).collect()
+        }
+        assert final == expected
