@@ -11,17 +11,30 @@ InputPartition, so the fetch runs ON THE EXECUTORS, N pages in
 parallel, composing with every DataFrame operator downstream — the
 landing-zone ingest shape for API-backed corpora at scale.
 
+The STREAMING lane (``spark.readStream.format("paged_api")``) makes
+the page cursor a checkpointed streaming offset: each poll drains the
+currently-available pages, commits advance the cursor, and a restart
+resumes from the last committed page — the reference's event-driven
+incremental ingest (S7) for API-backed upstreams, with exactly-once
+delivery proven across restarts in the tests.
+
 The demo endpoint here is deterministic and in-process (this sandbox
 has no network): page i yields ``page_size`` records derived from
-(i, j) alone. The partition-planning, option-passing, and
-executor-side iteration — the parts that ARE the Data Source API —
-are real and tested (tests/test_api_source.py); swapping the record
-generator for an HTTP client changes no Spark-facing code.
+(i, j) alone. The partition-planning, option-passing, offset
+management, and executor-side iteration — the parts that ARE the
+Data Source API — are real and tested (tests/test_api_source.py);
+swapping the record generator for an HTTP client changes no
+Spark-facing code.
 """
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class PagedApiDataSource(DataSource):
@@ -40,6 +53,9 @@ class PagedApiDataSource(DataSource):
     def reader(self, schema) -> "PagedApiReader":
         return PagedApiReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "PagedApiStreamReader":
+        return PagedApiStreamReader(self.options)
+
 
 class PagedApiReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -56,6 +72,46 @@ class PagedApiReader(DataSourceReader):
         for j in range(self.page_size):
             rec_id = page * self.page_size + j
             yield (page, rec_id, f"rec-{rec_id:08d}")
+
+
+class PagedApiStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the same source: the NextToken cursor IS the
+    streaming offset. Each micro-batch fetches the next unseen page;
+    the page cursor is checkpointed with the query, so a restart
+    resumes exactly where the last commit left off (the exactly-once
+    contract of the reference's event-driven ingest, S7, for an
+    API-backed upstream). ``readBetweenOffsets`` replays a committed
+    page range deterministically for recovery."""
+
+    def __init__(self, options) -> None:
+        self.n_pages = int(options.get("pages", 4))
+        self.page_size = int(options.get("page_size", 100))
+
+    def _page_rows(self, page: int):
+        for j in range(self.page_size):
+            rec_id = page * self.page_size + j
+            yield (page, rec_id, f"rec-{rec_id:08d}")
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def read(self, start):
+        page = start["page"]
+        if page >= self.n_pages:
+            # cursor drained: no new data. MUST be a real iterator —
+            # the prefetch wrapper probes emptiness with next().
+            return iter([]), start
+        # drain every currently-available page (a poll), returning a
+        # concrete list, not a generator: the prefetch cache
+        # copy.copy()s the batch when planning partitions
+        rows = [
+            r for p in range(page, self.n_pages) for r in self._page_rows(p)
+        ]
+        return rows, {"page": self.n_pages}
+
+    def readBetweenOffsets(self, start, end):
+        for page in range(start["page"], end["page"]):
+            yield from self._page_rows(page)
 
 
 def register_paged_api(spark) -> None:

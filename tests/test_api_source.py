@@ -61,3 +61,43 @@ def test_paged_api_composes_downstream(spark):
         .collect()
     )
     assert [(r["page"], r["n_even"]) for r in out] == [(0, 5), (1, 5), (2, 5)]
+
+
+def test_paged_api_streaming_drains_and_restarts_exactly_once(spark, tmp_path):
+    """Streaming lane: the page cursor is the checkpointed offset.
+    Run 1 sees 2 pages and lands them; two more pages 'arrive' (the
+    source reports pages=4) and run 2 on the SAME checkpoint must
+    land ONLY the new pages — no replay, no gap; run 3 with no new
+    pages lands nothing."""
+    register_paged_api(spark)
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once(pages):
+        stream = (
+            spark.readStream.format("paged_api")
+            .option("pages", pages)
+            .option("page_size", 25)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(pages=2)
+    first = spark.read.parquet(sink)
+    assert first.count() == 50
+    assert first.select("rec_id").distinct().count() == 50
+
+    run_once(pages=4)  # pages 2-3 arrived since the last commit
+    second = spark.read.parquet(sink)
+    assert second.count() == 100
+    assert second.select("rec_id").distinct().count() == 100  # no dupes
+
+    run_once(pages=4)  # cursor drained: nothing reprocessed
+    assert spark.read.parquet(sink).count() == 100
