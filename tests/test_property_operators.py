@@ -300,3 +300,84 @@ def test_asof_nearest_matches_merge_asof(spark, left, right):
         for r in exp_df.itertuples()
     }
     assert got == exp
+
+
+# --- jpeg_meta: SOF walk vs the constructive header builder ---------------
+
+@given(
+    w=st.integers(1, 65535),
+    h=st.integers(1, 65535),
+    c=st.integers(1, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_meta_roundtrips_constructed_headers(w, h, c):
+    from aws_csp_datapipeline_spark.functions import jpeg_meta as J
+
+    assert J.jpeg_meta(J.make_jpeg(w, h, c)) == (w, h, c)
+
+
+@given(tail=st.binary(max_size=256))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_meta_never_hangs_or_misparses_garbage(tail):
+    """Any byte tail after a valid SOI either parses to a plausible
+    SOF tuple or raises ValueError — never loops, never returns
+    garbage dimensions like 0."""
+    from aws_csp_datapipeline_spark.functions import jpeg_meta as J
+
+    payload = b"\xff\xd8" + tail
+    try:
+        w, h, c = J.jpeg_meta(payload)
+    except ValueError:
+        return
+    assert w > 0 and h > 0 and c > 0
+
+
+@given(tail=st.binary(max_size=64))
+@settings(max_examples=30, deadline=None)
+def test_non_jpeg_rejected(tail):
+    from aws_csp_datapipeline_spark.functions import jpeg_meta as J
+
+    payload = b"\x00\x00" + tail  # no SOI
+    assert not J.is_jpeg(payload)
+    with pytest.raises(ValueError):
+        J.jpeg_meta(payload)
+
+
+# --- tiled_spans: Spark expression vs plain python ------------------------
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"),  # tiny vocab, many dups
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    width=st.integers(2, 5),
+)
+@settings(**SETTINGS)
+def test_tiled_spans_match_python(spark, texts, width):
+    from aws_csp_datapipeline_spark.functions.dedup import tiled_spans
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["spans"]
+        for r in df.select(
+            "doc_id", tiled_spans(F.col("text"), width).alias("spans")
+        ).collect()
+    }
+
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split()
+        if t.strip() == "" or len(toks) < width:
+            expected = []
+        else:
+            expected = [
+                " ".join(toks[j * width : (j + 1) * width])
+                for j in range(len(toks) // width)
+            ]
+        assert got[i] == expected, (i, t)
