@@ -91,16 +91,24 @@ def duplicate_passage_stats(
 
     Shuffle shape: one explode (1/width of the token count — tiling,
     not sliding), one narrow count aggregate keyed by span, one join
-    back, one per-doc aggregate. At 100 TB the span key becomes a
-    128-bit fingerprint and the >1-occurrence span set (tiny relative
-    to the corpus) ships as a broadcast/bloom filter instead of the
-    equi-join; the span strings here stay verbatim so the DuckDB
-    oracle can restate the query exactly."""
+    back, one per-doc aggregate. The span key is an xxhash64
+    fingerprint, not the ~width-word string — the count/join shuffles
+    move 8-byte longs, and occurrence counts (hence the output) are
+    unchanged short of a 64-bit collision; the DuckDB oracle states
+    the string formulation. At 100 TB the fingerprint widens to
+    128-bit and the >1-occurrence span set (tiny relative to the
+    corpus) additionally ships as a broadcast/bloom filter instead of
+    the equi-join."""
     narrow = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
     )
     ex = narrow.select(
-        "doc", F.explode(tiled_spans(F.col("__text"), width)).alias("span")
+        "doc",
+        F.explode(
+            F.transform(
+                tiled_spans(F.col("__text"), width), lambda s: F.xxhash64(s)
+            )
+        ).alias("span"),
     )
     counts = ex.groupBy("span").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
