@@ -362,6 +362,8 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_csp_datapipeline_spark.functions.dedup import exact_dedup
     from aws_csp_datapipeline_spark.plans.q_text import doc_bigram_logprob
 
+    from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
+
     d = load_table(spark, sf_dir, "documents")
     stats = F.element_at(
         F.transform(
@@ -373,8 +375,13 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
+    # quality + trigram stats are the per-row-expensive gates: spread
+    # the scan before evaluating them (no-op on parallel layouts)
     rowgate = (
-        d.select(
+        ensure_min_parallelism(
+            d.select("doc_id", "source", "lang", "text")
+        )
+        .select(
             "doc_id", "source", "lang", "text",
             X.quality_score(F.col("text")).alias("__q"),
             stats.alias("__s"),

@@ -393,8 +393,14 @@ def doc_bigram_logprob(d: DataFrame) -> DataFrame:
     # spill, don't recompute the explode on eviction)
     from pyspark.storagelevel import StorageLevel
 
+    from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
+
+    # the bigram build (regex split + zip) is the per-row-expensive
+    # step — spread the narrow (id, text) projection across cores
+    # first, or a single-row-group extract runs it on ONE task
     bg = (
-        d.select("doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram"))
+        ensure_min_parallelism(d.select("doc_id", "text"))
+        .select("doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram"))
         .select(
             "doc_id",
             F.xxhash64("bigram").alias("bh"),
