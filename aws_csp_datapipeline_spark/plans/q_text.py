@@ -450,7 +450,9 @@ def t20_gopher_repetition_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text.trigrams``) and consumed by size + array_distinct inside
     one bound struct, so nothing is recomputed, nothing explodes,
     and the operator is corpus-size-independent (no shuffle at all)."""
-    d = load_table(spark, sf_dir, "documents")
+    from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
+
+    d = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     stats = F.element_at(
         F.transform(
             F.array(X.trigrams(F.col("text"))),
