@@ -1,0 +1,88 @@
+"""Drive the driver-contract surface the way the round driver does:
+a VANILLA SparkSession (not this repo's tuned session) runs every
+registry query at the gate scale factor, DuckDB runs the paired
+oracle SQL on the same parquet, and sorted row tuples are compared.
+
+Usage:
+    python tools/verify_drive.py                 # attestation window (50)
+    python tools/verify_drive.py --all           # every registry query
+    python tools/verify_drive.py --names d3_minhash_lsh_pairs,tt8_...
+    python tools/verify_drive.py --sf-dir /root/testdata/sf0.01
+
+Exit code is the number of mismatches (0 = green).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    if repo_root not in sys.path:
+        sys.path.insert(0, repo_root)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--all", action="store_true", help="drive every query")
+    ap.add_argument("--names", default="", help="comma-separated subset")
+    ap.add_argument("--window", type=int, default=50,
+                    help="prefix size when not --all/--names")
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    print("entry rows:", e.entry(spark).count())
+    qs, osql = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    if args.names:
+        names = [n for n in args.names.split(",") if n]
+    elif args.all:
+        names = list(qs)
+    else:
+        names = list(qs)[: args.window]
+
+    bad = 0
+    for name in names:
+        try:
+            rows = sorted(map(tuple, qs[name](spark, args.sf_dir).collect()), key=str)
+        except Exception as exc:  # a query that cannot run is a failure
+            bad += 1
+            print(f"{name}: ERROR {type(exc).__name__}: {str(exc)[:200]}")
+            continue
+        if name in osql:
+            oracle = sorted(con.sql(osql[name]).fetchall(), key=str)
+            if rows != oracle:
+                bad += 1
+                print(f"{name}: MISMATCH spark={len(rows)} oracle={len(oracle)}")
+        else:
+            print(f"{name}: rows-only {len(rows)}")
+    print(f"checked: {len(names)}, mismatches: {bad}")
+    return bad
+
+
+if __name__ == "__main__":
+    sys.exit(main())
