@@ -289,7 +289,13 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, k: int = 32, n: int = 3
 ) -> DataFrame:
     """Per-doc MinHash signature table (see _signature_from_shingles
-    for the hash family and shuffle shape)."""
+    for the hash family and shuffle shape).
+
+    NOTE: this persistable artifact hashes the shingle STRINGS, while
+    ``minhash_lsh_pairs`` internally double-hashes int64 shingle
+    fingerprints — the two paths produce different (equally valid)
+    signature values. Persisted signatures are only comparable to
+    signatures built by the SAME path."""
     return _signature_from_shingles(_shingle_table(df, text_col, id_col, n), k)
 
 
