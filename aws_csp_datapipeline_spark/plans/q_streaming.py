@@ -175,13 +175,36 @@ def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_features(media, fake_decode=True)
 
 
-@register("mm2_frame_sample", None)
+@register(
+    "mm2_frame_sample",
+    """
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents),
+    f AS (
+      SELECT doc_id,
+             unnest(range(0, least(CAST(floor(length(ph) / 128) AS BIGINT),
+                                   8))) AS fi,
+             ph
+      FROM m WHERE length(ph) >= 128
+    )
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+           substring(ph, CAST(fi * 128 + 1 AS INT), 128) AS frame_hex
+    FROM f
+    """,
+)
 def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: frame-sampling explode over binary payloads (the
-    1→N video-frame shape) as pure column expressions."""
+    1→N video-frame shape) as pure column expressions. The library
+    operator returns binary frames; the registered query hex-encodes
+    them because DuckDB cannot byte-slice BLOBs — the oracle slices
+    the hex string at doubled offsets, so the BYTE semantics (not
+    character semantics: the corpus has multibyte text) are what gets
+    hash-compared."""
     d = load_table(spark, sf_dir, "documents")
     media = MM.to_media_column(d, "doc_id", "text")
-    return MM.frame_sample(media, every_n_bytes=64, max_frames=8)
+    frames = MM.frame_sample(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "doc_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )
 
 
 @register("st4_stream_stream_join", None)
@@ -344,16 +367,34 @@ def st7_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_upsert_cdc(spark, nation, landing, "n_nationkey")
 
 
-@register("mm3_resize_images", None)
+@register(
+    "mm3_resize_images",
+    """
+    WITH m AS (SELECT doc_id, hex(encode(text)) AS ph FROM documents)
+    SELECT doc_id, CAST(768 AS BIGINT) AS n_out_bytes,
+           32 AS width, 24 AS height,
+           substring(repeat(ph, CAST(32 / length(ph) AS INT) + 1), 1, 32)
+             AS out_prefix_hex
+    FROM m
+    """,
+)
 def mm3_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: fixed-shape batch 'resize' over binary payloads
-    (codec stubbed, Arrow plumbing real) — summarized as per-doc
-    output byte counts so the driver check is stable."""
+    (non-PNG payloads take the deterministic cycle lane; real PNGs the
+    stdlib codec) — summarized as per-doc output byte count plus a
+    hex prefix of the output bytes, so the oracle checks the CONTENT
+    of the fixed-shape contract, not just its size. The oracle cycles
+    the hex string (hex of a concatenation == concatenation of hexes,
+    so hex-domain cycling equals byte-domain cycling)."""
     d = load_table(spark, sf_dir, "documents")
     media = MM.to_media_column(d, "doc_id", "text")
     resized = MM.resize_images(media, 32, 24)
     return resized.select(
-        "doc_id", F.length("payload").cast("long").alias("n_out_bytes"), "width", "height"
+        "doc_id",
+        F.length("payload").cast("long").alias("n_out_bytes"),
+        "width",
+        "height",
+        F.hex(F.substring(F.col("payload"), 1, 16)).alias("out_prefix_hex"),
     )
 
 
