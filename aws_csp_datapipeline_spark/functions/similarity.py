@@ -287,3 +287,66 @@ def lsh_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def semdedup_flags(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    sign_bits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
+    2303.09540): partition the corpus into coarse cells, compare
+    embeddings only WITHIN a cell, and drop every vector that has a
+    lower-id cell-mate with cosine >= ``threshold``. Returns one row
+    per input vector: (``id_col``, bucket, kept).
+
+    Cell assignment here is a deterministic sign-bit quantizer (the
+    signs of the leading ``sign_bits`` coordinates), chosen because it
+    is SQL-expressible (oracle-checkable) while having the same
+    algebraic shape as the paper's KMeans coarse quantizer: swap
+    ``bucket`` for an IVF cell id (see ``ivf_topk``'s quantizer) and
+    nothing else in the plan changes. The point of the cell key is
+    that the quadratic comparison becomes an equi-join on ``bucket``
+    — O(sum of |cell|^2) candidate pairs instead of O(N^2) — and each
+    cell's comparison co-locates under one shuffle of the (id,
+    bucket, vector) projection. Document bodies never move; only the
+    embedding column shuffles, and the dup-id set that joins back is
+    a narrow (id) relation, orders smaller than the corpus.
+    """
+    v = _as_double(F.col(vec_col))
+    bucket = None
+    for i in range(sign_bits):
+        bit = F.when(
+            F.element_at(F.col("__v"), i + 1) > 0, F.lit(1 << (sign_bits - 1 - i))
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    base = df.select(F.col(id_col).alias("__id"), v.alias("__v")).withColumn(
+        "__bucket", bucket
+    )
+    x = base.select(
+        F.col("__id").alias("__xid"),
+        F.col("__bucket").alias("__b"),
+        F.col("__v").alias("__xv"),
+    )
+    y = base.select(
+        F.col("__id").alias("__yid"),
+        F.col("__bucket").alias("__b"),
+        F.col("__v").alias("__yv"),
+    )
+    dup_ids = (
+        x.join(y, "__b")
+        .filter(
+            (F.col("__yid") < F.col("__xid"))
+            & (cosine(F.col("__xv"), F.col("__yv")) >= threshold)
+        )
+        .select(F.col("__xid").alias("__id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return base.join(dup_ids, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__bucket").alias("bucket"),
+        F.col("__dup").isNull().alias("kept"),
+    )

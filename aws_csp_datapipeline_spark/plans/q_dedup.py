@@ -264,3 +264,42 @@ def d9_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget and the 100-TB fingerprint+bloom restatement."""
     d = load_table(spark, sf_dir, "documents")
     return D.duplicate_passage_stats(d, "text", "doc_id", width=10)
+
+
+_SEMDEDUP_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+            (CASE WHEN v[1] > 0 THEN 32 ELSE 0 END
+           + CASE WHEN v[2] > 0 THEN 16 ELSE 0 END
+           + CASE WHEN v[3] > 0 THEN 8 ELSE 0 END
+           + CASE WHEN v[4] > 0 THEN 4 ELSE 0 END
+           + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
+           + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END) AS bucket
+          FROM e)
+    SELECT x.vec_id, x.bucket,
+           NOT EXISTS (
+             SELECT 1 FROM b y
+             WHERE y.bucket = x.bucket AND y.vec_id < x.vec_id
+               AND list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))) >= 0.45
+           ) AS kept
+    FROM b x
+"""
+
+
+@register("d10_semdedup", _SEMDEDUP_SQL)
+def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dedup — the dedup granularity the
+    text-hash family (d1-d9) can't reach: paraphrases and re-encodings
+    that share no shingles but sit close in embedding space. SemDeDup
+    shape: coarse cells (deterministic sign-bit quantizer here; an
+    IVF/KMeans quantizer at 100 TB — see the function docstring),
+    within-cell cosine pairs only, drop the higher id of each pair.
+    Threshold 0.45 sits in a measured gap of the within-cell cosine
+    distribution at every test SF (nearest values 0.4469 / 0.4483 at
+    sf0.1), so engine float drift cannot flip a kept flag."""
+    from aws_csp_datapipeline_spark.functions import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.semdedup_flags(e, "embedding", "vec_id", threshold=0.45, sign_bits=6)
