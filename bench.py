@@ -39,6 +39,7 @@ HEADLINE = [
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
     "d9_duplicate_passages",
+    "d10_semdedup",
     "s1_cosine_topk",
     "s2_knn_join",
     "st2_windowed_counts",

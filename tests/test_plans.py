@@ -219,3 +219,31 @@ def test_vocab_build_partial_aggregation(spark, sf_oracle):
     shuffle carries per-partition vocab, not corpus tokens."""
     plan = _plan(queries()["t14_vocab_build"](spark, sf_oracle))
     assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_semdedup_cell_join_not_cartesian(spark, sf_oracle):
+    """d10's pair comparison must be an equi-join keyed on the cell
+    (bucket) — a CartesianProduct/BroadcastNestedLoop here means the
+    within-cell bound is gone and the comparison is O(N^2) again."""
+    df = queries()["d10_semdedup"](spark, sf_oracle)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semdedup_min_id_per_cell_always_kept(spark, sf_oracle):
+    """Drop rule is 'lower-id cell-mate above threshold', so the
+    smallest vec_id of every cell can never be dropped; and every
+    dropped vector must share its cell with at least one kept one."""
+    from pyspark.sql import functions as F
+
+    out = queries()["d10_semdedup"](spark, sf_oracle)
+    mins = out.groupBy("bucket").agg(F.min("vec_id").alias("vec_id"))
+    dropped_mins = out.join(mins, ["bucket", "vec_id"]).filter(~F.col("kept"))
+    assert dropped_mins.count() == 0
+    orphan_cells = (
+        out.groupBy("bucket")
+        .agg(F.sum(F.col("kept").cast("int")).alias("n_kept"))
+        .filter(F.col("n_kept") == 0)
+    )
+    assert orphan_cells.count() == 0
