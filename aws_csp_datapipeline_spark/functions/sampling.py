@@ -101,3 +101,39 @@ def per_group_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, salt: str = "shuf1"
+) -> DataFrame:
+    """Deterministic pseudo-random training order: every row gets a
+    (batch, pos) pair such that reading batches in lexicographic order
+    and rows by pos within each batch replays ONE fixed, seed-stable
+    shuffled order of the whole corpus.
+
+    Why not ``ORDER BY rand()``: per-partition RNG is neither stable
+    under repartitioning nor reproducible across engines. Why not one
+    global ``row_number``: an unpartitioned window collapses the
+    corpus into a single task. Instead the md5 of (salt || key) is
+    split into a 256-way batch prefix plus a within-batch sort key, so
+    the assignment is (a) a pure function of the data — re-runs and
+    engine swaps agree, the DuckDB oracle restates it verbatim — and
+    (b) fully distributed: one hash-exchange on ``batch`` (256-way),
+    per-batch local sort, no global sort, no RNG state. At 100 TB this
+    is the epoch-shuffle writer: ``partitionBy(batch)``, rows written
+    in pos order, trainers stream batches in name order. Changing
+    ``salt`` is a fresh epoch permutation; appended rows change only
+    positions WITHIN their batch (shift-by-rank), never other batches'
+    contents.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(key_col).cast("string")))
+    batch = F.substring(h, 1, 2)
+    w = Window.partitionBy("batch").orderBy(F.col("__h"), F.col(key_col))
+    return (
+        df.withColumn("__h", h)
+        .withColumn("batch", batch)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__h")
+    )

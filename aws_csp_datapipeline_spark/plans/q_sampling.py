@@ -520,3 +520,27 @@ def tt9_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(target, 6).alias("target_share"),
         F.round(target / cur_share, 6).alias("weight"),
     )
+
+
+@register(
+    "tt11_deterministic_shuffle",
+    """
+    SELECT doc_id,
+           substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)), 1, 2) AS batch,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY substr(md5('shuf1:' || CAST(doc_id AS VARCHAR)), 1, 2)
+             ORDER BY md5('shuf1:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INT) AS pos
+    FROM documents
+    """,
+)
+def tt11_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch shuffle for training: a deterministic, engine-portable
+    pseudo-random global order as (batch, pos) — hash-batched so no
+    global sort or RNG is involved (see
+    ``functions.sampling.deterministic_shuffle`` for the 100-TB
+    writer shape). Salt = epoch id; new salt = new permutation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SMP.deterministic_shuffle(docs, "doc_id", salt="shuf1").select(
+        "doc_id", "batch", "pos"
+    )

@@ -381,3 +381,28 @@ def test_tiled_spans_match_python(spark, texts, width):
                 for j in range(len(toks) // width)
             ]
         assert got[i] == expected, (i, t)
+
+
+@given(keys=st.sets(st.integers(0, 10_000), min_size=1, max_size=60))
+@settings(**SETTINGS)
+def test_deterministic_shuffle_is_stable_permutation(spark, keys):
+    """(batch, pos) replays one total order: positions are contiguous
+    1..n within each batch, the assignment is partitioning-independent
+    (pure function of the key), and a different salt yields a
+    different permutation while keeping the same row set."""
+    from aws_csp_datapipeline_spark.functions.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(k,) for k in sorted(keys)], "k long")
+    a = deterministic_shuffle(df, "k").collect()
+    b = deterministic_shuffle(df.repartition(5), "k").collect()
+    key_of = lambda rows: {r["k"]: (r["batch"], r["pos"]) for r in rows}
+    assert key_of(a) == key_of(b)
+    by_batch = {}
+    for r in a:
+        by_batch.setdefault(r["batch"], []).append(r["pos"])
+    for poss in by_batch.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    c = deterministic_shuffle(df, "k", salt="epoch2").collect()
+    assert {r["k"] for r in c} == set(keys)
