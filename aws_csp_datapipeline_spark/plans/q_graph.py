@@ -68,11 +68,57 @@ def gr2_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.degree_histogram(_edges(spark, sf_dir))
 
 
-@register("gr3_pagerank_top", None)
+def _pagerank_oracle(iters: int = 12, d: float = 0.85) -> str:
+    """Fixed-iteration PageRank as chained (non-recursive) CTEs —
+    r1..r{iters} each one join+aggregate over the previous ranks,
+    mirroring ``operators.graph.pagerank`` exactly (uniform init,
+    (1-d)/n teleport, undirected edges walked both ways). Rounding to
+    6 decimals is safe: the closest unrounded rank to a rounding
+    midpoint is ~5e-10 away at sf0.1 (measured), ~1e-12 from grid
+    points at sf0.01 — orders beyond cross-engine sum-order drift."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    bi AS (SELECT src, dst FROM e
+           UNION ALL SELECT dst AS src, src AS dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS out_deg FROM bi GROUP BY src),
+    adj AS (SELECT bi.src, bi.dst, deg.out_deg FROM bi JOIN deg USING (src)),
+    nodes AS (SELECT DISTINCT src AS node FROM bi),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT adj.dst AS node,
+             (1.0 - {d}) / (SELECT n FROM nn)
+               + {d} * SUM(r{i - 1}.pr / adj.out_deg) AS pr
+      FROM adj JOIN r{i - 1} ON adj.src = r{i - 1}.node
+      GROUP BY adj.dst
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT node, ROUND(pr, 6) AS pr
+    FROM r{iters}
+    ORDER BY ROUND(pr, 6) DESC, node LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@register("gr3_pagerank_top", _pagerank_oracle())
 def gr3_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 suppliers by PageRank in the co-supply graph. Iterative
-    (12 join+aggregate rounds) — not SQL-expressible, so rows-only;
-    the algorithm itself is pinned against numpy power iteration in
+    (12 join+aggregate rounds, ``localCheckpoint`` keeping lineage
+    flat); the fixed iteration count makes it SQL-expressible after
+    all — the oracle unrolls the 12 rounds as chained CTEs — and the
+    algorithm is additionally pinned against numpy power iteration in
     ``tests/test_graph.py``."""
     pr = G.pagerank(_edges(spark, sf_dir), damping=0.85, iterations=12)
     return (

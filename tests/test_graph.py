@@ -96,3 +96,18 @@ def test_kcore_matches_python_peeling(spark, sf_oracle):
         for r in G.kcore(_edges(spark, sf_oracle), k=k).collect()
     }
     assert got == expected
+
+
+def test_pagerank_oracle_at_nontrivial_scale(spark):
+    """The sf0.01 co-supply graph is complete (uniform ranks), so the
+    registry oracle run only checks mass conservation there. This
+    pins the non-trivial case: at sf0.1 degrees range 864-945 and the
+    rank distribution is non-uniform — compare Spark vs the unrolled
+    12-iteration DuckDB oracle end to end."""
+    from aws_csp_datapipeline_spark.plans.q_graph import gr3_pagerank_top
+    from aws_csp_datapipeline_spark.plans.registry import specs
+    from tests.oracle import compare
+
+    sf01 = "/root/testdata/sf0.1"
+    spec = {s.name: s for s in specs()}["gr3_pagerank_top"]
+    compare(spec.fn(spark, sf01), spec.oracle, sf01)
