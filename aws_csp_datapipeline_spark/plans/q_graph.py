@@ -190,13 +190,58 @@ def gr4_hierarchy_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gr5_kcore", None)
+def _kcore_oracle(k: int = 3, rounds: int = 4) -> str:
+    """Iterative k-core peeling unrolled to a fixed depth: each round
+    recomputes degrees within the surviving node set and drops nodes
+    below ``k``. Peeling is idempotent once converged, so the unroll
+    is exact whenever the fixpoint is reached within ``rounds`` (the
+    test graphs converge in one round — min degree ≥ k everywhere; a
+    deeper-peeling testdata generation would mismatch LOUDLY rather
+    than silently). Deeper adversarial peelings are pinned by the
+    pure-Python reference in tests/test_graph.py."""
+    parts = [
+        """
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    bi AS (SELECT src, dst FROM e
+           UNION ALL SELECT dst AS src, src AS dst FROM e),
+    n0 AS (SELECT DISTINCT src AS node FROM bi)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    d{i} AS (SELECT bi.src AS node, COUNT(*) AS deg
+             FROM bi
+             JOIN n{i - 1} x ON bi.src = x.node
+             JOIN n{i - 1} y ON bi.dst = y.node
+             GROUP BY bi.src),
+    n{i} AS (SELECT node FROM d{i} WHERE deg >= {k})"""
+        )
+    parts.append(
+        f"""
+    SELECT node, deg AS degree
+    FROM (SELECT bi.src AS node, COUNT(*) AS deg
+          FROM bi
+          JOIN n{rounds} x ON bi.src = x.node
+          JOIN n{rounds} y ON bi.dst = y.node
+          GROUP BY bi.src) t
+    WHERE deg >= {k}"""
+    )
+    return "".join(parts)
+
+
+@register("gr5_kcore", _kcore_oracle())
 def gr5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the co-supply graph: the maximal subgraph where every
     supplier retains ≥3 partners — the density filter that separates
     a connected hub from hangers-on before community detection.
-    Iterative peeling (driver-controlled fixpoint, shrinking drop
-    set) is not SQL-expressible, so rows-only; the peeling is pinned
+    Driver-controlled fixpoint peeling (shrinking drop set) on the
+    Spark side; the oracle unrolls the idempotent peel to a fixed
+    depth (see ``_kcore_oracle``), and deeper peelings are pinned
     against a pure-Python reference in tests/test_graph.py."""
     core = G.kcore(_edges(spark, sf_dir), k=3)
     return core.select("node", "degree")

@@ -207,14 +207,32 @@ def mm2_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("st4_stream_stream_join", None)
+@register(
+    "st4_stream_stream_join",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click')
+    SELECT p.user_id, COUNT(*) AS n_attributed
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY p.user_id
+    """,
+)
 def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream event-time join: purchases attributed to the
     same user's clicks within 1 hour, driven as TWO file-source
     streams with watermarks + a time-range join condition (bounded
-    state), memory sink, availableNow. Rows-only here; equality vs
-    the identical batch join is pytest-checked
-    (tests/test_sources_streaming.py)."""
+    state), memory sink, availableNow. Oracle-pairable because the
+    landing file arrives as ONE availableNow micro-batch: an inner
+    stream-stream join emits matches as they arrive (the watermark
+    only governs state EVICTION), so the appended result equals the
+    batch time-range join the SQL states. Equality vs the identical
+    batch join is additionally pytest-checked
+    (tests/test_sources_streaming.py); ts is micro-aligned in the
+    testdata, so the interval boundary compares identical integer
+    micros in both engines."""
     from aws_csp_datapipeline_spark.streaming.ingest import attribution_join
 
     landing = tempfile.mkdtemp(prefix="st4_landing_")
