@@ -158,3 +158,45 @@ def test_results_unchanged_by_join_strategy(spark, sf_oracle):
             else:
                 spark.conf.set(k, v)
     assert with_auto == without_auto
+
+
+def test_runtime_bloom_filter_injects_into_fact_joins(spark, sf_oracle):
+    """Runtime bloom-filter join pruning (default-on in Spark 4) must
+    be able to inject into our fact-join plans: with the size
+    thresholds relaxed to test scale, q3 gets a might_contain()
+    cascade (customer -> orders -> lineitem) on the probe sides, and
+    the rows are unchanged. At 100 TB the default thresholds
+    (creation side <= 10 MB after filtering, application side scan
+    >= 10 GB) fire on exactly these shapes without any query change —
+    this test pins that our plans stay runtime-filter-compatible
+    (declarative equi-joins on raw key columns, no expression wrapped
+    around the join keys, which would defeat the rewrite)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    by_name = {s.name: s for s in specs()}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = by_name["q3_shipping_priority"].fn(spark, sf_oracle)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        assert optimized.count("might_contain") >= 2, (
+            "expected a runtime bloom-filter cascade in q3's optimized "
+            f"plan:\n{optimized}"
+        )
+        with_bloom = sorted(map(tuple, df.collect()))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    plain = sorted(
+        map(tuple, by_name["q3_shipping_priority"].fn(spark, sf_oracle).collect())
+    )
+    assert with_bloom == plain
