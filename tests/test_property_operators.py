@@ -406,3 +406,51 @@ def test_deterministic_shuffle_is_stable_permutation(spark, keys):
         assert sorted(poss) == list(range(1, len(poss) + 1))
     c = deterministic_shuffle(df, "k", salt="epoch2").collect()
     assert {r["k"] for r in c} == set(keys)
+
+
+_VEC = st.lists(
+    st.one_of(
+        st.floats(-1, -0.001),
+        st.floats(0.001, 1),
+    ),
+    min_size=8, max_size=8,
+)
+
+
+@given(vecs=st.lists(_VEC, min_size=2, max_size=20))
+@settings(**SETTINGS)
+def test_semdedup_matches_bruteforce_model(spark, vecs):
+    """semdedup_flags == the python model: bucket by leading sign
+    bits, drop iff a lower-id same-bucket vector has cosine >=
+    threshold. Thresholded mid-range so float drift can't flip it."""
+    import math
+
+    from aws_csp_datapipeline_spark.functions.similarity import semdedup_flags
+
+    thr, bits = 0.5, 3
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["bucket"], r["kept"])
+        for r in semdedup_flags(df, "embedding", "vec_id", thr, bits).collect()
+    }
+
+    def bucket(v):
+        return sum(1 << (bits - 1 - i) for i in range(bits) if v[i] > 0)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for i, v in rows:
+        exp_kept = not any(
+            bucket(w) == bucket(v) and j < i and abs(cos(v, w) - thr) > 1e-6 and cos(v, w) >= thr
+            for j, w in rows
+        )
+        near_boundary = any(
+            bucket(w) == bucket(v) and j < i and abs(cos(v, w) - thr) <= 1e-6
+            for j, w in rows
+        )
+        assert got[i][0] == bucket(v)
+        if not near_boundary:
+            assert got[i][1] == exp_kept, (i, v)
