@@ -52,6 +52,7 @@ HEADLINE = [
     "g4_grouping_sets",
     "w5_rank_battery",
     "tt1_hash_split",
+    "tt11_deterministic_shuffle",
     "t6_pii_scrub",
     "t10_top_bigrams",
     "t11_chunk_windows",
