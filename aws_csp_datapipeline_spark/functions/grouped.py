@@ -64,3 +64,36 @@ def count_above_threshold_cogrouped(
         .cogroup(thresholds.select(key_col, thresh_col).groupBy(key_col))
         .applyInPandas(per_key, schema=f"{key_col} long, n_above long")
     )
+
+
+def trimmed_mean_grouped_agg(
+    df: DataFrame, group_col: str, value_col: str, trim_frac: float = 0.1
+) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the GROUPED_AGG lane — Spark's
+    UDAF surface for Python): per-group trimmed mean of an integer
+    column, dropping floor(n*trim_frac) values from each tail.
+
+    Engine-portable determinism: the trim is MULTISET-based (sort by
+    value inside the UDF, drop the k smallest/largest values — which
+    rows carry tied values is irrelevant to the surviving multiset),
+    and the surviving sum is integer-exact, so the final division is
+    bit-identical to the oracle's window formulation. The UDF receives
+    each group as one Arrow batch; group size, not corpus size, bounds
+    executor memory — same contract as applyInPandas, but Catalyst
+    treats it as a real aggregate (partial shuffle of whole groups,
+    usable inside groupBy().agg alongside built-ins)."""
+    import pandas as pd  # noqa: F811 (module-level import is above)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def tmean(v: pd.Series) -> float:
+        s = v.sort_values().to_numpy()
+        k = int(len(s) * trim_frac)
+        kept = s[k: len(s) - k] if len(s) > 2 * k else s
+        return float(round(kept.sum() / len(kept), 4))
+
+    return df.groupBy(group_col).agg(
+        tmean(F.col(value_col)).alias("trimmed_mean")
+    )

@@ -625,3 +625,35 @@ def p10_collated_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(coll == F.collate(F.lit("building"), "UTF8_LCASE")).select(
         "c_custkey", "c_mktsegment"
     )
+
+
+@register(
+    "ap3_trimmed_mean_udaf",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           ROUND(SUM(n_chars) * 1.0 / COUNT(*), 4) AS trimmed_mean
+    FROM ranked
+    WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+      AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    GROUP BY lang
+    """,
+)
+def ap3_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean document length per language via a
+    GROUPED_AGG pandas UDF — the UDAF lane of the §2.10 UDF ladder
+    (scalar pandas_udf = s15, grouped-map = ap1, cogrouped = ap2,
+    UDTF = t16, mapInPandas = mm*). The trim is multiset-based and
+    the surviving sum integer-exact, so the DuckDB window
+    formulation reproduces it bit-for-bit."""
+    from aws_csp_datapipeline_spark.functions.grouped import (
+        trimmed_mean_grouped_agg,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return trimmed_mean_grouped_agg(d, "lang", "n_chars", trim_frac=0.1)
