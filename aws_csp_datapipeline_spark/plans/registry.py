@@ -59,6 +59,12 @@ def register(name: str, oracle: str | None = None):
 # (set2/set3), and m5 — none of which had ever been driver-attested.
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
+#
+# Round-7 rotation queue (135 names still never driver-attested after
+# r6; keep the ~30 fixed core, swap the r6 tail for ~20 of these,
+# spanning families): q2/q4/q8/q10/q13/q16/q21 (remaining TPC-H
+# silhouettes), f9/f12-f17 (function batteries), w2/w6/w9,
+# dq2/dq5/dq9, h2, fun1/fun2, pipe4, d9/d10, ap3, mm2, tt11, st10.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core (cross-family longitudinal sample) ---
     "q1_pricing_summary",
