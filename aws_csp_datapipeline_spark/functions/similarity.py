@@ -322,24 +322,41 @@ def semdedup_flags(
             F.element_at(F.col("__v"), i + 1) > 0, F.lit(1 << (sign_bits - 1 - i))
         ).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    base = df.select(F.col(id_col).alias("__id"), v.alias("__v")).withColumn(
-        "__bucket", bucket
+    # Pre-normalize ONCE per row so the per-pair comparison is a
+    # single dot product (cosine on raw vectors would re-run both
+    # norm aggregates per candidate pair — 3x the pair-stage work,
+    # A/B at sf1, warm: 10.5 s -> 5.0 s full query). The norm is bound once
+    # per row via the single-element-array wrapper (same trick as
+    # dedup.word_shingles: a plain two-step select gets collapsed and
+    # the norm aggregate re-inlines per element).
+    unit = F.element_at(
+        F.transform(
+            F.array(F.struct(F.col("__v").alias("v"), l2_norm(F.col("__v")).alias("n"))),
+            lambda s: F.transform(s["v"], lambda e: e / s["n"]),
+        ),
+        1,
+    )
+    base = (
+        df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+        .withColumn("__bucket", bucket)
+        .withColumn("__u", unit)
+        .drop("__v")
     )
     x = base.select(
         F.col("__id").alias("__xid"),
         F.col("__bucket").alias("__b"),
-        F.col("__v").alias("__xv"),
+        F.col("__u").alias("__xu"),
     )
     y = base.select(
         F.col("__id").alias("__yid"),
         F.col("__bucket").alias("__b"),
-        F.col("__v").alias("__yv"),
+        F.col("__u").alias("__yu"),
     )
     dup_ids = (
         x.join(y, "__b")
         .filter(
             (F.col("__yid") < F.col("__xid"))
-            & (cosine(F.col("__xv"), F.col("__yv")) >= threshold)
+            & (dot(F.col("__xu"), F.col("__yu")) >= threshold)
         )
         .select(F.col("__xid").alias("__id"))
         .distinct()

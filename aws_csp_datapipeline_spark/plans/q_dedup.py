@@ -276,15 +276,15 @@ _SEMDEDUP_SQL = """
            + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
            + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END) AS bucket
           FROM e)
-    SELECT x.vec_id, x.bucket,
-           NOT EXISTS (
-             SELECT 1 FROM b y
-             WHERE y.bucket = x.bucket AND y.vec_id < x.vec_id
-               AND list_dot_product(x.v, y.v)
-                   / (sqrt(list_dot_product(x.v, x.v))
-                      * sqrt(list_dot_product(y.v, y.v))) >= 0.45
-           ) AS kept
+    SELECT x.vec_id, x.bucket
     FROM b x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b y
+      WHERE y.bucket = x.bucket AND y.vec_id < x.vec_id
+        AND list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))) >= 0.45
+    )
 """
 
 
@@ -298,8 +298,16 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cell cosine pairs only, drop the higher id of each pair.
     Threshold 0.45 sits in a measured gap of the within-cell cosine
     distribution at every test SF (nearest values 0.4469 / 0.4483 at
-    sf0.1), so engine float drift cannot flip a kept flag."""
+    sf0.1), so engine float drift cannot flip a kept flag. Returns
+    the KEPT corpus (vec_id, bucket) — the actual SemDeDup output;
+    returning it (rather than all-rows-with-flags) also keeps every
+    benchmark action dependent on the pair join, which Catalyst would
+    otherwise prune out of a count over the multiplicity-preserving
+    flags form."""
+    from pyspark.sql import functions as F
+
     from aws_csp_datapipeline_spark.functions import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
-    return S.semdedup_flags(e, "embedding", "vec_id", threshold=0.45, sign_bits=6)
+    flags = S.semdedup_flags(e, "embedding", "vec_id", threshold=0.45, sign_bits=6)
+    return flags.filter(F.col("kept")).select("vec_id", "bucket")

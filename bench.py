@@ -82,8 +82,21 @@ def main() -> None:
     extra = os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "")
     names += [n for n in extra.split(",") if n and n in qs and n not in names]
 
+    from pyspark.sql import functions as F
+
+    def force(df):
+        """Force FULL evaluation of every output column. A bare
+        ``.count()`` lets Catalyst prune count-invariant work — final
+        projections (t1/t2/tt1's per-row expressions), Window nodes
+        whose output no one reads (tt11's pos), and multiplicity-
+        preserving left joins (d10's pair join) — so count-timings
+        measured only the scan for those shapes. Hashing every column
+        into one bit_xor aggregate defeats pruning while adding one
+        cheap hash per output row."""
+        df.agg(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+
     # Warm-up: touch the session and parquet footers once, not timed.
-    qs[names[0]](spark, sf_dir).count()
+    force(qs[names[0]](spark, sf_dir))
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     samples: dict[str, list[float]] = {n: [] for n in names}
@@ -92,7 +105,7 @@ def main() -> None:
         rep_total = 0.0
         for name in names:
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
+            force(qs[name](spark, sf_dir))
             dt = time.perf_counter() - t0
             rep_total += dt
             samples[name].append(dt)

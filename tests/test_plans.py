@@ -234,10 +234,15 @@ def test_semdedup_cell_join_not_cartesian(spark, sf_oracle):
 def test_semdedup_min_id_per_cell_always_kept(spark, sf_oracle):
     """Drop rule is 'lower-id cell-mate above threshold', so the
     smallest vec_id of every cell can never be dropped; and every
-    dropped vector must share its cell with at least one kept one."""
+    cell that has any member must keep at least one (checked on the
+    flags form, which the registry query filters to the kept
+    corpus)."""
     from pyspark.sql import functions as F
 
-    out = queries()["d10_semdedup"](spark, sf_oracle)
+    from aws_csp_datapipeline_spark.functions.similarity import semdedup_flags
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    out = semdedup_flags(e, "embedding", "vec_id", threshold=0.45, sign_bits=6)
     mins = out.groupBy("bucket").agg(F.min("vec_id").alias("vec_id"))
     dropped_mins = out.join(mins, ["bucket", "vec_id"]).filter(~F.col("kept"))
     assert dropped_mins.count() == 0
