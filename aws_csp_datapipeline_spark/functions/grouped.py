@@ -81,7 +81,13 @@ def trimmed_mean_grouped_agg(
     each group as one Arrow batch; group size, not corpus size, bounds
     executor memory — same contract as applyInPandas, but Catalyst
     treats it as a real aggregate (partial shuffle of whole groups,
-    usable inside groupBy().agg alongside built-ins)."""
+    usable inside groupBy().agg alongside built-ins).
+
+    Groups where the trim consumes everything (trim_frac >= 0.5 and
+    n <= 2k) return NULL — callers wanting the oracle's exact
+    group-disappears semantics should keep trim_frac < 0.5."""
+    import math
+
     import pandas as pd  # noqa: F811 (module-level import is above)
 
     from pyspark.sql import functions as F
@@ -91,8 +97,19 @@ def trimmed_mean_grouped_agg(
     def tmean(v: pd.Series) -> float:
         s = v.sort_values().to_numpy()
         k = int(len(s) * trim_frac)
-        kept = s[k: len(s) - k] if len(s) > 2 * k else s
-        return float(round(kept.sum() / len(kept), 4))
+        kept = s[k: len(s) - k]
+        if len(kept) == 0:
+            return None
+        m = float(kept.sum()) / len(kept)
+        # ROUND half-away-from-zero to match the SQL oracle: Python's
+        # round() is half-to-even and diverges at exact midpoints
+        # (100.03125 -> 100.0312 vs the oracle's 100.0313).
+        scaled = m * 1e4
+        return (
+            math.floor(scaled + 0.5) / 1e4
+            if m >= 0
+            else -math.floor(-scaled + 0.5) / 1e4
+        )
 
     return df.groupBy(group_col).agg(
         tmean(F.col(value_col)).alias("trimmed_mean")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
 
@@ -336,11 +337,19 @@ def semdedup_flags(
         ),
         1,
     )
+    # base feeds BOTH sides of the pair join and the final join-back
+    # (three consumers). Persist it so the scan + normalization run
+    # once; MEMORY_AND_DISK like the dedup family's shingle table —
+    # eviction would silently recompute the normalization at corpus
+    # scale. Lazy plan: the consumer's first action materializes it;
+    # blocks release via Spark's ContextCleaner when the plan is
+    # garbage-collected (same lifecycle as minhash_lsh_pairs).
     base = (
         df.select(F.col(id_col).alias("__id"), v.alias("__v"))
         .withColumn("__bucket", bucket)
         .withColumn("__u", unit)
         .drop("__v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     x = base.select(
         F.col("__id").alias("__xid"),

@@ -64,8 +64,22 @@ def _estimated_local_scan_tasks(spark, files: list[str]) -> int:
     for f in files:
         path = unquote(urlparse(f).path)
         splits = max(1, math.ceil(os.path.getsize(path) / max_bytes))
-        if splits > 1 and pq is not None and path.endswith(".parquet"):
-            splits = min(splits, pq.ParquetFile(path).num_row_groups)
+        if splits > 1 and path.endswith(".parquet"):
+            # A byte-range split is only a real task if a row-group
+            # midpoint falls inside it. If we CANNOT confirm the
+            # row-group count (pyarrow absent, corrupt/truncated
+            # footer — pyarrow raises ArrowInvalid, not OSError),
+            # assume ONE task: the guard's job is to err toward
+            # repartitioning, never to crash plan construction or to
+            # skip the spread exactly when a big single-row-group
+            # file would serialize the scan.
+            if pq is None:
+                splits = 1
+            else:
+                try:
+                    splits = min(splits, pq.ParquetFile(path).num_row_groups)
+                except Exception:
+                    splits = 1
         elif not path.endswith(".parquet"):
             splits = 1
         total += splits

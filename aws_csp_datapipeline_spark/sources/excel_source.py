@@ -189,17 +189,31 @@ def read_excel(
         # infer column names by pulling ONE workbook through the same
         # binaryFile scan the data parse uses — works for any path the
         # cluster can read (s3a://, hdfs://, local), not just driver-
-        # local files; the data parse itself stays distributed
+        # local files; the data parse itself stays distributed.
+        # Deterministic pick: list paths first (metadata-only, content
+        # column pruned), choose the lexicographically-first file, and
+        # fetch only ITS bytes — a bare limit(1) over the scan would
+        # return whichever file Spark's largest-first partition
+        # packing happened to place first, so the inferred schema
+        # could silently change as file sizes drift.
+        listing = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.xlsx")
+            .load(path)
+            .select("path")
+            .collect()
+        )
+        if not listing:
+            raise FileNotFoundError(f"no .xlsx under {path}")
+        first_path = min(r["path"] for r in listing)
         first = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "*.xlsx")
             .load(path)
+            .filter(F.col("path") == first_path)
             .select("content")
-            .limit(1)
             .collect()
         )
-        if not first:
-            raise FileNotFoundError(f"no .xlsx under {path}")
         out_names, _ = _workbook_records(bytes(first[0]["content"]), null_values)
 
     str_schema = T.StructType([T.StructField(n, T.StringType()) for n in out_names])
