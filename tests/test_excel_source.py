@@ -224,3 +224,19 @@ def test_read_excel_infers_header_without_schema(spark):
         assert df.columns == ["a", "b"]
         vals = sorted((r["a"], r["b"]) for r in df.collect())
     assert vals == [("x", "1"), ("y", "2")]
+
+
+def test_header_inference_picks_lexicographically_first_file(spark):
+    """With heterogeneous headers across workbooks and no explicit
+    schema, the inferred column set must come from the
+    lexicographically-first path — NOT whichever file Spark's
+    largest-first partition packing happens to scan first (which
+    would silently change as file sizes drift)."""
+    with tempfile.TemporaryDirectory() as d:
+        # the later-sorting file is much larger, so size-ordered
+        # packing would pick it; name order must win
+        write_xlsx(os.path.join(d, "a_first.xlsx"), [["x", "y"], ["1", "2"]])
+        big = [["x", "y", "z"]] + [[str(i), "v" * 50, str(i)] for i in range(200)]
+        write_xlsx(os.path.join(d, "b_big.xlsx"), big)
+        df = read_excel(spark, d)
+        assert df.columns == ["x", "y"]
