@@ -88,3 +88,19 @@ def test_estimator_counts_row_group_cap(spark, tmp_path):
         assert _estimated_local_scan_tasks(spark, ["file://" + f]) == 1
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+
+
+def test_corrupt_footer_counts_one_task_and_never_raises(spark, tmp_path):
+    """A byte-range-splittable local '.parquet' whose footer pyarrow
+    cannot read (ArrowInvalid, which is NOT an OSError) must count as
+    ONE scan task — erring toward repartitioning — instead of
+    crashing plan construction."""
+    f = str(tmp_path / "junk.parquet")
+    with open(f, "wb") as fh:
+        fh.write(b"\x00" * 4096)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try:
+        assert _estimated_local_scan_tasks(spark, [f"file://{f}"]) == 1
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

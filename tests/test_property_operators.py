@@ -454,3 +454,16 @@ def test_semdedup_matches_bruteforce_model(spark, vecs):
         assert got[i][0] == bucket(v)
         if not near_boundary:
             assert got[i][1] == exp_kept, (i, v)
+
+
+def test_trimmed_mean_returns_null_when_trim_consumes_group(spark):
+    """trim_frac >= 0.5 on a small group leaves no survivors: the
+    UDAF must emit NULL (documented divergence from the oracle's
+    group-disappears form), never a silently-untrimmed mean."""
+    from aws_csp_datapipeline_spark.functions.grouped import (
+        trimmed_mean_grouped_agg,
+    )
+
+    df = spark.createDataFrame([(1, 10), (1, 20)], "g int, v int")
+    row = trimmed_mean_grouped_agg(df, "g", "v", trim_frac=0.5).head()
+    assert row["trimmed_mean"] is None
