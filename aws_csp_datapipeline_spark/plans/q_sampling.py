@@ -400,7 +400,17 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lmkeep = doc_bigram_logprob(d).filter(
         (F.col("n_bigrams") >= 12) & (F.col("avg_logprob") >= -3.42)
     ).select("doc_id")
-    gated = rowgate.join(lmkeep, "doc_id", "left_semi")
+    # gated is consumed twice inside exact_dedup (the fingerprint
+    # aggregate AND the keep-set semi-join back) — without a persist
+    # every downstream branch re-runs the quality/trigram expressions
+    # and the LM semi-join per consumer (8 corpus scans in the
+    # executed plan). Spillable persist, same lifecycle as the dedup
+    # family's shingle tables.
+    from pyspark.storagelevel import StorageLevel
+
+    gated = rowgate.join(lmkeep, "doc_id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     deduped = exact_dedup(gated, "text", "doc_id")
     w = Window.partitionBy("source").orderBy(F.desc("__q"), F.asc("doc_id"))
     capped = (
