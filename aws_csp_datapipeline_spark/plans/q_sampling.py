@@ -276,8 +276,15 @@ def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_csp_datapipeline_spark.functions.dedup import exact_dedup
     from aws_csp_datapipeline_spark.functions.text import quality_score, token_count
 
+    from pyspark.storagelevel import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    keep = docs.filter(quality_score(F.col("text")) >= 0.35)
+    # the quality filter is consumed twice inside exact_dedup (the
+    # fingerprint aggregate AND the semi-join back) — persist so the
+    # per-row quality expression runs once (same pattern as pipe4)
+    keep = docs.filter(quality_score(F.col("text")) >= 0.35).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     canon = exact_dedup(keep, "text", "doc_id")
     final = SMP.hash_split(canon, "doc_id", 0.75)
     return final.groupBy("split", "lang").agg(
