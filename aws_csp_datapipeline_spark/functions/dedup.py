@@ -102,6 +102,9 @@ def duplicate_passage_stats(
     narrow = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
     )
+    # ex feeds the corpus-wide count AND the join back — persist so
+    # tokenization + tiling + explode run once (narrow (doc, int64)
+    # rows; spillable, same lifecycle as the shingle tables)
     ex = narrow.select(
         "doc",
         F.explode(
@@ -109,7 +112,7 @@ def duplicate_passage_stats(
                 tiled_spans(F.col("__text"), width), lambda s: F.xxhash64(s)
             )
         ).alias("span"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = ex.groupBy("span").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
         ex.join(counts, "span")
