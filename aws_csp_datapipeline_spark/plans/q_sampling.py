@@ -481,11 +481,16 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact join confirms."""
     from aws_csp_datapipeline_spark.functions import dedup as D
 
+    from pyspark.storagelevel import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
     split = SMP.hash_split(d, "doc_id", 0.75)
-    # two consumers re-derive the gram table from the (cheap) parquet
-    # scan rather than caching it: A/B at sf0.1 shows materializing
-    # the wide gram strings costs more than the second explode
+    # the gram table feeds two consumers (train distinct + test probe).
+    # When grams were STRINGS, an A/B showed materializing them cost
+    # more than the second explode; with int64 fingerprints the rows
+    # are 3 longs and the A/B flips (sf0.1 warm 0.96 s → 0.66 s,
+    # sf1 1.5 s → 1.1 s) — so persist, like every other
+    # fingerprint-keyed multi-consumer table in this repo
     grams = split.select(
         "doc_id",
         "split",
@@ -494,7 +499,7 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 D.word_shingles(F.col("text"), 5), lambda s: F.xxhash64(s)
             )
         ).alias("g"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     train_g = grams.filter(F.col("split") == "train").select("g").distinct()
     return (
         grams.filter(F.col("split") == "test")
