@@ -326,7 +326,8 @@ def semdedup_flags(
     # Pre-normalize ONCE per row so the per-pair comparison is a
     # single dot product (cosine on raw vectors would re-run both
     # norm aggregates per candidate pair — 3x the pair-stage work,
-    # A/B at sf1, warm: 10.5 s -> 5.0 s full query). The norm is bound once
+    # honest cold-cache A/B at sf1: 10.5 s -> 3.8 s full query,
+    # together with the base persist below). The norm is bound once
     # per row via the single-element-array wrapper (same trick as
     # dedup.word_shingles: a plain two-step select gets collapsed and
     # the norm aggregate re-inlines per element).

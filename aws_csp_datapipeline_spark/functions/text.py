@@ -224,7 +224,9 @@ def bm25_scores(
 
     # dl feeds the avgdl scalar AND the scoring join — persist the
     # narrow (doc_id, int) projection so the per-doc tokenization
-    # runs once (A/B warm: sf0.1 1.0 s → 0.78 s, sf1 1.2 s → 1.0 s)
+    # runs once (honest cold-cache A/B, clearCache before each run:
+    # sf0.1 1.0 s → 0.37 s, sf1 1.2 s → 0.63 s, together with the
+    # one-aggregate scal below)
     dl = docs.select("doc_id", token_count(F.col("text")).alias("dl")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -235,8 +237,11 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dft = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scal = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl"))
+    # N and avgdl from ONE aggregate over the cached narrow dl table
+    # (same row set as docs) — a separate docs.agg(count) would scan
+    # the corpus a third time
+    scal = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     contrib = (
         F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)

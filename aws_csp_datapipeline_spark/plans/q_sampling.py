@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from aws_csp_datapipeline_spark.catalog import load_table
 from aws_csp_datapipeline_spark.functions import sampling as SMP
@@ -276,15 +277,19 @@ def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_csp_datapipeline_spark.functions.dedup import exact_dedup
     from aws_csp_datapipeline_spark.functions.text import quality_score, token_count
 
-    from pyspark.storagelevel import StorageLevel
-
     docs = load_table(spark, sf_dir, "documents")
-    # the quality filter is consumed twice inside exact_dedup (the
-    # fingerprint aggregate AND the semi-join back) — persist so the
-    # per-row quality expression runs once (same pattern as pipe4)
-    keep = docs.filter(quality_score(F.col("text")) >= 0.35).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # the quality gate is consumed twice inside exact_dedup (the
+    # fingerprint aggregate AND the semi-join back). Persist the
+    # NARROW keep-id set — never document bodies (cache policy,
+    # SCALE.md) — so the per-row quality expression runs once; the
+    # two downstream consumers re-scan parquet (streaming-friendly)
+    # and semi-join the cached ids instead of re-running the gate
+    keep_ids = (
+        docs.filter(quality_score(F.col("text")) >= 0.35)
+        .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    keep = docs.join(keep_ids, "doc_id", "left_semi")
     canon = exact_dedup(keep, "text", "doc_id")
     final = SMP.hash_split(canon, "doc_id", 0.75)
     return final.groupBy("split", "lang").agg(
@@ -407,16 +412,20 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lmkeep = doc_bigram_logprob(d).filter(
         (F.col("n_bigrams") >= 12) & (F.col("avg_logprob") >= -3.42)
     ).select("doc_id")
-    # gated is consumed twice inside exact_dedup (the fingerprint
-    # aggregate AND the keep-set semi-join back) — without a persist
-    # every downstream branch re-runs the quality/trigram expressions
-    # and the LM semi-join per consumer (8 corpus scans in the
-    # executed plan). Spillable persist, same lifecycle as the dedup
-    # family's shingle tables.
-    from pyspark.storagelevel import StorageLevel
-
-    gated = rowgate.join(lmkeep, "doc_id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
+    # the gate outcome is consumed by multiple branches (exact_dedup's
+    # fingerprint aggregate AND its semi-join back) — without a
+    # persist every branch re-runs the quality/trigram expressions
+    # and the LM semi-join (8 corpus scans in the executed plan).
+    # Persist the NARROW (doc_id, __q) survivors only — document
+    # bodies are never cached (SCALE.md cache policy); downstream
+    # consumers re-scan parquet and join the cached keys.
+    gated_keys = (
+        rowgate.select("doc_id", "__q")
+        .join(lmkeep, "doc_id", "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    gated = d.select("doc_id", "source", "lang", "text").join(
+        gated_keys, "doc_id"
     )
     deduped = exact_dedup(gated, "text", "doc_id")
     w = Window.partitionBy("source").orderBy(F.desc("__q"), F.asc("doc_id"))
@@ -481,16 +490,17 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact join confirms."""
     from aws_csp_datapipeline_spark.functions import dedup as D
 
-    from pyspark.storagelevel import StorageLevel
-
     d = load_table(spark, sf_dir, "documents")
     split = SMP.hash_split(d, "doc_id", 0.75)
-    # the gram table feeds two consumers (train distinct + test probe).
-    # When grams were STRINGS, an A/B showed materializing them cost
-    # more than the second explode; with int64 fingerprints the rows
-    # are 3 longs and the A/B flips (sf0.1 warm 0.96 s → 0.66 s,
-    # sf1 1.5 s → 1.1 s) — so persist, like every other
-    # fingerprint-keyed multi-consumer table in this repo
+    # two consumers re-derive the gram table rather than caching it:
+    # the honest cold-cache A/B (clearCache before every run — a
+    # warm-cache A/B is confounded by CacheManager plan dedup serving
+    # later runs from the first run's cache) shows materializing the
+    # exploded rows costs slightly more than the second explode
+    # (sf0.1: 0.96 s recompute vs 1.02 s persisted; sf1: 1.5 s vs
+    # 1.8 s) — the explode output is |docs|×|grams| rows, LARGER than
+    # the input text, unlike the per-doc narrow tables this repo does
+    # persist
     grams = split.select(
         "doc_id",
         "split",
@@ -499,7 +509,7 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 D.word_shingles(F.col("text"), 5), lambda s: F.xxhash64(s)
             )
         ).alias("g"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     train_g = grams.filter(F.col("split") == "train").select("g").distinct()
     return (
         grams.filter(F.col("split") == "test")

@@ -95,6 +95,18 @@ def main() -> None:
         cheap hash per output row."""
         df.agg(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
 
+    def timed_run(name):
+        """One COLD-cache execution. Spark's CacheManager dedups
+        identical plans session-wide, so without clearing, a query
+        that persists an intermediate would serve reps 2-3 (and any
+        same-plan sibling, e.g. s10's BM25 sharing t12's) from the
+        rep-1 cache — min-of-reps would then time cache-hit reads,
+        not query execution. Clearing per run keeps every sample a
+        full from-parquet execution; JVM/JIT/page-cache warmth still
+        motivates min-of-reps."""
+        spark.catalog.clearCache()
+        force(qs[name](spark, sf_dir))
+
     # Warm-up: touch the session and parquet footers once, not timed.
     force(qs[names[0]](spark, sf_dir))
 
@@ -105,7 +117,7 @@ def main() -> None:
         rep_total = 0.0
         for name in names:
             t0 = time.perf_counter()
-            force(qs[name](spark, sf_dir))
+            timed_run(name)
             dt = time.perf_counter() - t0
             rep_total += dt
             samples[name].append(dt)
