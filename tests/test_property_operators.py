@@ -467,3 +467,33 @@ def test_trimmed_mean_returns_null_when_trim_consumes_group(spark):
     df = spark.createDataFrame([(1, 10), (1, 20)], "g int, v int")
     row = trimmed_mean_grouped_agg(df, "g", "v", trim_frac=0.5).head()
     assert row["trimmed_mean"] is None
+
+
+@given(
+    prefix_a=st.text(alphabet="abcdefg", max_size=30),
+    suffix_a=st.text(alphabet="abcdefg", max_size=30),
+    prefix_b=st.text(alphabet="hijklmn", max_size=30),
+    suffix_b=st.text(alphabet="hijklmn", max_size=30),
+    shared=st.text(alphabet="opqrstu", min_size=11, max_size=25),
+)
+@settings(**SETTINGS)
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(
+    spark, prefix_a, suffix_a, prefix_b, suffix_b, shared
+):
+    """The winnowing theorem (Schleimer et al., MOSS): any substring
+    of length >= k+w-1 (= 11 at the defaults k=8, w=4) shared by two
+    documents yields at least one shared fingerprint, REGARDLESS of
+    the surrounding text — the property that makes winnow sets a
+    sound dedup signal rather than a heuristic."""
+    from aws_csp_datapipeline_spark.functions.text import winnow_fingerprints
+
+    a = prefix_a + shared + suffix_a
+    b = prefix_b + shared + suffix_b
+    df = spark.createDataFrame([(1, a), (2, b)], "id long, t string")
+    rows = {
+        r["id"]: set(r["fps"])
+        for r in df.select(
+            "id", winnow_fingerprints(F.col("t")).alias("fps")
+        ).collect()
+    }
+    assert rows[1] & rows[2], (a, b)
