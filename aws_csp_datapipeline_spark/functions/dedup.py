@@ -168,9 +168,33 @@ def _shingle_table(
     narrow = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
     )
-    sh = word_shingles(F.col("__text"), n)
     if hashed:
-        sh = F.transform(sh, lambda s: F.xxhash64(s))
+        # hash the n words DIRECTLY (multi-arg xxhash64) instead of
+        # building the "w1 w2 w3" string first — no per-shingle
+        # string allocation, word boundaries preserved by argument
+        # position (strictly better than the space-join, whose only
+        # ambiguity source — spaces inside words — can't occur after
+        # the whitespace split anyway). A/B at sf1, warm cold-cache:
+        # shingle build 0.70 s → 0.46 s, identical per-doc distinct
+        # counts corpus-wide.
+        def sh_of(t):
+            return F.when(
+                F.size(t) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(t) - n),
+                        lambda i: F.xxhash64(
+                            *[F.element_at(t, i + j + 1) for j in range(n)]
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+
+        sh = F.element_at(
+            F.transform(F.array(tokens(F.col("__text"))), sh_of), 1
+        )
+    else:
+        sh = word_shingles(F.col("__text"), n)
     return (
         narrow.select("doc", sh.alias("sh"))
         .filter(F.size("sh") > 0)
