@@ -504,11 +504,7 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = split.select(
         "doc_id",
         "split",
-        F.explode(
-            F.transform(
-                D.word_shingles(F.col("text"), 5), lambda s: F.xxhash64(s)
-            )
-        ).alias("g"),
+        F.explode(D.hashed_word_shingles(F.col("text"), 5)).alias("g"),
     )
     train_g = grams.filter(F.col("split") == "train").select("g").distinct()
     return (
