@@ -82,6 +82,10 @@ _PLAN_BUDGETS = [
     # update set (bounded per batch by contract); the versioned DIM
     # side of pit_lookup itself is unhinted (broadcast_dim=False).
     ("m12_pit_lookup", 2, "SCD2 change batch, bounded per CDC batch"),
+    # round-6 additions: both sides of d10's cell pair join and the
+    # corpus side of tt11 grow with the data — no hints allowed.
+    ("d10_semdedup", 0, "embeddings are sf-scaled on both join sides"),
+    ("tt11_deterministic_shuffle", 0, "pure narrow + per-batch window"),
 ]
 
 
