@@ -290,6 +290,45 @@ def lsh_topk(
     )
 
 
+def _cells_and_units(
+    df: DataFrame, vec_col: str, id_col: str, sign_bits: int
+) -> DataFrame:
+    """(__id, __bucket, __u): sign-bit cell id plus the L2-normalized
+    vector, persisted — the shared substrate of the semantic-dedup
+    family. Pre-normalizing ONCE per row makes every per-pair
+    comparison a single dot product (cosine on raw vectors would
+    re-run both norm aggregates per candidate pair — 3x the
+    pair-stage work; honest cold-cache A/B at sf1: 10.5 s -> 3.8 s
+    for the full d10 query together with this persist). The norm is
+    bound once per row via the single-element-array wrapper (same
+    trick as dedup.word_shingles: a plain two-step select gets
+    collapsed and the norm aggregate re-inlines per element).
+    MEMORY_AND_DISK because the table feeds 2-3 consumers per query;
+    held by the session CacheManager until unpersist/clearCache (see
+    SCALE.md "Memory" for the lifecycle contract)."""
+    v = _as_double(F.col(vec_col))
+    bucket = None
+    for i in range(sign_bits):
+        bit = F.when(
+            F.element_at(F.col("__v"), i + 1) > 0, F.lit(1 << (sign_bits - 1 - i))
+        ).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    unit = F.element_at(
+        F.transform(
+            F.array(F.struct(F.col("__v").alias("v"), l2_norm(F.col("__v")).alias("n"))),
+            lambda s: F.transform(s["v"], lambda e: e / s["n"]),
+        ),
+        1,
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+        .withColumn("__bucket", bucket)
+        .withColumn("__u", unit)
+        .drop("__v")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
 def semdedup_flags(
     df: DataFrame,
     vec_col: str,
@@ -316,42 +355,7 @@ def semdedup_flags(
     embedding column shuffles, and the dup-id set that joins back is
     a narrow (id) relation, orders smaller than the corpus.
     """
-    v = _as_double(F.col(vec_col))
-    bucket = None
-    for i in range(sign_bits):
-        bit = F.when(
-            F.element_at(F.col("__v"), i + 1) > 0, F.lit(1 << (sign_bits - 1 - i))
-        ).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    # Pre-normalize ONCE per row so the per-pair comparison is a
-    # single dot product (cosine on raw vectors would re-run both
-    # norm aggregates per candidate pair — 3x the pair-stage work,
-    # honest cold-cache A/B at sf1: 10.5 s -> 3.8 s full query,
-    # together with the base persist below). The norm is bound once
-    # per row via the single-element-array wrapper (same trick as
-    # dedup.word_shingles: a plain two-step select gets collapsed and
-    # the norm aggregate re-inlines per element).
-    unit = F.element_at(
-        F.transform(
-            F.array(F.struct(F.col("__v").alias("v"), l2_norm(F.col("__v")).alias("n"))),
-            lambda s: F.transform(s["v"], lambda e: e / s["n"]),
-        ),
-        1,
-    )
-    # base feeds BOTH sides of the pair join and the final join-back
-    # (three consumers). Persist it so the scan + normalization run
-    # once; MEMORY_AND_DISK like the dedup family's shingle table —
-    # eviction would silently recompute the normalization at corpus
-    # scale. Lazy plan: the consumer's first action materializes it;
-    # blocks release via Spark's ContextCleaner when the plan is
-    # garbage-collected (same lifecycle as minhash_lsh_pairs).
-    base = (
-        df.select(F.col(id_col).alias("__id"), v.alias("__v"))
-        .withColumn("__bucket", bucket)
-        .withColumn("__u", unit)
-        .drop("__v")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    base = _cells_and_units(df, vec_col, id_col, sign_bits)
     x = base.select(
         F.col("__id").alias("__xid"),
         F.col("__bucket").alias("__b"),
@@ -376,4 +380,69 @@ def semdedup_flags(
         F.col("__id").alias(id_col),
         F.col("__bucket").alias("bucket"),
         F.col("__dup").isNull().alias("kept"),
+    )
+
+
+def semdedup_incremental(
+    existing: DataFrame,
+    incoming: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    sign_bits: int = 6,
+) -> DataFrame:
+    """Incremental semantic dedup: admit each INCOMING vector iff no
+    KEPT vector of the existing corpus sits in its cell with cosine
+    >= ``threshold``. Returns one row per incoming vector:
+    (``id_col``, bucket, accepted).
+
+    This is how ``semdedup_flags`` runs day over day at 100 TB: the
+    state that carries forward is the kept-set's (id, cell,
+    unit-vector) table — already deduplicated, so it grows slowly —
+    and each increment pays |batch| x |kept-in-cell| comparisons
+    instead of re-deduplicating the corpus. Batch-internal duplicates
+    are intentionally admitted together (they are each other's
+    near-dups but nobody's in the kept set) and collapse on the next
+    full ``semdedup_flags`` pass — the same new-batch-only contract
+    as ``inc2``'s fingerprint dedup."""
+    ex = _cells_and_units(existing, vec_col, id_col, sign_bits)
+    x = ex.select(
+        F.col("__id").alias("__xid"),
+        F.col("__bucket").alias("__b"),
+        F.col("__u").alias("__xu"),
+    )
+    y = ex.select(
+        F.col("__id").alias("__yid"),
+        F.col("__bucket").alias("__b"),
+        F.col("__u").alias("__yu"),
+    )
+    dup_ids = (
+        x.join(y, "__b")
+        .filter(
+            (F.col("__yid") < F.col("__xid"))
+            & (dot(F.col("__xu"), F.col("__yu")) >= threshold)
+        )
+        .select(F.col("__xid").alias("__id"))
+        .distinct()
+    )
+    kept = ex.join(dup_ids, "__id", "left_anti").select(
+        F.col("__bucket").alias("__b"), F.col("__u").alias("__ku")
+    )
+    inc = _cells_and_units(incoming, vec_col, id_col, sign_bits)
+    hits = (
+        inc.select(
+            F.col("__id").alias("__iid"),
+            F.col("__bucket").alias("__b"),
+            F.col("__u").alias("__iu"),
+        )
+        .join(kept, "__b")
+        .filter(dot(F.col("__iu"), F.col("__ku")) >= threshold)
+        .select(F.col("__iid").alias("__id"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return inc.join(hits, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__bucket").alias("bucket"),
+        F.col("__hit").isNull().alias("accepted"),
     )

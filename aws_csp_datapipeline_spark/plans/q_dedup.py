@@ -311,3 +311,58 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     flags = S.semdedup_flags(e, "embedding", "vec_id", threshold=0.45, sign_bits=6)
     return flags.filter(F.col("kept")).select("vec_id", "bucket")
+
+
+_INC_SEMDEDUP_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id, v,
+            (CASE WHEN v[1] > 0 THEN 32 ELSE 0 END
+           + CASE WHEN v[2] > 0 THEN 16 ELSE 0 END
+           + CASE WHEN v[3] > 0 THEN 8 ELSE 0 END
+           + CASE WHEN v[4] > 0 THEN 4 ELSE 0 END
+           + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
+           + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END) AS bucket
+          FROM e),
+    existing AS (SELECT * FROM b WHERE vec_id < 250),
+    kept AS (
+      SELECT * FROM existing x
+      WHERE NOT EXISTS (
+        SELECT 1 FROM existing y
+        WHERE y.bucket = x.bucket AND y.vec_id < x.vec_id
+          AND list_dot_product(x.v, y.v)
+              / (sqrt(list_dot_product(x.v, x.v))
+                 * sqrt(list_dot_product(y.v, y.v))) >= 0.45
+      )
+    ),
+    incoming AS (SELECT * FROM b WHERE vec_id >= 250)
+    SELECT i.vec_id, i.bucket,
+           NOT EXISTS (
+             SELECT 1 FROM kept k
+             WHERE k.bucket = i.bucket
+               AND list_dot_product(i.v, k.v)
+                   / (sqrt(list_dot_product(i.v, i.v))
+                      * sqrt(list_dot_product(k.v, k.v))) >= 0.45
+           ) AS accepted
+    FROM incoming i
+"""
+
+
+@register("inc3_incremental_semdedup", _INC_SEMDEDUP_SQL)
+def inc3_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic dedup (d10's day-over-day form): a new
+    embedding batch (vec_id >= 250, mirroring inc2's split) is
+    admitted against the KEPT set of the existing corpus only —
+    each increment pays |batch| x |kept-in-cell| comparisons, never a
+    corpus re-dedup; the carried state is the kept (id, cell,
+    unit-vector) table. See ``similarity.semdedup_incremental`` for
+    the batch-internal-duplicates contract."""
+    from pyspark.sql import functions as F
+
+    from aws_csp_datapipeline_spark.functions import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    existing = e.filter(F.col("vec_id") < 250)
+    incoming = e.filter(F.col("vec_id") >= 250)
+    return S.semdedup_incremental(
+        existing, incoming, "embedding", "vec_id", threshold=0.45, sign_bits=6
+    )
