@@ -252,3 +252,34 @@ def test_semdedup_min_id_per_cell_always_kept(spark, sf_oracle):
         .filter(F.col("n_kept") == 0)
     )
     assert orphan_cells.count() == 0
+
+
+def test_incremental_semdedup_consistent_with_full_pass(spark, sf_oracle):
+    """Provable containment: a vector inc3 rejects (some KEPT existing
+    cell-mate within threshold) must also be dropped by the full-batch
+    semdedup over existing+incoming — kept-status of existing ids is
+    identical in both passes (it depends only on lower ids, all
+    existing), and the kept neighbor that rejected it is in particular
+    a lower-id neighbor for the full pass's drop rule."""
+    from pyspark.sql import functions as F
+
+    from aws_csp_datapipeline_spark.functions.similarity import (
+        semdedup_flags,
+        semdedup_incremental,
+    )
+
+    e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    inc3 = semdedup_incremental(
+        e.filter(F.col("vec_id") < 250),
+        e.filter(F.col("vec_id") >= 250),
+        "embedding", "vec_id", 0.45, 6,
+    )
+    rejected = {r["vec_id"] for r in inc3.filter(~F.col("accepted")).collect()}
+    full = semdedup_flags(e, "embedding", "vec_id", 0.45, 6)
+    full_dropped = {
+        r["vec_id"]
+        for r in full.filter(~F.col("kept") & (F.col("vec_id") >= 250)).collect()
+    }
+    assert rejected <= full_dropped
+    # and the incremental pass can only be MORE permissive
+    assert len(rejected) <= len(full_dropped)
