@@ -40,6 +40,7 @@ HEADLINE = [
     "d3_minhash_lsh_pairs",
     "d9_duplicate_passages",
     "d10_semdedup",
+    "inc3_incremental_semdedup",
     "s1_cosine_topk",
     "s2_knn_join",
     "st2_windowed_counts",
