@@ -108,6 +108,30 @@ def tiled_spans(col, width: int = 10):
     return F.element_at(F.transform(F.array(tokens(col)), spans_of), 1)
 
 
+def hashed_tiled_spans(col, width: int = 10):
+    """Int64 fingerprints of the non-overlapping ``width``-token spans
+    — ``tiled_spans``' equality-only sibling, hashing the width token
+    arguments directly (multi-arg xxhash64, like
+    ``hashed_word_shingles``) with no per-span string. Keep the two
+    enumerations in lockstep: the DuckDB oracles state the string
+    formulation that ``tiled_spans`` encodes."""
+
+    def spans_of(t):
+        return F.when(
+            F.size(t) >= width,
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.floor(F.size(t) / width).cast("int") - 1
+                ),
+                lambda j: F.xxhash64(
+                    *[F.element_at(t, j * width + i + 1) for i in range(width)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    return F.element_at(F.transform(F.array(tokens(col)), spans_of), 1)
+
+
 def duplicate_passage_stats(
     df: DataFrame, text_col: str, id_col: str, width: int = 10
 ) -> DataFrame:
@@ -132,28 +156,10 @@ def duplicate_passage_stats(
     )
     # ex feeds the corpus-wide count AND the join back — persist so
     # tokenization + tiling + explode run once (narrow (doc, int64)
-    # rows; spillable, same lifecycle as the shingle tables). Spans
-    # are hashed DIRECTLY from the width token arguments (multi-arg
-    # xxhash64, like hashed_word_shingles) — no per-span string.
-    def hashed_spans_of(t):
-        return F.when(
-            F.size(t) >= width,
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.floor(F.size(t) / width).cast("int") - 1
-                ),
-                lambda j: F.xxhash64(
-                    *[F.element_at(t, j * width + i + 1) for i in range(width)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
-
-    spans = F.element_at(
-        F.transform(F.array(tokens(F.col("__text"))), hashed_spans_of), 1
-    )
-    ex = narrow.select("doc", F.explode(spans).alias("span")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # rows; spillable, same lifecycle as the shingle tables)
+    ex = narrow.select(
+        "doc", F.explode(hashed_tiled_spans(F.col("__text"), width)).alias("span")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = ex.groupBy("span").agg(F.count(F.lit(1)).alias("n_occ"))
     return (
         ex.join(counts, "span")

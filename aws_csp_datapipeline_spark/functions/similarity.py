@@ -329,6 +329,33 @@ def _cells_and_units(
     )
 
 
+def _dup_ids(base: DataFrame, threshold: float) -> DataFrame:
+    """(__id) of every vector that has a LOWER-id cell-mate with
+    cosine >= threshold — the single encoding of the semdedup drop
+    rule, shared by the full pass and the kept-state builder (the
+    containment invariant between them depends on the rules being
+    identical)."""
+    x = base.select(
+        F.col("__id").alias("__xid"),
+        F.col("__bucket").alias("__b"),
+        F.col("__u").alias("__xu"),
+    )
+    y = base.select(
+        F.col("__id").alias("__yid"),
+        F.col("__bucket").alias("__b"),
+        F.col("__u").alias("__yu"),
+    )
+    return (
+        x.join(y, "__b")
+        .filter(
+            (F.col("__yid") < F.col("__xid"))
+            & (dot(F.col("__xu"), F.col("__yu")) >= threshold)
+        )
+        .select(F.col("__xid").alias("__id"))
+        .distinct()
+    )
+
+
 def semdedup_flags(
     df: DataFrame,
     vec_col: str,
@@ -356,26 +383,7 @@ def semdedup_flags(
     a narrow (id) relation, orders smaller than the corpus.
     """
     base = _cells_and_units(df, vec_col, id_col, sign_bits)
-    x = base.select(
-        F.col("__id").alias("__xid"),
-        F.col("__bucket").alias("__b"),
-        F.col("__u").alias("__xu"),
-    )
-    y = base.select(
-        F.col("__id").alias("__yid"),
-        F.col("__bucket").alias("__b"),
-        F.col("__u").alias("__yu"),
-    )
-    dup_ids = (
-        x.join(y, "__b")
-        .filter(
-            (F.col("__yid") < F.col("__xid"))
-            & (dot(F.col("__xu"), F.col("__yu")) >= threshold)
-        )
-        .select(F.col("__xid").alias("__id"))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
+    dup_ids = _dup_ids(base, threshold).withColumn("__dup", F.lit(True))
     return base.join(dup_ids, "__id", "left").select(
         F.col("__id").alias(id_col),
         F.col("__bucket").alias("bucket"),
@@ -383,8 +391,30 @@ def semdedup_flags(
     )
 
 
+def semdedup_kept_state(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    sign_bits: int = 6,
+) -> DataFrame:
+    """The carried state of day-over-day semantic dedup: the KEPT
+    set's (id, cell, unit-vector) table — already deduplicated, so
+    it grows slowly. A 100-TB pipeline computes this ONCE per full
+    pass, persists it (write the three narrow columns, partitioned
+    by cell), and feeds it to ``semdedup_incremental`` for every
+    subsequent batch. Columns: (``id_col``, bucket, unit)."""
+    base = _cells_and_units(df, vec_col, id_col, sign_bits)
+    kept = base.join(_dup_ids(base, threshold), "__id", "left_anti")
+    return kept.select(
+        F.col("__id").alias(id_col),
+        F.col("__bucket").alias("bucket"),
+        F.col("__u").alias("unit"),
+    )
+
+
 def semdedup_incremental(
-    existing: DataFrame,
+    kept_state: DataFrame,
     incoming: DataFrame,
     vec_col: str,
     id_col: str,
@@ -392,43 +422,25 @@ def semdedup_incremental(
     sign_bits: int = 6,
 ) -> DataFrame:
     """Incremental semantic dedup: admit each INCOMING vector iff no
-    KEPT vector of the existing corpus sits in its cell with cosine
-    >= ``threshold``. Returns one row per incoming vector:
-    (``id_col``, bucket, accepted).
+    vector of ``kept_state`` (the persisted output of
+    ``semdedup_kept_state`` — NOT the raw existing corpus) sits in
+    its cell with cosine >= ``threshold``. Returns one row per
+    incoming vector: (``id_col``, bucket, accepted).
 
-    This is how ``semdedup_flags`` runs day over day at 100 TB: the
-    state that carries forward is the kept-set's (id, cell,
-    unit-vector) table — already deduplicated, so it grows slowly —
-    and each increment pays |batch| x |kept-in-cell| comparisons
-    instead of re-deduplicating the corpus. Batch-internal duplicates
-    are intentionally admitted together (they are each other's
+    Because the caller passes the carried state, each increment pays
+    |batch| x |kept-in-cell| single-dot comparisons — the existing
+    corpus is never re-deduplicated or even re-read. Batch-internal
+    near-duplicates are intentionally admitted together (each other's
     near-dups but nobody's in the kept set) and collapse on the next
-    full ``semdedup_flags`` pass — the same new-batch-only contract
-    as ``inc2``'s fingerprint dedup."""
-    ex = _cells_and_units(existing, vec_col, id_col, sign_bits)
-    x = ex.select(
-        F.col("__id").alias("__xid"),
-        F.col("__bucket").alias("__b"),
-        F.col("__u").alias("__xu"),
-    )
-    y = ex.select(
-        F.col("__id").alias("__yid"),
-        F.col("__bucket").alias("__b"),
-        F.col("__u").alias("__yu"),
-    )
-    dup_ids = (
-        x.join(y, "__b")
-        .filter(
-            (F.col("__yid") < F.col("__xid"))
-            & (dot(F.col("__xu"), F.col("__yu")) >= threshold)
-        )
-        .select(F.col("__xid").alias("__id"))
-        .distinct()
-    )
-    kept = ex.join(dup_ids, "__id", "left_anti").select(
-        F.col("__bucket").alias("__b"), F.col("__u").alias("__ku")
-    )
+    full ``semdedup_flags`` pass; note this is LOOSER than ``inc2``'s
+    fingerprint path, where exact-equality keys make batch-internal
+    min-id dedup a cheap same-aggregate side effect — near-dup
+    admission within the batch would need the full pair join inc3
+    exists to avoid."""
     inc = _cells_and_units(incoming, vec_col, id_col, sign_bits)
+    kept = kept_state.select(
+        F.col("bucket").alias("__b"), F.col("unit").alias("__ku")
+    )
     hits = (
         inc.select(
             F.col("__id").alias("__iid"),

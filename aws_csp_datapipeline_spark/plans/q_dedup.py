@@ -354,15 +354,20 @@ def inc3_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     admitted against the KEPT set of the existing corpus only —
     each increment pays |batch| x |kept-in-cell| comparisons, never a
     corpus re-dedup; the carried state is the kept (id, cell,
-    unit-vector) table. See ``similarity.semdedup_incremental`` for
-    the batch-internal-duplicates contract."""
+    unit-vector) table built by ``similarity.semdedup_kept_state``
+    (computed here from the vec_id<250 slice because the driver gives
+    one static table; a real pipeline reads the PERSISTED state). See
+    ``similarity.semdedup_incremental`` for the
+    batch-internal-duplicates contract."""
     from pyspark.sql import functions as F
 
     from aws_csp_datapipeline_spark.functions import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
-    existing = e.filter(F.col("vec_id") < 250)
+    state = S.semdedup_kept_state(
+        e.filter(F.col("vec_id") < 250), "embedding", "vec_id", 0.45, 6
+    )
     incoming = e.filter(F.col("vec_id") >= 250)
     return S.semdedup_incremental(
-        existing, incoming, "embedding", "vec_id", threshold=0.45, sign_bits=6
+        state, incoming, "embedding", "vec_id", threshold=0.45, sign_bits=6
     )

@@ -266,11 +266,15 @@ def test_incremental_semdedup_consistent_with_full_pass(spark, sf_oracle):
     from aws_csp_datapipeline_spark.functions.similarity import (
         semdedup_flags,
         semdedup_incremental,
+        semdedup_kept_state,
     )
 
     e = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    state = semdedup_kept_state(
+        e.filter(F.col("vec_id") < 250), "embedding", "vec_id", 0.45, 6
+    )
     inc3 = semdedup_incremental(
-        e.filter(F.col("vec_id") < 250),
+        state,
         e.filter(F.col("vec_id") >= 250),
         "embedding", "vec_id", 0.45, 6,
     )
