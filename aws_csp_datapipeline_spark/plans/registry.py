@@ -163,6 +163,7 @@ def _load_plan_modules() -> None:
         q_similarity,
         q_streaming,
         q_text,
+        q_tokenize,
         q_window,
     )
 

@@ -1,0 +1,137 @@
+"""BPE tokenizer lane: fold-vs-model equivalence and end-to-end
+training parity against an independent pure-Python reference."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.functions import bpe
+
+
+# --- independent pure-Python BPE reference (model) ---
+
+
+def py_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Greedy left-to-right non-overlapping merge of (left, right)."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def py_train(word_freq: dict[str, int], n_merges: int, min_pair_freq: int = 2):
+    syms = {w: list(w) for w in word_freq}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, f in word_freq.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        # argmax with (left, right) lexicographic tie-break
+        (left, right), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_pair_freq:
+            break
+        merges.append((left, right, freq))
+        syms = {w: py_merge(s, left, right) for w, s in syms.items()}
+    return merges
+
+
+def py_encode_count(text: str, merges: list[tuple[str, str]]) -> int:
+    n = 0
+    for w in text.strip().lower().split():
+        s = list(w)
+        for left, right in merges:
+            s = py_merge(s, left, right)
+        n += len(s)
+    return n
+
+
+# --- fold ≡ model (property) ---
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=12)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_word, min_size=1, max_size=8), st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "cd"]))
+def test_merge_fold_matches_model(spark, words, left, right):
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = [
+        r["m"]
+        for r in df.select(
+            bpe.merge_pair(bpe.chars(F.col("w")), left, right).alias("m")
+        ).collect()
+    ]
+    want = [py_merge(list(w), left, right) for w in words]
+    assert got == want
+
+
+def test_train_matches_model_on_corpus(spark, sf_smoke):
+    from aws_csp_datapipeline_spark.catalog import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    wf = bpe.word_freqs(d)
+    spark_merges = bpe.train_bpe(wf, 6)
+    word_freq = {r["word"]: r["freq"] for r in wf.collect()}
+    assert spark_merges == py_train(word_freq, 6)
+    assert len(spark_merges) == 6  # corpus is big enough to find 6
+
+
+def test_encode_matches_model(spark, sf_smoke):
+    from aws_csp_datapipeline_spark.catalog import load_table
+
+    d = load_table(spark, sf_smoke, "documents").limit(40)
+    wf = bpe.word_freqs(d)
+    merges = [(l, r) for l, r, _ in bpe.train_bpe(wf, 5)]
+    got = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id",
+            bpe.encode_token_count(F.col("text"), merges).alias("n"),
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: py_encode_count(r["text"], merges)
+        for r in d.select("doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_encode_edge_cases(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("a",), (None,)], "text STRING")
+    rows = df.select(
+        bpe.encode_token_count(F.col("text"), [("a", "a")]).alias("n")
+    ).collect()
+    assert [r["n"] for r in rows] == [0, 0, 1, 0]
+
+
+def test_merges_are_compressive(spark, sf_smoke):
+    """Encoding under the learned merges must not exceed the raw
+    character count and must strictly compress a corpus that has
+    repeated pairs."""
+    from aws_csp_datapipeline_spark.catalog import load_table
+
+    d = load_table(spark, sf_smoke, "documents").limit(60)
+    merges = [(l, r) for l, r, _ in bpe.train_bpe(bpe.word_freqs(d), 4)]
+    agg = d.select(
+        bpe.encode_token_count(F.col("text"), merges).alias("n_bpe"),
+        F.length(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", "")).alias(
+            "n_chars"
+        ),
+    ).agg(F.sum("n_bpe").alias("b"), F.sum("n_chars").alias("c")).collect()[0]
+    assert agg["b"] < agg["c"]
