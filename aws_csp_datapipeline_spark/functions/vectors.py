@@ -29,6 +29,49 @@ def l2_normalize(vec: Column, decimals: int = 4) -> Column:
     )
 
 
+def rademacher_signs(out_dim: int, in_dim: int) -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix,
+    seeded by md5(j:i) parity — no RNG state, so Spark plans and the
+    DuckDB oracle can both embed the same literals and any executor
+    can regenerate row j without coordination."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{j}:{i}".encode()).digest()[0] % 2 == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(vec: Column, signs: list[list[float]]) -> list[Column]:
+    """Project a vector onto ``len(signs)`` Rademacher directions,
+    scaled by 1/sqrt(k) so expected squared norm is preserved
+    (Achlioptas 2003: ±1 entries satisfy the JL lemma).
+
+    One narrow projection per row — k left-fold dot products against
+    literal sign arrays, all JVM codegen, no shuffle. This is the
+    100-TB pre-step that makes downstream ANN/dedup cheaper: 64-d
+    float embeddings become k-d at 8× less compute per distance.
+    Rounded at 4 decimals (+0.0 folds IEEE -0.0) per the repo float
+    discipline."""
+    v = _as_double(vec)
+    k = len(signs)
+    return [
+        (
+            F.round(
+                dot(v, F.array([F.lit(s) for s in row])) / F.sqrt(F.lit(float(k))),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias(f"p{j}")
+        for j, row in enumerate(signs)
+    ]
+
+
 def quantize_uint8(vec: Column) -> Column:
     """Per-vector min-max scalar quantization to 0..255 ints — the
     4×-compression trick for ANN candidate storage. FLOOR keeps

@@ -548,3 +548,44 @@ def s15_softmax_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", F.round(softmax_entropy("embedding"), 4).alias("softmax_entropy")
     )
+
+
+def _s16_oracle() -> str:
+    """DuckDB twin of the JL projection: identical literal sign
+    matrix (vectors.rademacher_signs), identical 1/sqrt(k) scaling
+    and ROUND(…,4)+0.0 discipline."""
+    from aws_csp_datapipeline_spark.functions.vectors import rademacher_signs
+
+    signs = rademacher_signs(8, 64)
+    cols = ",\n           ".join(
+        "ROUND(list_dot_product(v, [{lits}]) / sqrt(8.0), 4) + 0.0 AS p{j}".format(
+            lits=", ".join(str(s) for s in row), j=j
+        )
+        for j, row in enumerate(signs)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT vec_id,
+           {cols}
+    FROM e
+    """
+
+
+@register("s16_random_projection", _s16_oracle())
+def s16_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: 64-d float
+    embeddings → 8-d via a deterministic Rademacher ±1 matrix
+    (Achlioptas 2003). The scale rationale and codegen shape live in
+    ``functions/vectors.random_projection``; unbiasedness
+    (E‖proj‖² = ‖v‖²) is property-tested in
+    tests/test_property_operators.py."""
+    from aws_csp_datapipeline_spark.functions.vectors import (
+        rademacher_signs,
+        random_projection,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    signs = rademacher_signs(8, 64)
+    return e.select("vec_id", *random_projection(F.col("embedding"), signs))

@@ -497,3 +497,32 @@ def test_winnowing_guarantee_shared_substring_shares_fingerprint(
         ).collect()
     }
     assert rows[1] & rows[2], (a, b)
+
+
+def test_random_projection_preserves_norm_in_expectation(spark, sf_smoke):
+    """JL unbiasedness: with ±1/sqrt(k) entries, E‖Pv‖² = ‖v‖².
+    Averaged over 500 vectors the ratio concentrates near 1
+    (per-vector variance 2/k), so a loose corpus-level band is a
+    real invariant, not a tautology."""
+    from pyspark.sql import functions as F
+
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.functions.similarity import _as_double, dot
+    from aws_csp_datapipeline_spark.functions.vectors import (
+        rademacher_signs,
+        random_projection,
+    )
+
+    e = load_table(spark, sf_smoke, "embeddings")
+    signs = rademacher_signs(8, 64)
+    projected = e.select(
+        dot(_as_double(F.col("embedding")), _as_double(F.col("embedding"))).alias(
+            "orig_sq"
+        ),
+        *random_projection(F.col("embedding"), signs),
+    )
+    proj_sq = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(8))
+    row = projected.agg(
+        F.avg(proj_sq / F.col("orig_sq")).alias("ratio")
+    ).collect()[0]
+    assert 0.9 < row["ratio"] < 1.1
