@@ -603,3 +603,91 @@ def dq8_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return stacked.select("r.check_name", "r.n_violations")
+
+
+@register(
+    "dq12_skew_profile",
+    """
+    WITH k AS (
+      SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS DOUBLE) AS total,
+             AVG(CAST(cnt AS DOUBLE)) AS mean_cnt
+      FROM k
+    )
+    SELECT key, cnt,
+           ROUND(100.0 * cnt / total, 4) AS share_pct,
+           ROUND(cnt / mean_cnt, 4) AS skew_ratio
+    FROM k, tot
+    ORDER BY cnt DESC, key LIMIT 10
+    """,
+)
+def dq12_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew profile: the top-10 heaviest values of a
+    prospective shuffle key with their share of all rows and their
+    ratio to the mean per-key load. This is the diagnostic that decides
+    whether a join needs salting (`j3_salted_join`) or can rely on AQE
+    skew splitting: a max skew_ratio near 1 means uniform; >> 1 means
+    the hot key's partition dominates the stage. One combiner-agg over
+    the key column (key singletons shuffle, never rows) + a broadcast
+    1-row totals join — cost is O(distinct keys), so profiling a 100 TB
+    fact costs one narrow column scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = (
+        li.groupBy(F.col("l_suppkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = k.agg(
+        F.sum("cnt").cast("double").alias("total"),
+        F.avg(F.col("cnt").cast("double")).alias("mean_cnt"),
+    )
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.lit(100.0) * F.col("cnt") / F.col("total"), 4).alias(
+                "share_pct"
+            ),
+            F.round(F.col("cnt") / F.col("mean_cnt"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(10)
+    )
+
+
+@register(
+    "dq13_join_cardinality",
+    """
+    WITH lo AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
+    rc AS (SELECT c_custkey AS key, COUNT(*) AS cnt FROM customer GROUP BY 1)
+    SELECT CAST(SUM(lo.cnt * rc.cnt) AS BIGINT) AS est_join_rows,
+           CAST(COUNT(*) AS BIGINT) AS matching_keys,
+           CAST(MAX(lo.cnt * rc.cnt) AS BIGINT) AS max_key_fanout
+    FROM lo JOIN rc USING (key)
+    """,
+)
+def dq13_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-join cardinality WITHOUT running the join:
+    |A ⋈ B| = Σ_k cntA(k)·cntB(k) over per-key count histograms —
+    the pre-flight check before a fact-fact join that could explode
+    (max_key_fanout flags the single worst key). Two combiner aggs
+    shuffle key singletons; the histogram join is distinct-key-sized,
+    so the probe costs O(|keys|) instead of materializing the join.
+    At 100 TB this is the difference between discovering a 10^13-row
+    blow-up from a one-minute scan vs from a dead cluster."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    lo = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt_l")
+    )
+    rc = c.groupBy(F.col("c_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt_r")
+    )
+    prod = F.col("cnt_l") * F.col("cnt_r")
+    return lo.join(rc, "key").agg(
+        F.sum(prod).cast("long").alias("est_join_rows"),
+        F.count(F.lit(1)).cast("long").alias("matching_keys"),
+        F.max(prod).cast("long").alias("max_key_fanout"),
+    )

@@ -156,6 +156,7 @@ def _load_plan_modules() -> None:
         q_crud,
         q_dedup,
         q_graph,
+        q_linkage,
         q_pattern,
         q_quality,
         q_range,
