@@ -302,3 +302,85 @@ def pm6_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("n_clicks") / tot), 4).alias("click_credit"),
         F.round(F.sum(F.col("n_views") / tot), 4).alias("view_credit"),
     )
+
+
+@register(
+    "pm7_top_session_paths",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    r AS (
+      SELECT user_id, sess, event_type,
+             row_number() OVER (PARTITION BY user_id, sess
+                                ORDER BY ts, event_id) AS rn
+      FROM s
+    ),
+    p AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id, sess
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM p GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def pm7_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: the 20 most common first-3-event
+    sequences across 30-min-gap sessions — the navigation-pattern
+    query behind funnel design (composes `w3_sessionize`'s gap logic
+    with an ordered path fold).
+
+    One hash shuffle on user_id serves the session and rank windows
+    (same partition key, same sort); the path build is a grouped
+    array_sort over ≤3-element structs (rn is unique per session, so
+    the sorted fold is deterministic regardless of collect order) and
+    the final count shuffles path singletons. No self-joins, no
+    per-row Python."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(F.lag("ts").over(w).isNull() | (gap_ms > 1800000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sess", F.sum("is_new").over(w_cum))
+    w_rank = Window.partitionBy("user_id", "sess").orderBy("ts", "event_id")
+    ranked = sess.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") <= 3
+    )
+    paths = ranked.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )

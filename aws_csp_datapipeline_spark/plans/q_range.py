@@ -96,3 +96,84 @@ def g3_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return day_out.unionByName(week_out)
+
+
+@register(
+    "x9_interval_coalesce",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s,
+             ts + INTERVAL 300 SECONDS AS e
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1
+                      ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, event_id
+                     ROWS UNBOUNDED PRECEDING) AS island
+      FROM m
+    ),
+    isl AS (
+      SELECT user_id, island, MIN(s) AS s0, MAX(e) AS e1
+      FROM g GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(epoch_ms(e1) - epoch_ms(s0)) / 1000.0, 1) AS covered_s
+    FROM isl GROUP BY user_id
+    """,
+)
+def x9_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (coalesce overlapping ranges): each event claims
+    [ts, ts+5min]; overlapping claims per user merge into maximal
+    intervals, reporting how many remain and the total covered time —
+    the range twin of gaps-and-islands (`w10`) and the dual of
+    `w11_max_concurrency`'s boundary sweep.
+
+    One hash shuffle on user_id, then two windows over the same
+    (user, start) sort — the running-max-end comparison marks island
+    starts without any self-join, so merging N intervals is O(N log N)
+    per partition and per-user state never leaves the executor. At
+    100 TB, partition by user/day first and the same plan coalesces
+    per shard."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e"),
+    )
+    w_order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    )
+    # same total order as the flag window, so island ids are stable
+    # even when two events share a timestamp
+    w_cum = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = flagged.withColumn("island", F.sum("is_new").over(w_cum))
+    isl = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    return isl.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.round(
+            F.sum(F.unix_millis(F.col("e1")) - F.unix_millis(F.col("s0")))
+            / 1000.0,
+            1,
+        ).alias("covered_s"),
+    )

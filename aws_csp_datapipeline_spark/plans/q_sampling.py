@@ -572,3 +572,64 @@ def tt11_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.deterministic_shuffle(docs, "doc_id", salt="shuf1").select(
         "doc_id", "batch", "pos"
     )
+
+
+def _tt12_oracle() -> str:
+    from aws_csp_datapipeline_spark.plans.q_dedup import _JACCARD_SQL
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS doc FROM edges),
+    reach AS (
+      SELECT doc, doc AS r FROM nodes
+      UNION
+      SELECT e.a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.b
+    ),
+    grp AS (SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc)
+    SELECT d.doc_id,
+           COALESCE(g.group_id, d.doc_id) AS cluster_id,
+           CASE WHEN substr(md5(CAST(COALESCE(g.group_id, d.doc_id)
+                                     AS VARCHAR)), 1, 2) < 'c0'
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc
+    """
+
+
+@register("tt12_cluster_aware_split", _tt12_oracle())
+def tt12_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/test split: the split key is the NEAR-DUP
+    CLUSTER id, not the document id, so two near-duplicate documents
+    can never land on opposite sides of the split (the contamination
+    mode `tt5_split_leakage` audits for — this op removes it by
+    construction; standard practice in LM corpus pipelines).
+
+    Composition: LSH near-dup pairs → connected components
+    (`functions/dedup.neardup_groups`) → left-join the cluster label
+    back (singletons keep their own id) → deterministic md5 split on
+    the cluster id (`functions/sampling.hash_split` semantics). The
+    join shuffles only (doc_id, cluster_id) label pairs — never text —
+    and the split itself stays a narrow projection. The oracle
+    restates the clustering as a recursive-CTE reachability over the
+    exact-Jaccard pairs (valid because d3 ≡ d2 at this banding — see
+    q_dedup module docstring)."""
+    from aws_csp_datapipeline_spark.functions import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3
+    )
+    groups = D.neardup_groups(pairs)
+    labeled = d.select("doc_id").join(
+        groups.withColumnRenamed("doc", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("group_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    return labeled.withColumn(
+        "split", SMP.split_assign(F.col("cluster_id"), 0.75)
+    )

@@ -526,3 +526,41 @@ def test_random_projection_preserves_norm_in_expectation(spark, sf_smoke):
         F.avg(proj_sq / F.col("orig_sq")).alias("ratio")
     ).collect()[0]
     assert 0.9 < row["ratio"] < 1.1
+
+
+def test_cluster_aware_split_has_no_neardup_leakage(spark, sf_oracle):
+    """The invariant tt12 exists for: no near-dup pair straddles the
+    train/test boundary (contrast: the plain doc-id hash split DOES
+    leak on this corpus, asserted below so the test can't pass
+    vacuously)."""
+    from pyspark.sql import functions as F
+
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.functions import dedup as D
+    from aws_csp_datapipeline_spark.functions import sampling as SMP
+    from aws_csp_datapipeline_spark.plans.q_sampling import (
+        tt12_cluster_aware_split,
+    )
+
+    d = load_table(spark, sf_oracle, "documents")
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3
+    ).select("doc_a", "doc_b").persist()
+    assert pairs.count() > 0
+
+    def straddles(split_df):
+        s = split_df.select("doc_id", "split")
+        return (
+            pairs.join(s.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+            .withColumnRenamed("split", "split_a")
+            .join(s.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+            .filter(F.col("split_a") != F.col("split"))
+            .count()
+        )
+
+    clustered = tt12_cluster_aware_split(spark, sf_oracle)
+    naive = SMP.hash_split(d.select("doc_id"), "doc_id", 0.75)
+    n_clustered, n_naive = straddles(clustered), straddles(naive)
+    pairs.unpersist()
+    assert n_clustered == 0
+    assert n_naive > 0  # the mode this operator eliminates
