@@ -63,15 +63,21 @@ def er1_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
         & (F.col("a_c_custkey") < F.col("b_c_custkey")),
     )
+    # 3-arg levenshtein: banded O(threshold·len) with early exit
+    # (returns -1 past the band) instead of the full O(len²) matrix —
+    # ~9x cheaper per candidate pair, and the verify cost is the whole
+    # operator once blocking has bounded the pair count. Exact value
+    # is preserved for every pair that passes (≤ threshold).
+    dist = F.levenshtein("a_c_name", "b_c_name", 2)
     return (
         pairs.select(
             F.col("a_c_custkey").alias("custkey_a"),
             F.col("b_c_custkey").alias("custkey_b"),
             F.col("a_c_name").alias("name_a"),
             F.col("b_c_name").alias("name_b"),
-            F.levenshtein("a_c_name", "b_c_name").alias("dist"),
+            dist.alias("dist"),
         )
-        .filter(F.col("dist") <= 2)
+        .filter(F.col("dist").between(0, 2))
         .orderBy("custkey_a", "custkey_b")
         .limit(500)
     )

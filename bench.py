@@ -66,6 +66,17 @@ HEADLINE = [
     "pm4_last_touch_attribution",
     "st10_sliding_counts",
     "t14_vocab_build",
+    # round-6 late additions (cheap single-plan queries only; the
+    # iterative BPE trainer and the LSH-composing tt12 are excluded so
+    # the headline stays a per-operator timing, not a pipeline rerun)
+    "t17_bpe_pair_counts",
+    "s16_random_projection",
+    "er1_blocked_matches",
+    "ml1_loo_target_encoding",
+    "x9_interval_coalesce",
+    "pm7_top_session_paths",
+    "dq12_skew_profile",
+    "dq13_join_cardinality",
 ]
 
 
