@@ -691,3 +691,32 @@ def dq13_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("matching_keys"),
         F.max(prod).cast("long").alias("max_key_fanout"),
     )
+
+
+@register("dq14_file_manifest", None)
+def dq14_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file layout manifest: row count and key range of every
+    parquet file backing the lineitem table — the audit behind
+    small-file compaction (`sources/layout.compact_parquet`) and
+    clustering quality (overlapping key ranges ⇒ scans can't prune).
+    Rows-only: the DuckDB oracle views hide file identity, so the
+    pytest twin (tests/test_quality.py) checks against pyarrow
+    per-file metadata instead.
+
+    Cost shape: only the key column is read (column pruning), the
+    group key is `input_file_name()` so partial aggs collapse each
+    scan task to at most a few rows, and the shuffle is file-count-
+    sized — a 100 TB table with 100k files yields a 100k-row
+    manifest from a one-column scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("file")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+        )
+        .orderBy("file")
+    )

@@ -109,3 +109,43 @@ def t18_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         bpe.encode_token_count(F.col("text"), merges).alias("n_bpe_tokens"),
     )
+
+
+@register("pipe5_tokenized_packing", None)
+def pipe5_tokenized_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware batch assembly: the packing step (`tt6`) driven
+    by REAL tokenizer counts instead of whitespace counts — train BPE
+    on the corpus, encode every document, then greedy-pack per
+    language shard against a 2048-token budget. This is the actual
+    pretraining data flow (tokenize → pack into context windows);
+    rows-only because the merge list is learned (tests/test_bpe.py
+    pins invariants: bins are contiguous, budget-bounded exclusive
+    prefix sums, counts consistent with t18).
+
+    One corpus pass for word freqs, vocab-table training iterations,
+    then a single narrow encode projection feeding the per-shard
+    running-sum window — the same one-shuffle shape as tt6."""
+    from pyspark.sql import Window
+
+    merges = [(l, r) for l, r, _ in _learned_merges(spark, sf_dir)]
+    d = load_table(spark, sf_dir, "documents")
+    n_t = d.select(
+        "lang",
+        "doc_id",
+        bpe.encode_token_count(F.col("text"), merges).alias("n"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = n_t.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n").over(w), F.lit(0)) / F.lit(2048)).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )

@@ -135,3 +135,40 @@ def test_merges_are_compressive(spark, sf_smoke):
         ),
     ).agg(F.sum("n_bpe").alias("b"), F.sum("n_chars").alias("c")).collect()[0]
     assert agg["b"] < agg["c"]
+
+
+def test_pipe5_packing_invariants(spark, sf_smoke):
+    """pipe5 bins are exclusive-prefix-sum packings: per (lang, bin)
+    the running total entering the bin is below the budget boundary,
+    bin ids are contiguous from 0 per shard, and totals reconcile
+    with an independent replay of the packing rule."""
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.functions import bpe
+    from aws_csp_datapipeline_spark.plans.q_tokenize import (
+        pipe5_tokenized_packing,
+    )
+
+    got = {
+        (r["lang"], r["bin_id"]): (r["n_docs"], r["total_tokens"])
+        for r in pipe5_tokenized_packing(spark, sf_smoke).collect()
+    }
+    # independent replay: python greedy over (lang, doc_id)-ordered counts
+    d = load_table(spark, sf_smoke, "documents")
+    merges = [(l, r) for l, r, _ in bpe.train_bpe(bpe.word_freqs(d), 8)]
+    rows = d.select("lang", "doc_id", "text").collect()
+    per_doc = sorted(
+        (r["lang"], r["doc_id"], py_encode_count(r["text"], merges))
+        for r in rows
+    )
+    want: dict = {}
+    run: dict = {}
+    for lang, _doc, n in per_doc:
+        cum = run.get(lang, 0)
+        b = cum // 2048
+        run[lang] = cum + n
+        docs, tot = want.get((lang, b), (0, 0))
+        want[(lang, b)] = (docs + 1, tot + n)
+    assert got == want
+    for lang in {k[0] for k in got}:
+        bins = sorted(b for (l, b) in got if l == lang)
+        assert bins == list(range(len(bins)))  # contiguous from 0

@@ -74,3 +74,34 @@ def test_approx_percentile_error_bound(spark, sf_oracle):
         got = approx[r["o_orderpriority"]]
         for g, e in zip(got, (r["e25"], r["e50"], r["e75"], r["e95"])):
             assert abs(g - e) / e < 0.01, (r["o_orderpriority"], g, e)
+
+
+def test_file_manifest_matches_pyarrow(spark, sf_smoke):
+    """dq14's per-file manifest must agree with pyarrow's per-file
+    ground truth (row count and key min/max)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from aws_csp_datapipeline_spark.plans.q_quality import dq14_file_manifest
+
+    got = {
+        r["file"]: (r["n_rows"], r["min_orderkey"], r["max_orderkey"])
+        for r in dq14_file_manifest(spark, sf_smoke).collect()
+    }
+    path = f"{sf_smoke}/lineitem.parquet"
+    files = [path] if os.path.isfile(path) else sorted(
+        glob.glob(f"{path}/*.parquet")
+    )
+    want = {}
+    for f in files:
+        col = pq.read_table(f, columns=["l_orderkey"])["l_orderkey"]
+        import pyarrow.compute as pc
+
+        want[os.path.basename(f)] = (
+            len(col),
+            pc.min(col).as_py(),
+            pc.max(col).as_py(),
+        )
+    assert got == want
