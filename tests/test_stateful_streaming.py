@@ -226,3 +226,53 @@ def test_transform_with_state_matches_batch(spark):
             for r in batch_user_totals(df).collect()
         }
         assert final == expected
+
+
+def test_state_reader_matches_query_state(spark):
+    """The statestore batch source must read back exactly the per-key
+    aggregation state a stopped streaming query committed, and the
+    state-metadata source must describe the operator; the size profile
+    accounts for every key."""
+    import os
+    import tempfile
+
+    from aws_csp_datapipeline_spark.streaming.state_reader import (
+        read_state,
+        state_metadata,
+        state_size_profile,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        src = spark.range(0, 100).select(
+            (F.col("id") % 7).alias("user_id"), F.col("id").alias("v")
+        )
+        landing = os.path.join(td, "landing")
+        src.coalesce(1).write.parquet(landing)
+        stream = spark.readStream.schema("user_id long, v long").parquet(landing)
+        agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        ckpt = os.path.join(td, "ckpt")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("state_reader_t")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+        got = {
+            r["key"]["user_id"]: r["value"]["count"]
+            for r in read_state(spark, ckpt).collect()
+        }
+        want = {
+            r["user_id"]: r["n"]
+            for r in src.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert got == want
+
+        meta = state_metadata(spark, ckpt).collect()
+        assert len(meta) == 1 and meta[0]["operatorId"] == 0
+
+        prof = state_size_profile(spark, ckpt)
+        assert sum(r["n_keys"] for r in prof.collect()) == len(want)
