@@ -60,11 +60,14 @@ def register(name: str, oracle: str | None = None):
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
 #
-# Round-7 rotation queue (135 names still never driver-attested after
-# r6; keep the ~30 fixed core, swap the r6 tail for ~20 of these,
-# spanning families): q2/q4/q8/q10/q13/q16/q21 (remaining TPC-H
-# silhouettes), f9/f12-f17 (function batteries), w2/w6/w9,
-# dq2/dq5/dq9, h2, fun1/fun2, pipe4, d9/d10, ap3, mm2, tt11, st10.
+# Round-7 rotation queue (names still never driver-attested after r6;
+# keep the ~30 fixed core, swap the r6 tail for ~20 of these, spanning
+# families): q2/q4/q8/q10/q13/q16/q21 (remaining TPC-H silhouettes),
+# f9/f12-f17 (function batteries), w2/w6/w9, dq2/dq5/dq9, h2,
+# fun1/fun2, pipe4, d9/d10, ap3, mm2, tt11, st10, and the late-r6
+# additions: t17_bpe_pair_counts, s16_random_projection,
+# er1_blocked_matches, ml1_loo_target_encoding, x9_interval_coalesce,
+# pm7_top_session_paths, tt12_cluster_aware_split, dq12/dq13.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core (cross-family longitudinal sample) ---
     "q1_pricing_summary",
