@@ -68,10 +68,12 @@ HEADLINE = [
     "t14_vocab_build",
     # round-6 late additions (cheap single-plan queries only; the
     # iterative BPE trainer and the LSH-composing tt12 are excluded so
-    # the headline stays a per-operator timing, not a pipeline rerun)
+    # the headline stays a per-operator timing, not a pipeline rerun;
+    # er1_blocked_matches is excluded because its FIXED block key makes
+    # in-block pairs grow quadratically with sf — measured 42 s at sf1 —
+    # which is the blocking lesson SCALE.md documents, not a headline op)
     "t17_bpe_pair_counts",
     "s16_random_projection",
-    "er1_blocked_matches",
     "ml1_loo_target_encoding",
     "x9_interval_coalesce",
     "pm7_top_session_paths",
