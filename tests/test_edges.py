@@ -157,3 +157,68 @@ def test_cms_on_empty_and_single_key(spark):
         cms_build(single, F.col("k")), single.select("k").distinct(), "k"
     ).collect()
     assert est[0]["est_count"] == 5
+
+
+def test_bpe_on_empty_and_degenerate_corpus(spark):
+    from aws_csp_datapipeline_spark.functions import bpe
+
+    e = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe.train_bpe(bpe.word_freqs(e), 4) == []
+    # single-char words: no adjacent pairs anywhere → no merges
+    d = spark.createDataFrame([(1, "a b c a b")], "doc_id long, text string")
+    assert bpe.train_bpe(bpe.word_freqs(d), 4) == []
+    # min_pair_freq honored: pair appears once → not merged
+    d2 = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    assert bpe.train_bpe(bpe.word_freqs(d2), 4, min_pair_freq=2) == []
+    assert bpe.train_bpe(bpe.word_freqs(d2), 4, min_pair_freq=1) == [
+        ("a", "b", 1)
+    ]
+
+
+def test_interval_and_path_ops_on_empty_events(spark):
+    from aws_csp_datapipeline_spark.plans.q_pattern import pm7_top_session_paths
+    from aws_csp_datapipeline_spark.plans.q_range import x9_interval_coalesce
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        empty = spark.createDataFrame(
+            [],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        empty.write.parquet(os.path.join(td, "events.parquet"))
+        assert x9_interval_coalesce(spark, td).count() == 0
+        assert pm7_top_session_paths(spark, td).count() == 0
+
+
+def test_loo_encoding_singleton_category_is_null(spark):
+    """A category with one row must encode NULL (never its own target)."""
+    import os
+    import tempfile
+
+    from aws_csp_datapipeline_spark.plans.q_linkage import (
+        ml1_loo_target_encoding,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            [(1, "solo", 1), (2, "dual", 2), (3, "dual", 2)],
+            "c_custkey long, c_mktsegment string, c_nationkey int",
+        ).withColumn("c_name", F.lit("x")).withColumn(
+            "c_acctbal", F.lit(0.0)
+        ).write.parquet(os.path.join(td, "customer.parquet"))
+        spark.createDataFrame(
+            [(10, 1, 100.0), (20, 2, 50.0), (30, 3, 70.0)],
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        ).withColumn("o_orderstatus", F.lit("O")).withColumn(
+            "o_orderdate", F.lit("1995-01-01").cast("date")
+        ).withColumn("o_orderpriority", F.lit("1-URGENT")).write.parquet(
+            os.path.join(td, "orders.parquet")
+        )
+        rows = {
+            r["o_orderkey"]: r["loo_avg_price"]
+            for r in ml1_loo_target_encoding(spark, td).collect()
+        }
+        assert rows[10] is None  # singleton category
+        assert rows[20] == 70.0 and rows[30] == 50.0
