@@ -105,3 +105,19 @@ def test_file_manifest_matches_pyarrow(spark, sf_smoke):
             pc.max(col).as_py(),
         )
     assert got == want
+
+
+def test_join_cardinality_estimate_is_exact(spark, sf_smoke):
+    """dq13's histogram-product estimate must equal the true join
+    cardinality for an equi-join — the estimator is exact, only
+    cheaper."""
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.plans.q_quality import (
+        dq13_join_cardinality,
+    )
+
+    est = dq13_join_cardinality(spark, sf_smoke).collect()[0]
+    o = load_table(spark, sf_smoke, "orders")
+    c = load_table(spark, sf_smoke, "customer")
+    actual = o.join(c, o.o_custkey == c.c_custkey).count()
+    assert est["est_join_rows"] == actual
