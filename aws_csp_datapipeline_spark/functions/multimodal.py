@@ -337,3 +337,107 @@ def dispatch_modalities(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(per_batch, schema=MODALITY_SCHEMA)
+
+
+# --- perceptual hashing (image near-dup) ---
+
+
+def gray_grid(
+    pixels: bytes, width: int, height: int, channels: int, gw: int = 9, gh: int = 8
+) -> list[list[float]]:
+    """Box-mean grayscale downsample to a gw x gh grid — the resize
+    step of dHash. Pure stdlib; O(pixels) per image."""
+    if width < gw or height < gh:
+        raise ValueError("image smaller than hash grid")
+    grid = []
+    for gy in range(gh):
+        y0, y1 = (gy * height) // gh, ((gy + 1) * height) // gh
+        row = []
+        for gx in range(gw):
+            x0, x1 = (gx * width) // gw, ((gx + 1) * width) // gw
+            acc = 0
+            n = 0
+            for y in range(y0, y1):
+                base = (y * width) * channels
+                for x in range(x0, x1):
+                    px = base + x * channels
+                    acc += sum(pixels[px : px + channels])
+                    n += channels
+            row.append(acc / n if n else 0.0)
+        grid.append(row)
+    return grid
+
+
+def dhash64_from_pixels(
+    pixels: bytes, width: int, height: int, channels: int
+) -> int:
+    """Difference hash: 8 rows x 8 horizontal gradients of the 9x8
+    grayscale grid → 64 bits. Near-identical images (small edits,
+    re-encodes, minor noise) agree on most bits; hamming distance
+    over the hash is the cheap near-dup verify."""
+    g = gray_grid(pixels, width, height, channels)
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if g[y][x] > g[y][x + 1] else 0)
+    # two's-complement into signed 64-bit so Spark LongType holds it
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def dhash_hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def _fake_pixels(payload: bytes) -> tuple[bytes, int, int, int]:
+    """Deterministic 16x16 grayscale pseudo-image from the payload —
+    the fake-decode stand-in: identical payloads give identical
+    pixels (so dedup semantics survive), different payloads diverge."""
+    import hashlib
+
+    out = bytearray()
+    seed = bytes(payload[:64])
+    block = b""
+    while len(out) < 256:
+        block = hashlib.md5(seed + block).digest()
+        out += block
+    return bytes(out[:256]), 16, 16, 1
+
+
+def image_dhash(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Per-image 64-bit dHash over a media table via Arrow-batched
+    mapInPandas: PNG payloads take the REAL stdlib decode; other
+    payloads use the deterministic fake lane under ``fake_decode``
+    (or raise without it), and corrupt PNGs degrade to the fake lane
+    rather than failing the job.
+
+    This is the image twin of text MinHash: a narrow projection
+    producing a fixed-width fingerprint; grouping or hamming-banding
+    the hash finds near-dup images without ever joining pixel data.
+    Python cost is per-image O(pixels) inside per-batch loops — no
+    per-row serialization beyond the Arrow batch."""
+    from aws_csp_datapipeline_spark.functions import png_codec
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                try:
+                    if png_codec.is_png(data):
+                        w, h, c, px = png_codec.decode_png(data)
+                        hashes.append(dhash64_from_pixels(px, w, h, c))
+                        continue
+                    if not fake_decode:
+                        raise NotImplementedError(
+                            "non-PNG dhash needs a codec library"
+                        )
+                except _CODEC_ERRORS:
+                    if not fake_decode:
+                        raise
+                px, w, h, c = _fake_pixels(data)
+                hashes.append(dhash64_from_pixels(px, w, h, c))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "dhash": pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(per_batch, "doc_id long, dhash long")

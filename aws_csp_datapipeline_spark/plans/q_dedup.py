@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aws_csp_datapipeline_spark.catalog import load_table
 from aws_csp_datapipeline_spark.functions import dedup as D
+from aws_csp_datapipeline_spark.functions import text as X
 from aws_csp_datapipeline_spark.plans.registry import register
 
 _JACCARD_SQL = """
@@ -370,4 +371,47 @@ def inc3_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = e.filter(F.col("vec_id") >= 250)
     return S.semdedup_incremental(
         state, incoming, "embedding", "vec_id", threshold=0.45, sign_bits=6
+    )
+
+
+@register(
+    "d11_cross_source_dups",
+    """
+    WITH fp AS (
+      SELECT source, md5(lower(text)) AS f FROM documents
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY source_a, source_b
+    ORDER BY n_shared DESC, source_a, source_b
+    LIMIT 50
+    """,
+)
+def d11_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: for every pair of ingestion
+    feeds, how many identical documents (by content fingerprint) they
+    both carry — the governance view that finds mirror/scraper feeds
+    so one of them can be dropped at the source instead of deduped
+    downstream forever (complements `d8`, which scores each source in
+    isolation).
+
+    Scale shape: the self-join key is the md5 fingerprint, so only
+    (source, 16-byte hash) pairs shuffle — never text — and the join
+    fan-out is bounded by per-fingerprint copy counts (the same copy
+    table `d1` materializes). Output is at most |sources|² rows."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("source", X.fingerprint(F.col("text")).alias("f"))
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    pairs = a.join(b, "f").filter(F.col("source_a") < F.col("source_b"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .orderBy(F.desc("n_shared"), F.asc("source_a"), F.asc("source_b"))
+        .limit(50)
     )

@@ -588,3 +588,26 @@ def mm4_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+@register("mm7_image_dhash_groups", None)
+def mm7_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup: perceptual dHash per image payload
+    (REAL stdlib PNG decode lane; deterministic fake for the
+    text-payload stand-ins here), then group identical hashes —
+    the image twin of `d1` exact dedup, with hamming-banding as the
+    near-dup extension (tests/test_multimodal_codec.py proves
+    near-identical real PNGs collide and distinct images don't).
+    Rows-only: the hash family is engine-specific. Only (doc_id,
+    8-byte hash) rows ever shuffle — pixels stay in the scan
+    stage's Arrow batches."""
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_column(d, "doc_id", "text")
+    hashes = MM.image_dhash(media, fake_decode=True)
+    return (
+        hashes.groupBy("dhash")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
+        .filter(F.col("n_images") >= 2)
+        .orderBy(F.desc("n_images"), F.asc("dhash"))
+        .limit(100)
+    )

@@ -572,3 +572,92 @@ def t16_sentence_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.* FROM __t16_docs d, "
         "LATERAL sentence_split(d.doc_id, d.text) s"
     )
+
+
+@register(
+    "t21_freq_of_freq",
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT token, COUNT(*) AS freq FROM tok WHERE token <> ''
+      GROUP BY token
+    )
+    SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM tf GROUP BY freq
+    ORDER BY freq LIMIT 100
+    """,
+)
+def t21_freq_of_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf profile: frequency-of-frequencies over the corpus
+    vocabulary (n_types at freq=1 is the hapax count — the standard
+    vocabulary-health / OCR-noise diagnostic, and the input to
+    Good-Turing smoothing). Two combiner aggs, both over
+    vocabulary-sized keys; the corpus-scale explode shuffles token
+    singletons only."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        tf.groupBy("freq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+        .orderBy("freq")
+        .limit(100)
+    )
+
+
+@register(
+    "t22_vocab_growth",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS token
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT token, MIN(doc_id) AS first_doc FROM tok WHERE token <> ''
+      GROUP BY token
+    ),
+    per_bucket AS (
+      SELECT first_doc // 100 AS bucket, COUNT(*) AS new_types
+      FROM first_seen GROUP BY 1
+    )
+    SELECT bucket, CAST(new_types AS BIGINT) AS new_types,
+           CAST(SUM(new_types) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+    FROM per_bucket ORDER BY bucket
+    """,
+)
+def t22_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: new token types contributed per
+    100-doc ingestion bucket and the cumulative vocabulary size — the
+    curve that says whether a crawl is still finding new language or
+    re-reading the same pages. First-occurrence is MIN(doc_id) per
+    token (one vocab-sized agg after the explode); the cumulative
+    window runs over the constant-size bucket table."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    first_seen = (
+        d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = (
+        first_seen.groupBy(
+            F.floor(F.col("first_doc") / 100).alias("bucket")
+        ).agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per_bucket.select(
+        "bucket",
+        F.col("new_types").cast("long").alias("new_types"),
+        F.sum("new_types").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("bucket")

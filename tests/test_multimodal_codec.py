@@ -341,3 +341,68 @@ def test_spark_lane_parses_real_mp4(spark):
     assert (got[2]["width"], got[2]["height"]) == (1920, 1080)
     assert abs(got[2]["duration_ms"] - 120000.0) < 1e-6
     assert got[1]["n_tracks"] == 1
+
+
+def test_dhash_real_png_neardup_semantics(spark):
+    """dHash over REAL PNGs: a one-pixel edit keeps hamming distance
+    small (near-dup), an unrelated image is far, identical bytes
+    collide exactly — and the mapInPandas lane agrees with the local
+    computation."""
+    from aws_csp_datapipeline_spark.functions import multimodal as MM
+    from aws_csp_datapipeline_spark.functions.png_codec import encode_png
+
+    w = h = 32
+    base = bytearray()
+    for y in range(h):
+        for x in range(w):
+            base.append((16 * (x // 4) + (8 if y >= 16 else 0)) & 0xFF)
+    edited = bytearray(base)
+    edited[5] = (edited[5] + 9) & 0xFF  # one-pixel edit
+    noise = bytes(((x * 73 + 41) ** 2 + 7 * x) % 256 for x in range(w * h))
+
+    pngs = {
+        1: encode_png(bytes(base), w, h, 1),
+        2: encode_png(bytes(edited), w, h, 1),
+        3: encode_png(noise, w, h, 1),
+        4: encode_png(bytes(base), w, h, 1),  # identical re-encode
+    }
+    media = spark.createDataFrame(
+        [(k, bytearray(v), "image/png", len(v)) for k, v in pngs.items()],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in MM.image_dhash(media, fake_decode=False).collect()
+    }
+    assert got[1] == got[4]  # exact dup collides
+    assert MM.dhash_hamming(got[1], got[2]) <= 4  # near-dup stays close
+    assert MM.dhash_hamming(got[1], got[3]) > 10  # unrelated is far
+    # distributed lane == local computation
+    from aws_csp_datapipeline_spark.functions.png_codec import decode_png
+
+    w1, h1, c1, px = decode_png(pngs[1])
+    assert got[1] == MM.dhash64_from_pixels(px, w1, h1, c1)
+
+
+def test_dhash_fake_lane_and_corrupt_fallback(spark):
+    from aws_csp_datapipeline_spark.functions import multimodal as MM
+
+    corrupt_png = b"\x89PNG\r\n\x1a\n" + b"garbage"
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b"same text"), "t", 9),
+            (2, bytearray(b"same text"), "t", 9),
+            (3, bytearray(corrupt_png), "image/png", len(corrupt_png)),
+        ],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in MM.image_dhash(media, fake_decode=True).collect()
+    }
+    assert got[1] == got[2]  # identical payloads collide in fake lane
+    assert 3 in got  # corrupt payload degraded, job survived
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        MM.image_dhash(media, fake_decode=False).collect()
