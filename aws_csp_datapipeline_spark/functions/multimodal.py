@@ -346,15 +346,18 @@ def gray_grid(
     pixels: bytes, width: int, height: int, channels: int, gw: int = 9, gh: int = 8
 ) -> list[list[float]]:
     """Box-mean grayscale downsample to a gw x gh grid — the resize
-    step of dHash. Pure stdlib; O(pixels) per image."""
-    if width < gw or height < gh:
-        raise ValueError("image smaller than hash grid")
+    step of dHash. Pure stdlib; O(pixels) per image. Images smaller
+    than the grid are handled by letting boxes overlap (nearest-
+    neighbor upsample), so any >=1x1 image hashes instead of failing —
+    a tiny icon is a legitimate payload, not a corrupt one."""
     grid = []
     for gy in range(gh):
-        y0, y1 = (gy * height) // gh, ((gy + 1) * height) // gh
+        y0 = (gy * height) // gh
+        y1 = max(y0 + 1, ((gy + 1) * height) // gh)
         row = []
         for gx in range(gw):
-            x0, x1 = (gx * width) // gw, ((gx + 1) * width) // gw
+            x0 = (gx * width) // gw
+            x1 = max(x0 + 1, ((gx + 1) * width) // gw)
             acc = 0
             n = 0
             for y in range(y0, y1):

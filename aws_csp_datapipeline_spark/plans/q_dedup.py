@@ -378,7 +378,7 @@ def inc3_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d11_cross_source_dups",
     """
     WITH fp AS (
-      SELECT source, md5(lower(text)) AS f FROM documents
+      SELECT DISTINCT source, md5(lower(text)) AS f FROM documents
     ),
     pairs AS (
       SELECT a.source AS source_a, b.source AS source_b
@@ -399,13 +399,17 @@ def d11_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     isolation).
 
     Scale shape: the self-join key is the md5 fingerprint, so only
-    (source, 16-byte hash) pairs shuffle — never text — and the join
-    fan-out is bounded by per-fingerprint copy counts (the same copy
-    table `d1` materializes). Output is at most |sources|² rows."""
+    (source, 16-byte hash) pairs shuffle — never text — and n_shared
+    counts DISTINCT shared documents (per-(source, fingerprint) dedup
+    before the join), so a feed's internal duplication can't
+    quadratically inflate its overlap score. Output is at most
+    |sources|² rows."""
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
-    fp = d.select("source", X.fingerprint(F.col("text")).alias("f"))
+    fp = d.select(
+        "source", X.fingerprint(F.col("text")).alias("f")
+    ).dropDuplicates(["source", "f"])
     a = fp.select(F.col("source").alias("source_a"), "f")
     b = fp.select(F.col("source").alias("source_b"), "f")
     pairs = a.join(b, "f").filter(F.col("source_a") < F.col("source_b"))

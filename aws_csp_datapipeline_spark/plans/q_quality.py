@@ -662,9 +662,11 @@ def dq12_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lo AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
     rc AS (SELECT c_custkey AS key, COUNT(*) AS cnt FROM customer GROUP BY 1)
-    SELECT CAST(SUM(lo.cnt * rc.cnt) AS BIGINT) AS est_join_rows,
+    SELECT CAST(SUM(CAST(lo.cnt AS DECIMAL(38,0)) * rc.cnt) AS DECIMAL(38,0))
+             AS est_join_rows,
            CAST(COUNT(*) AS BIGINT) AS matching_keys,
-           CAST(MAX(lo.cnt * rc.cnt) AS BIGINT) AS max_key_fanout
+           CAST(MAX(CAST(lo.cnt AS DECIMAL(38,0)) * rc.cnt) AS DECIMAL(38,0))
+             AS max_key_fanout
     FROM lo JOIN rc USING (key)
     """,
 )
@@ -676,7 +678,11 @@ def dq13_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key singletons; the histogram join is distinct-key-sized,
     so the probe costs O(|keys|) instead of materializing the join.
     At 100 TB this is the difference between discovering a 10^13-row
-    blow-up from a one-minute scan vs from a dead cluster."""
+    blow-up from a one-minute scan vs from a dead cluster. The sum and
+    max run in DECIMAL(38,0): the blow-up regime this exists to detect
+    is exactly where a 64-bit product/sum would overflow (ANSI error
+    or wraparound), so the diagnostic must out-range the disaster it
+    measures."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     lo = o.groupBy(F.col("o_custkey").alias("key")).agg(
@@ -685,11 +691,11 @@ def dq13_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     rc = c.groupBy(F.col("c_custkey").alias("key")).agg(
         F.count(F.lit(1)).alias("cnt_r")
     )
-    prod = F.col("cnt_l") * F.col("cnt_r")
+    prod = F.col("cnt_l").cast("decimal(38,0)") * F.col("cnt_r")
     return lo.join(rc, "key").agg(
-        F.sum(prod).cast("long").alias("est_join_rows"),
+        F.sum(prod).cast("decimal(38,0)").alias("est_join_rows"),
         F.count(F.lit(1)).cast("long").alias("matching_keys"),
-        F.max(prod).cast("long").alias("max_key_fanout"),
+        F.max(prod).cast("decimal(38,0)").alias("max_key_fanout"),
     )
 
 

@@ -596,13 +596,12 @@ def t21_freq_of_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-health / OCR-noise diagnostic, and the input to
     Good-Turing smoothing). Two combiner aggs, both over
     vocabulary-sized keys; the corpus-scale explode shuffles token
-    singletons only."""
+    singletons only (same pass as ``bpe.word_freqs`` — reused)."""
+    from aws_csp_datapipeline_spark.functions import bpe
+
     d = load_table(spark, sf_dir, "documents")
-    tf = (
-        d.select(F.explode(X.tokens(F.col("text"))).alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    tf = bpe.word_freqs(d).select(
+        F.col("word").alias("token"), F.col("freq")
     )
     return (
         tf.groupBy("freq")

@@ -50,7 +50,12 @@ def get_spark(
         # to revert to sort-merge (e.g. memory-constrained executors).
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+            # normalize shell idioms (1/yes/True) to a strict boolean
+            # so a mistyped env var can't poison the session config
+            "true"
+            if os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false").lower()
+            in ("1", "true", "yes")
+            else "false",
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

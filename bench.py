@@ -75,6 +75,9 @@ HEADLINE = [
     "t17_bpe_pair_counts",
     "s16_random_projection",
     "ml1_loo_target_encoding",
+    "d11_cross_source_dups",
+    "t21_freq_of_freq",
+    "t22_vocab_growth",
     "x9_interval_coalesce",
     "pm7_top_session_paths",
     "dq12_skew_profile",

@@ -406,3 +406,26 @@ def test_dhash_fake_lane_and_corrupt_fallback(spark):
 
     with _pt.raises(Exception):
         MM.image_dhash(media, fake_decode=False).collect()
+
+
+def test_dhash_tiny_png_hashes_instead_of_failing(spark):
+    """A valid PNG smaller than the 9x8 hash grid must hash via the
+    overlapping-box upsample — under fake_decode=False (no fake lane
+    to hide behind) — and identical tiny images must collide."""
+    from aws_csp_datapipeline_spark.functions import multimodal as MM
+    from aws_csp_datapipeline_spark.functions.png_codec import encode_png
+
+    tiny = encode_png(bytes(range(16)), 4, 4, 1)
+    tiny2 = encode_png(bytes(reversed(range(16))), 4, 4, 1)
+    media = spark.createDataFrame(
+        [(1, bytearray(tiny), "image/png", len(tiny)),
+         (2, bytearray(tiny), "image/png", len(tiny)),
+         (3, bytearray(tiny2), "image/png", len(tiny2))],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in MM.image_dhash(media, fake_decode=False).collect()
+    }
+    assert got[1] == got[2]
+    assert got[1] != got[3]
