@@ -423,6 +423,11 @@ def minhash_lsh_pairs(
             & (F.col("x.doc") < F.col("y.doc")),
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        # dedup multi-band pairs BEFORE the agreement join: true
+        # near-dups collide in ~all 16 bands, so the non-distinct
+        # stream is several times larger than the pair set and
+        # inflates the signature joins more than this one exchange
+        # costs (A/B at sf10: distinct-first 26 s vs filter-first 31 s)
         .distinct()
     )
     if est_prefilter is not None:
@@ -439,6 +444,7 @@ def minhash_lsh_pairs(
             .join(sigb, "doc_b")
             .filter(agree >= F.lit(int(est_prefilter * k)))
             .select("doc_a", "doc_b")
+            .distinct()
         )
     # exact verification of candidates only
     sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
