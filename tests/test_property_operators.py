@@ -564,3 +564,48 @@ def test_cluster_aware_split_has_no_neardup_leakage(spark, sf_oracle):
     pairs.unpersist()
     assert n_clustered == 0
     assert n_naive > 0  # the mode this operator eliminates
+
+
+def test_lsh_equals_exact_on_generated_corpora(spark):
+    """Generative guard for the LSH path (banding + signature
+    pre-filter + exact verify): on corpora of documents with planted
+    near-duplicates (small word-level perturbations) and unrelated
+    documents, minhash_lsh_pairs must output exactly the
+    ngram_jaccard_pairs set. Deterministic seeds — this pins the
+    banding/pre-filter recall knobs against future tuning."""
+    import random
+
+    from aws_csp_datapipeline_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(200)]
+        docs = []
+        doc_id = 0
+        for base in range(12):
+            words = [rng.choice(vocab) for _ in range(60)]
+            docs.append((doc_id, " ".join(words)))
+            doc_id += 1
+            # 0-2 near-dup copies with 0-3 word substitutions
+            for _ in range(rng.randint(0, 2)):
+                w = list(words)
+                for _ in range(rng.randint(0, 3)):
+                    w[rng.randrange(len(w))] = rng.choice(vocab)
+                docs.append((doc_id, " ".join(w)))
+                doc_id += 1
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        lsh = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(df, "text", "doc_id").collect()
+        }
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in ngram_jaccard_pairs(
+                df, "text", "doc_id", threshold=0.8
+            ).collect()
+        }
+        assert lsh == exact, f"seed {seed}: {lsh ^ exact}"
+        assert exact  # planted dups must actually produce pairs
