@@ -358,7 +358,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 16,
     n: int = 3,
-    est_prefilter: float | None = 0.5,
+    est_prefilter: float | str | None = "auto",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
 
@@ -371,18 +371,26 @@ def minhash_lsh_pairs(
 
     ``est_prefilter``: before the exact verification join, candidates
     whose SIGNATURE agreement (fraction of equal minhashes, an
-    unbiased Jaccard estimate) falls below this cut are dropped by
+    unbiased Jaccard estimate) falls below a cut are dropped by
     comparing the two k-long signatures — ~6x cheaper per pair than
     intersecting full shingle arrays, and r=2 banding is so
     recall-permissive that almost all candidates are low-J (measured
-    at sf10: 22.3M candidates, only 122k with agreement >= 0.5 —
-    the pre-filter cut d3 38 s → ~15 s). Miss bound at the
-    verification threshold: P(Binom(k, J=0.8) < k/2) ≈ 3e-6 per pair
-    (vanishing for J → 1), on top of banding's 8e-8 — and because the
-    hash family is deterministic, equality to the exact pair set on a
-    given corpus is a fixed fact checked by the oracle gate, not a
-    per-run coin flip. Pass ``None`` to disable (pure exact verify
-    on every banding candidate)."""
+    at sf10: 22.3M candidates, only ~122k with agreement >= 0.5 —
+    the pre-filter cut d3 from 38 s to 26 s; sf1 5.7 → 3.6 s).
+    ``"auto"`` (default) ties the cut to the verification threshold
+    with a 0.3 safety margin — cut = max(0, threshold − 0.3) — so
+    lowering ``threshold`` automatically relaxes the pre-filter
+    instead of silently eating true pairs near the boundary. Miss
+    bound at the default (threshold 0.8 → cut 0.5):
+    P(Binom(32, 0.8) < 16) ≈ 3.3e-5 per pair exactly AT the
+    boundary, vanishing as J → 1 (≈ 1e-12 at J = 0.95), on top of
+    banding's 8e-8 — and because the hash family is deterministic,
+    equality to the exact pair set on a given corpus is a fixed fact
+    checked by the oracle gate, not a per-run coin flip. Pass an
+    explicit float for a manual cut, or ``None`` to disable (pure
+    exact verify on every banding candidate)."""
+    if est_prefilter == "auto":
+        est_prefilter = max(0.0, threshold - 0.3)
     r = k // bands
     # the shingle table feeds the signature build AND both sides of
     # the verification join — materialize it once, spilling to disk
@@ -439,12 +447,14 @@ def minhash_lsh_pairs(
                 lambda eq: eq,
             )
         )
+        # no distinct needed here: cand is already pair-distinct and
+        # sig carries exactly one row per doc, so these joins cannot
+        # duplicate pairs
         cand = (
             cand.join(siga, "doc_a")
             .join(sigb, "doc_b")
             .filter(agree >= F.lit(int(est_prefilter * k)))
             .select("doc_a", "doc_b")
-            .distinct()
         )
     # exact verification of candidates only
     sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))

@@ -348,8 +348,13 @@ def gray_grid(
     """Box-mean grayscale downsample to a gw x gh grid — the resize
     step of dHash. Pure stdlib; O(pixels) per image. Images smaller
     than the grid are handled by letting boxes overlap (nearest-
-    neighbor upsample), so any >=1x1 image hashes instead of failing —
-    a tiny icon is a legitimate payload, not a corrupt one."""
+    neighbor upsample), so small icons hash instead of failing — but a
+    width-1 strip (or empty image) has NO horizontal signal, every
+    gradient bit would be 0 and all such images would silently collide
+    on hash 0, so degenerate dimensions are rejected (→ fake lane
+    under fake_decode, loud error otherwise)."""
+    if width < 2 or height < 1:
+        raise ValueError("image has no horizontal gradient signal")
     grid = []
     for gy in range(gh):
         y0 = (gy * height) // gh

@@ -14,6 +14,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _env_bool(name: str, default: str) -> str:
+    """Normalize shell boolean idioms (1/yes/true, 0/no/false) and
+    FAIL FAST on anything else — a silently-misread toggle (e.g.
+    'on', a typo) would flip a memory-safety knob without the user
+    knowing, which is worse than the loud error."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    v = raw.strip().lower()
+    if v in ("1", "true", "yes"):
+        return "true"
+    if v in ("0", "false", "no"):
+        return "false"
+    raise ValueError(f"{name} must be a boolean (1/0/true/false/yes/no), got {raw!r}")
+
+
 def get_spark(
     app_name: str = "aws_csp_datapipeline_spark",
     cpus: int | str | None = None,
@@ -50,12 +66,7 @@ def get_spark(
         # to revert to sort-merge (e.g. memory-constrained executors).
         .config(
             "spark.sql.join.preferSortMergeJoin",
-            # normalize shell idioms (1/yes/True) to a strict boolean
-            # so a mistyped env var can't poison the session config
-            "true"
-            if os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false").lower()
-            in ("1", "true", "yes")
-            else "false",
+            _env_bool("SPARK_GRAFT_PREFER_SMJ", default="false"),
         )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

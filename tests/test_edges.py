@@ -222,3 +222,76 @@ def test_loo_encoding_singleton_category_is_null(spark):
         }
         assert rows[10] is None  # singleton category
         assert rows[20] == 70.0 and rows[30] == 50.0
+
+
+def test_dhash_degenerate_width_rejected_not_colliding(spark):
+    """Width-1 strips have no horizontal gradient signal: they must
+    NOT silently collide on hash 0 — fake lane under fake_decode,
+    loud error without it."""
+    from aws_csp_datapipeline_spark.functions import multimodal as MM
+    from aws_csp_datapipeline_spark.functions.png_codec import encode_png
+
+    strip1 = encode_png(bytes([0, 255, 0, 255]), 1, 4, 1)
+    strip2 = encode_png(bytes([10, 20, 30, 40]), 1, 4, 1)
+    media = spark.createDataFrame(
+        [(1, bytearray(strip1), "image/png", len(strip1)),
+         (2, bytearray(strip2), "image/png", len(strip2))],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in MM.image_dhash(media, fake_decode=True).collect()
+    }
+    assert got[1] != got[2]  # fake lane keeps content-dependence
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        MM.image_dhash(media, fake_decode=False).collect()
+
+
+def test_env_bool_validation():
+    import os
+
+    from aws_csp_datapipeline_spark.session import _env_bool
+
+    os.environ["_SG_TEST_BOOL"] = "Yes"
+    assert _env_bool("_SG_TEST_BOOL", "false") == "true"
+    os.environ["_SG_TEST_BOOL"] = "0"
+    assert _env_bool("_SG_TEST_BOOL", "true") == "false"
+    os.environ["_SG_TEST_BOOL"] = "on"
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        _env_bool("_SG_TEST_BOOL", "false")
+    del os.environ["_SG_TEST_BOOL"]
+    assert _env_bool("_SG_TEST_BOOL", "true") == "true"
+
+
+def test_lsh_prefilter_tracks_low_thresholds(spark):
+    """minhash_lsh_pairs at threshold=0.6 must still equal the exact
+    pair set — the auto pre-filter cut relaxes with the threshold."""
+    import random
+
+    from aws_csp_datapipeline_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(100)]
+    docs, doc_id = [], 0
+    for _ in range(10):
+        words = [rng.choice(vocab) for _ in range(40)]
+        docs.append((doc_id, " ".join(words))); doc_id += 1
+        w = list(words)
+        # 1-3 word substitutions on 40-word docs land trigram-Jaccard
+        # in the ~0.6-0.9 band this test targets
+        for _ in range(rng.randint(1, 3)):
+            w[rng.randrange(len(w))] = rng.choice(vocab)
+        docs.append((doc_id, " ".join(w))); doc_id += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lsh = {(r["doc_a"], r["doc_b"])
+           for r in minhash_lsh_pairs(df, "text", "doc_id", threshold=0.6).collect()}
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.6).collect()}
+    assert lsh == exact and exact
