@@ -114,3 +114,59 @@ def trimmed_mean_grouped_agg(
     return df.groupBy(group_col).agg(
         tmean(F.col(value_col)).alias("trimmed_mean")
     )
+
+
+def ewma_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_cols: list[str],
+    value_col: str,
+    id_col: str,
+    alpha: float = 0.2,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group exponentially-weighted moving average — the
+    inherently-recursive window (y_t = α·x_t + (1−α)·y_{t−1}) that SQL
+    windows cannot express without recursion, so it is the textbook
+    grouped-map applyInPandas case: one Arrow batch per group, an
+    O(n) python loop inside, per-group state never crossing executor
+    boundaries.
+
+    The loop applies EXACTLY ``alpha*x + (1-alpha)*y`` per step in
+    float64, the same operation order as the recursive-CTE oracle, so
+    both engines walk identical IEEE sequences and the ROUND(…,
+    decimals) hashes match exactly. Groups shuffle once on
+    ``group_col``; at 100 TB the group key widens to (user, day) to
+    bound per-group state, seeding each day from the prior day's
+    closing value."""
+
+    import math
+
+    scale = 10.0**decimals
+
+    def _round_half_away(v: float) -> float:
+        # match SQL ROUND (half-away-from-zero); python round() is
+        # half-to-even and can diverge at exact scaled midpoints —
+        # same guard as trimmed_mean_grouped_agg
+        s = v * scale
+        return (math.floor(s + 0.5) if v >= 0 else -math.floor(-s + 0.5)) / scale
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        y = None
+        out = []
+        for x in pdf[value_col]:
+            y = float(x) if y is None else alpha * float(x) + (1 - alpha) * y
+            out.append(_round_half_away(y))
+        return pd.DataFrame(
+            {id_col: pdf[id_col], group_col: pdf[group_col], "ewma": out}
+        )
+
+    cols = [id_col, group_col, value_col, *order_cols]
+    return (
+        df.select(*dict.fromkeys(cols))
+        .groupBy(group_col)
+        .applyInPandas(
+            per_group, schema=f"{id_col} long, {group_col} long, ewma double"
+        )
+    )

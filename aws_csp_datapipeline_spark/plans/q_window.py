@@ -473,3 +473,35 @@ def x7_time_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", "bucket", "event_id", "event_type", "value")
     )
+
+
+@register(
+    "w14_ewma",
+    r"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, rn, value, value AS ewma FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn, s.value,
+             0.2 * s.value + 0.8 * r.ewma
+      FROM seq s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ROUND(ewma, 4) AS ewma FROM r
+    """,
+)
+def w14_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (α = 0.2) over event time: the recursive window
+    SQL can't state directly — oracle restates it as a recursive CTE,
+    the engine as grouped-map applyInPandas with the identical
+    float64 step order (see ``functions/grouped.ewma_per_group``)."""
+    from aws_csp_datapipeline_spark.functions.grouped import ewma_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return ewma_per_group(
+        ev, "user_id", ["ts", "event_id"], "value", "event_id", alpha=0.2
+    )
