@@ -140,26 +140,29 @@ def ewma_per_group(
     bound per-group state, seeding each day from the prior day's
     closing value."""
 
-    import math
+    import numpy as np
 
     scale = 10.0**decimals
 
-    def _round_half_away(v: float) -> float:
-        # match SQL ROUND (half-away-from-zero); python round() is
-        # half-to-even and can diverge at exact scaled midpoints —
-        # same guard as trimmed_mean_grouped_agg
-        s = v * scale
-        return (math.floor(s + 0.5) if v >= 0 else -math.floor(-s + 0.5)) / scale
-
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        y = None
-        out = []
-        for x in pdf[value_col]:
-            y = float(x) if y is None else alpha * float(x) + (1 - alpha) * y
-            out.append(_round_half_away(y))
+        # pandas ewm(adjust=False) runs the same y = (1-α)y + αx
+        # recursion in C and is bit-identical to the explicit float64
+        # loop (verified term-by-term). Rounding is vectorized
+        # half-away-from-zero to match SQL ROUND (numpy round, like
+        # python round(), is half-to-even — same midpoint guard as
+        # trimmed_mean_grouped_agg).
+        y = (
+            pdf[value_col]
+            .astype("float64")
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .to_numpy()
+        )
+        s = y * scale
+        rounded = np.where(y >= 0, np.floor(s + 0.5), -np.floor(-s + 0.5)) / scale
         return pd.DataFrame(
-            {id_col: pdf[id_col], group_col: pdf[group_col], "ewma": out}
+            {id_col: pdf[id_col], group_col: pdf[group_col], "ewma": rounded}
         )
 
     cols = [id_col, group_col, value_col, *order_cols]
