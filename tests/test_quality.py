@@ -121,3 +121,31 @@ def test_join_cardinality_estimate_is_exact(spark, sf_smoke):
     c = load_table(spark, sf_smoke, "customer")
     actual = o.join(c, o.o_custkey == c.c_custkey).count()
     assert est["est_join_rows"] == actual
+
+
+def test_corpus_report_tool(tmp_path):
+    from tests.conftest import SF_SMOKE
+
+    """The governance-report CLI runs end-to-end and emits every
+    section."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "report.md"
+    r = subprocess.run(
+        [sys.executable, "tools/corpus_report.py", SF_SMOKE, str(out)],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    text = out.read_text()
+    for section in (
+        "Corpus profile",
+        "Language mix",
+        "Vocabulary health",
+        "Duplication",
+        "Pre-flight diagnostics",
+    ):
+        assert section in text
