@@ -82,3 +82,79 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("cnt").alias("est_count"))
     )
+
+
+# --- bottom-k (KMV) distinct sketches: mergeable set operations ---
+
+
+def kmv_build(df: DataFrame, group_col: str, key: Column, k: int = 256) -> DataFrame:
+    """Per-group bottom-k (KMV) distinct sketch: the k smallest
+    xxhash64 values of the group's DISTINCT keys, as one sorted
+    array<long> per group — (group, kmv).
+
+    The KMV sketch answers distinct-count AND set-operation questions
+    (union/intersection/Jaccard between groups) from k longs per
+    group, with ~1/√k relative error (Beyer et al. 2007, "On synopses
+    for distinct-value estimation"). Mergeable: union two sketches by
+    merging arrays and re-taking the bottom k — so per-day/per-shard
+    sketches roll up without rescanning, same contract as the HLL/CMS
+    rollups (`a17`, `a20`).
+
+    Build shape: distinct (group, hash) pairs shuffle once; a
+    row_number window keeps the k smallest per group (top-k-per-key,
+    never a full sort); the array_agg collects exactly k longs per
+    group. At 100 TB the sketch table is |groups| × k longs — the
+    whole point."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col).alias("grp"), F.xxhash64(key).alias("h")
+    ).dropDuplicates(["grp", "h"])
+    w = Window.partitionBy("grp").orderBy("h")
+    bottom = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    return bottom.groupBy(F.col("grp").alias(group_col)).agg(
+        F.array_sort(F.collect_list("h")).alias("kmv")
+    )
+
+
+def _as_unit(h: Column) -> Column:
+    """Map a signed-64 hash to (0, 1): u = (h + 2^63) / 2^64."""
+    return (h.cast("double") + F.lit(float(2**63))) / F.lit(float(2**64))
+
+
+def kmv_distinct_estimate(kmv: Column, k: int = 256) -> Column:
+    """Distinct-count estimate from one sketch: (k−1)/u(θ) with θ the
+    kth smallest hash; exact |kmv| when the group had < k distinct
+    keys (the sketch saw everything)."""
+    return F.when(F.size(kmv) < k, F.size(kmv).cast("double")).otherwise(
+        F.lit(float(k - 1)) / _as_unit(F.element_at(kmv, k))
+    )
+
+
+def kmv_pair_estimates(
+    a: Column, b: Column, k: int = 256
+) -> tuple[Column, Column, Column]:
+    """(est_union, est_intersection, est_jaccard) between two KMV
+    sketches: merge, re-take bottom k (θ = new kth), count shared
+    hashes below θ → ρ = shared/k, U = (k−1)/u(θ), I = ρ·U.
+    Pure array expressions over ≤2k longs per pair — pairwise set
+    comparison without touching the raw data."""
+    merged = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    m = F.size(merged)  # = k unless both sketches saw tiny sets
+    theta = F.element_at(merged, m)
+    shared = F.size(F.array_intersect(a, b))
+    # exact when the union fits inside the sketch
+    est_union = F.when(
+        m < k, m.cast("double")
+    ).otherwise(F.lit(float(k - 1)) / _as_unit(theta))
+    rho = (
+        F.size(
+            F.filter(F.array_intersect(a, b), lambda h: h <= theta)
+        ).cast("double")
+        / m
+    )
+    est_inter = F.when(m < k, shared.cast("double")).otherwise(rho * est_union)
+    est_jacc = F.when(m < k, shared / m.cast("double")).otherwise(rho)
+    return est_union, est_inter, est_jacc

@@ -419,3 +419,36 @@ def d11_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), F.asc("source_a"), F.asc("source_b"))
         .limit(50)
     )
+
+
+@register("d12_kmv_source_overlap", None)
+def d12_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch form of `d11`: per-source bottom-k (KMV) sketches over
+    document fingerprints, then PAIRWISE union/intersection/Jaccard
+    estimates from the sketches alone — the shape cross-source overlap
+    takes at 100 TB, where materializing the fingerprint self-join per
+    source pair is off the table but |sources| × k longs always fits.
+    Rows-only (hash-family-specific); the estimator's error is pinned
+    against the exact d11 matrix in tests/test_approx_quality.py.
+    One corpus pass builds all sketches; the pair join is
+    |sources|²-sized."""
+    from pyspark.sql import functions as F
+
+    from aws_csp_datapipeline_spark.functions import sketches as SK
+
+    k = 256
+    d = load_table(spark, sf_dir, "documents")
+    sk = SK.kmv_build(d, "source", X.fingerprint(F.col("text")), k=k)
+    a = sk.select(F.col("source").alias("source_a"), F.col("kmv").alias("ka"))
+    b = sk.select(F.col("source").alias("source_b"), F.col("kmv").alias("kb"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    est_u, est_i, est_j = SK.kmv_pair_estimates(
+        F.col("ka"), F.col("kb"), k=k
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(est_u, 1).alias("est_union"),
+        F.round(est_i, 1).alias("est_intersection"),
+        F.round(est_j, 4).alias("est_jaccard"),
+    ).orderBy("source_a", "source_b")

@@ -170,3 +170,61 @@ def test_cms_estimate_error_bound(spark, sf_oracle):
     for r in joined:
         assert r["est_count"] >= r["true_count"], r
         assert r["est_count"] - r["true_count"] <= slack, r
+
+
+def test_kmv_estimates_track_exact_overlap(spark, sf_oracle):
+    """KMV pairwise estimates vs exact per-source distinct counts and
+    pairwise intersections: with k=256 over ~100-doc sources the
+    sketch saw everything, so estimates must be EXACT; a second pass
+    with k=32 (true estimation regime) must stay within the ~1/sqrt(k)
+    error band."""
+    from pyspark.sql import functions as F
+
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.functions import sketches as SK
+    from aws_csp_datapipeline_spark.functions.text import fingerprint
+
+    d = load_table(spark, sf_oracle, "documents")
+    fp = d.select("source", fingerprint(F.col("text")).alias("f")).dropDuplicates(
+        ["source", "f"]
+    ).persist()
+    exact_pairs = {
+        (r["source_a"], r["source_b"]): r["n"]
+        for r in fp.alias("a")
+        .join(
+            fp.select(F.col("source").alias("source_b"), "f").alias("b"), "f"
+        )
+        .filter(F.col("a.source") < F.col("source_b"))
+        .groupBy(F.col("a.source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    exact_distinct = {
+        r["source"]: r["n"]
+        for r in fp.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    for k, tol in ((256, 0.0), (32, 0.5)):
+        sk = SK.kmv_build(d, "source", fingerprint(F.col("text")), k=k)
+        dist = {
+            r["source"]: r["est"]
+            for r in sk.select(
+                "source",
+                SK.kmv_distinct_estimate(F.col("kmv"), k=k).alias("est"),
+            ).collect()
+        }
+        for s, n in exact_distinct.items():
+            assert abs(dist[s] - n) <= max(2.0, tol * n), (k, s, dist[s], n)
+        a = sk.select(F.col("source").alias("source_a"), F.col("kmv").alias("ka"))
+        b = sk.select(F.col("source").alias("source_b"), F.col("kmv").alias("kb"))
+        eu, ei, ej = SK.kmv_pair_estimates(F.col("ka"), F.col("kb"), k=k)
+        ests = {
+            (r["source_a"], r["source_b"]): r["ei"]
+            for r in a.join(b, F.col("source_a") < F.col("source_b"))
+            .select("source_a", "source_b", ei.alias("ei"))
+            .collect()
+        }
+        for pair, n in exact_pairs.items():
+            est = ests.get(pair, 0.0)
+            assert abs(est - n) <= max(3.0, tol * max(n, 10)), (k, pair, est, n)
+    fp.unpersist()
