@@ -726,3 +726,74 @@ def dq14_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file")
     )
+
+
+@register(
+    "dq15_fd_audit",
+    """
+    WITH fd1 AS (
+      SELECT 'o_orderkey->o_custkey' AS dependency,
+             CAST(COUNT(*) AS BIGINT) AS violating_keys
+      FROM (
+        SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING COUNT(DISTINCT o_custkey) > 1
+      )
+    ),
+    fd2 AS (
+      SELECT 'c_custkey->c_mktsegment' AS dependency,
+             CAST(COUNT(*) AS BIGINT) AS violating_keys
+      FROM (
+        SELECT c_custkey FROM customer
+        GROUP BY c_custkey HAVING COUNT(DISTINCT c_mktsegment) > 1
+      )
+    ),
+    fd3 AS (
+      SELECT 'l_orderkey,l_linenumber->l_partkey' AS dependency,
+             CAST(COUNT(*) AS BIGINT) AS violating_keys
+      FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY l_orderkey, l_linenumber
+        HAVING COUNT(DISTINCT l_partkey) > 1
+      )
+    )
+    SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+    ORDER BY dependency
+    """,
+)
+def dq15_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each declared dependency
+    X → Y, count determinant values carrying more than one distinct
+    dependent — 0 means the invariant holds; >0 is the upstream-merge
+    or key-reuse bug this check exists to catch before a join fans
+    out. Each dependency is one combiner agg over its determinant
+    (distinct-count per key, keys-only shuffle); the union of three
+    1-row results is free. At 100 TB, run per ingest batch and diff
+    against the previous audit."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def fd(df, name, det, dep):
+        v = (
+            df.groupBy(*det)
+            .agg(F.countDistinct(*dep).alias("nd"))
+            .filter(F.col("nd") > 1)
+            .agg(F.count(F.lit(1)).cast("long").alias("violating_keys"))
+        )
+        return v.select(F.lit(name).alias("dependency"), "violating_keys")
+
+    return (
+        fd(o, "o_orderkey->o_custkey", ["o_orderkey"], ["o_custkey"])
+        .unionByName(
+            fd(c, "c_custkey->c_mktsegment", ["c_custkey"], ["c_mktsegment"])
+        )
+        .unionByName(
+            fd(
+                li,
+                "l_orderkey,l_linenumber->l_partkey",
+                ["l_orderkey", "l_linenumber"],
+                ["l_partkey"],
+            )
+        )
+        .orderBy("dependency")
+    )
