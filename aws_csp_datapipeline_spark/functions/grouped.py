@@ -11,6 +11,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
+def round_half_away(v: float, decimals: int) -> float:
+    """ROUND half-away-from-zero, matching SQL ROUND in both engines.
+    Python's round() (and numpy's) is half-to-even and diverges at
+    exact scaled midpoints (100.03125 → 100.0312 vs SQL's 100.0313) —
+    every oracle-matched UDF must round through this one helper."""
+    import math
+
+    scale = 10.0**decimals
+    s = v * scale
+    return (math.floor(s + 0.5) if v >= 0 else -math.floor(-s + 0.5)) / scale
+
+
 def zscore_per_group(
     df: DataFrame, group_col: str, value_col: str, id_col: str, decimals: int = 4
 ) -> DataFrame:
@@ -86,8 +98,6 @@ def trimmed_mean_grouped_agg(
     Groups where the trim consumes everything (trim_frac >= 0.5 and
     n <= 2k) return NULL — callers wanting the oracle's exact
     group-disappears semantics should keep trim_frac < 0.5."""
-    import math
-
     import pandas as pd  # noqa: F811 (module-level import is above)
 
     from pyspark.sql import functions as F
@@ -101,15 +111,7 @@ def trimmed_mean_grouped_agg(
         if len(kept) == 0:
             return None
         m = float(kept.sum()) / len(kept)
-        # ROUND half-away-from-zero to match the SQL oracle: Python's
-        # round() is half-to-even and diverges at exact midpoints
-        # (100.03125 -> 100.0312 vs the oracle's 100.0313).
-        scaled = m * 1e4
-        return (
-            math.floor(scaled + 0.5) / 1e4
-            if m >= 0
-            else -math.floor(-scaled + 0.5) / 1e4
-        )
+        return round_half_away(m, 4)
 
     return df.groupBy(group_col).agg(
         tmean(F.col(value_col)).alias("trimmed_mean")
@@ -135,34 +137,29 @@ def ewma_per_group(
     The loop applies EXACTLY ``alpha*x + (1-alpha)*y`` per step in
     float64, the same operation order as the recursive-CTE oracle, so
     both engines walk identical IEEE sequences and the ROUND(…,
-    decimals) hashes match exactly. Groups shuffle once on
-    ``group_col``; at 100 TB the group key widens to (user, day) to
-    bound per-group state, seeding each day from the prior day's
-    closing value."""
+    decimals) hashes match exactly. (pandas ``ewm(adjust=False)`` is
+    NOT usable here: its update loop skips the arithmetic when the
+    carried mean already equals the next value, which diverges from
+    the always-compute recursion by ulps and can flip the rounding at
+    4-decimal half-boundaries.) NULL values poison the remainder of
+    the group exactly like the oracle's ``α·NULL + (1−α)·y``:
+    NaN propagates through the float recursion and is emitted as SQL
+    NULL. Groups shuffle once on ``group_col``; at 100 TB the group
+    key widens to (user, day) to bound per-group state, seeding each
+    day from the prior day's closing value."""
 
-    import numpy as np
-
-    scale = 10.0**decimals
+    import math
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        # pandas ewm(adjust=False) runs the same y = (1-α)y + αx
-        # recursion in C and is bit-identical to the explicit float64
-        # loop (verified term-by-term). Rounding is vectorized
-        # half-away-from-zero to match SQL ROUND (numpy round, like
-        # python round(), is half-to-even — same midpoint guard as
-        # trimmed_mean_grouped_agg).
-        y = (
-            pdf[value_col]
-            .astype("float64")
-            .ewm(alpha=alpha, adjust=False)
-            .mean()
-            .to_numpy()
-        )
-        s = y * scale
-        rounded = np.where(y >= 0, np.floor(s + 0.5), -np.floor(-s + 0.5)) / scale
+        xs = pdf[value_col].astype("float64").to_numpy()
+        y = None
+        out = []
+        for x in xs:
+            y = float(x) if y is None else alpha * float(x) + (1 - alpha) * y
+            out.append(None if math.isnan(y) else round_half_away(y, decimals))
         return pd.DataFrame(
-            {id_col: pdf[id_col], group_col: pdf[group_col], "ewma": rounded}
+            {id_col: pdf[id_col], group_col: pdf[group_col], "ewma": out}
         )
 
     cols = [id_col, group_col, value_col, *order_cols]

@@ -172,3 +172,25 @@ def test_pipe5_packing_invariants(spark, sf_smoke):
     for lang in {k[0] for k in got}:
         bins = sorted(b for (l, b) in got if l == lang)
         assert bins == list(range(len(bins)))  # contiguous from 0
+
+
+def test_ewma_null_poisons_group_like_oracle(spark):
+    """A NULL value must make that row's EWMA and every later row in
+    the group NULL — matching the recursive-CTE oracle's
+    α·NULL + (1−α)·y algebra. (Guards the engine lane against
+    NaN-skipping shortcuts like pandas ewm.)"""
+    from aws_csp_datapipeline_spark.functions.grouped import ewma_per_group
+
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, None), (3, 1, 5.0), (4, 2, 7.0), (5, 2, 7.0)],
+        "event_id long, user_id long, value double",
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_per_group(
+            df, "user_id", ["event_id"], "value", "event_id"
+        ).collect()
+    }
+    assert got[1] == 10.0
+    assert got[2] is None and got[3] is None  # poisoned tail
+    assert got[4] == 7.0 and got[5] == 7.0  # repeated value stays exact

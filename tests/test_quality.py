@@ -124,17 +124,20 @@ def test_join_cardinality_estimate_is_exact(spark, sf_smoke):
 
 
 def test_corpus_report_tool(tmp_path):
-    from tests.conftest import SF_SMOKE
-
     """The governance-report CLI runs end-to-end and emits every
     section."""
+    import os
     import subprocess
     import sys
+
+    from tests.conftest import SF_SMOKE
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     out = tmp_path / "report.md"
     r = subprocess.run(
         [sys.executable, "tools/corpus_report.py", SF_SMOKE, str(out)],
-        cwd="/root/repo",
+        cwd=repo_root,
         capture_output=True,
         text=True,
         timeout=600,

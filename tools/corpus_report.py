@@ -53,11 +53,12 @@ def main() -> None:
 
     sections: list[tuple[str, str]] = []
 
-    docs_total = q("t1_token_stats").count()
     tok = q("t1_token_stats").agg(
+        F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 1).alias("avg_tokens"),
     ).collect()[0]
+    docs_total = tok["n_docs"]
     qual = q("t2_quality_score").agg(
         F.round(F.avg("quality"), 4).alias("avg_quality"),
         F.round(F.min("quality"), 4).alias("min_quality"),
@@ -73,7 +74,13 @@ def main() -> None:
         )
     )
 
-    sections.append(("Language mix (marker lang-ID)", _fmt_rows(q("t3_lang_id_confusion"))))
+    sections.append(
+        (
+            "Language mix (marker lang-ID)",
+            # deterministic row choice: order before the display limit
+            _fmt_rows(q("t3_lang_id_confusion").orderBy("lang", "pred_lang")),
+        )
+    )
 
     fof = {r["freq"]: r["n_types"] for r in q("t21_freq_of_freq").collect()}
     vocab_rows = q("t22_vocab_growth").collect()
@@ -99,7 +106,12 @@ def main() -> None:
             f"- exact-dedup survivors: **{kept}** of {docs_total} "
             f"({round(100 * (docs_total - kept) / max(1, docs_total), 1)}% exact dups)\n\n"
             "Per-source redundancy (near-dup, non-canonical share):\n\n"
-            + _fmt_rows(q("d8_redundancy_by_source"), 8)
+            + _fmt_rows(
+                q("d8_redundancy_by_source").orderBy(
+                    F.desc("redundancy_rate"), F.asc("source")
+                ),
+                8,
+            )
             + "\nCross-source identical-document overlap (top pairs):\n\n"
             + _fmt_rows(q("d11_cross_source_dups"), 8),
         )
@@ -109,7 +121,7 @@ def main() -> None:
         (
             "Pre-flight diagnostics",
             "Shuffle-key skew (lineitem supplier key, top loads):\n\n"
-            + _fmt_rows(q("dq12_skew_profile"), 5)
+            + _fmt_rows(q("dq12_skew_profile"), 5)  # already ordered by load
             + "\nFile-layout manifest (lineitem):\n\n"
             + _fmt_rows(q("dq14_file_manifest"), 8),
         )
