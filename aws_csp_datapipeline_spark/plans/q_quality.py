@@ -797,3 +797,63 @@ def dq15_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dependency")
     )
+
+
+@register(
+    "a24_mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderpriority, median(o_totalprice) AS med
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderpriority, ABS(o.o_totalprice - m.med) AS adev, m.med
+      FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+      SELECT o_orderpriority, ANY_VALUE(med) AS med,
+             median(adev) AS mad
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT d.o_orderpriority,
+           ROUND(m.med, 2) AS med, ROUND(m.mad, 2) AS mad,
+           CAST(COUNT(CASE WHEN d.adev > 3 * 1.4826 * m.mad THEN 1 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY d.o_orderpriority, m.med, m.mad
+    """,
+)
+def a24_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit via median absolute deviation: per
+    priority class, flag orders beyond 3 scaled MADs (1.4826·MAD ≈ σ
+    under normality) — the robust sibling of `dq9`'s 3-sigma audit
+    that a single fat-tailed batch can't blind (mean/stddev move with
+    the outliers; medians don't). Exact medians (no sketch): two
+    grouped percentile passes, each a keys+value shuffle, with the
+    tiny per-class median/MAD tables broadcast back onto the fact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.percentile("adev", 0.5).alias("mad")
+    )
+    cut = F.lit(3 * 1.4826) * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.first("med"), 2).alias("med"),
+            F.round(F.first("mad"), 2).alias("mad"),
+            F.count(F.when(F.col("adev") > cut, 1)).cast("long").alias(
+                "n_outliers"
+            ),
+        )
+    )

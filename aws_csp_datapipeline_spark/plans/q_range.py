@@ -177,3 +177,47 @@ def x9_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).alias("covered_s"),
     )
+
+
+@register(
+    "x10_time_weighted_avg",
+    """
+    WITH iv AS (
+      SELECT user_id, value,
+             (epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id))
+              - epoch_ms(ts)) / 1000.0 AS dt
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(value * dt) / SUM(dt), 4) AS twap,
+           CAST(COUNT(dt) AS BIGINT) AS n_intervals
+    FROM iv WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    """,
+)
+def x10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each observation holds until the
+    user's next event, so its weight is that interval's duration —
+    the correct mean for irregularly-sampled series (a plain AVG
+    over-weights bursts). One window (lead over the same user/time
+    sort every other sequence op shares) + one grouped agg;
+    zero-length intervals (same-timestamp bursts) carry zero weight
+    and are excluded on both sides."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (
+        (F.unix_millis(F.lead("ts").over(w)) - F.unix_millis(F.col("ts")))
+        / 1000.0
+    )
+    iv = ev.select("user_id", "value", dt.alias("dt")).filter(
+        F.col("dt").isNotNull() & (F.col("dt") > 0)
+    )
+    return iv.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias(
+            "twap"
+        ),
+        F.count("dt").cast("long").alias("n_intervals"),
+    )

@@ -633,3 +633,45 @@ def tt12_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.withColumn(
         "split", SMP.split_assign(F.col("cluster_id"), 0.75)
     )
+
+
+@register(
+    "tt13_temperature_mixture",
+    """
+    WITH cur AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    p AS (
+      SELECT source, n,
+             CAST(n AS DOUBLE) / SUM(n) OVER () AS share,
+             POW(CAST(n AS DOUBLE) / SUM(n) OVER (), 0.5) AS unnorm
+      FROM cur
+    )
+    SELECT source, n,
+           ROUND(share, 6) AS current_share,
+           ROUND(unnorm / SUM(unnorm) OVER (), 6) AS temp_share,
+           ROUND((unnorm / SUM(unnorm) OVER ()) / share, 6) AS weight
+    FROM p
+    """,
+)
+def tt13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (τ = 0.5): per-source
+    sampling shares ∝ share^τ — the standard multilingual/multi-source
+    rebalancing rule (τ=1 keeps the natural mix, τ→0 approaches
+    uniform; mBERT/XLM-R style). Generalizes `tt9` (uniform target)
+    with one exponent; the weights feed `tt7`'s deterministic
+    weighted sampler unchanged. Constant-size aggregation: |sources|
+    rows total, window normalization over that same tiny set."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    share = F.col("n").cast("double") / F.sum("n").over(w)
+    unnorm = F.pow(share, F.lit(0.5))
+    temp_share = unnorm / F.sum(unnorm).over(w)
+    return cur.select(
+        "source",
+        "n",
+        F.round(share, 6).alias("current_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / share, 6).alias("weight"),
+    )
