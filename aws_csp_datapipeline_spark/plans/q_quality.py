@@ -857,3 +857,67 @@ def a24_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dq16_chisq_independence",
+    """
+    WITH obs AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT event_type, dow, o,
+             SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(o) OVER (PARTITION BY dow) AS col_tot,
+             SUM(o) OVER () AS tot
+      FROM obs
+    ),
+    cells AS (
+      SELECT o, row_tot * col_tot / tot AS e FROM margins
+    ),
+    dims AS (
+      SELECT COUNT(DISTINCT event_type) AS r, COUNT(DISTINCT dow) AS c
+      FROM obs
+    )
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 4) AS chi_sq,
+           CAST((SELECT (r - 1) * (c - 1) FROM dims) AS BIGINT) AS dof
+    FROM cells
+    """,
+)
+def dq16_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and day-of-week:
+    the drift gate for 'did the traffic mix change with the calendar'
+    (compare χ² against the dof-critical value downstream; PSI `dq7`
+    is the two-sample sibling). One contingency aggregation — the
+    observed table is |types|×7 cells, so the margins/expected math
+    runs on a constant-size relation at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    obs = ev.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    row_tot = F.sum("o").over(Window.partitionBy("event_type"))
+    col_tot = F.sum("o").over(Window.partitionBy("dow"))
+    tot = F.sum("o").over(Window.partitionBy())
+    cells = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        (row_tot * col_tot / tot).alias("e"),
+    )
+    dims = obs.agg(
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"),
+    )
+    stat = cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chi_sq")
+    )
+    return stat.crossJoin(F.broadcast(dims)).select(
+        "chi_sq", ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof")
+    )

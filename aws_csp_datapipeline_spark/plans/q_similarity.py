@@ -589,3 +589,76 @@ def s16_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     signs = rademacher_signs(8, 64)
     return e.select("vec_id", *random_projection(F.col("embedding"), signs))
+
+
+@register(
+    "s17_pairwise_cosine_profile",
+    """
+    WITH h AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS bkt,
+             md5(CAST(vec_id AS VARCHAR)) AS hh
+      FROM embeddings
+    ),
+    r AS (
+      SELECT vec_id, v, bkt,
+             row_number() OVER (PARTITION BY bkt ORDER BY hh, vec_id) AS rn
+      FROM h
+    ),
+    p AS (
+      SELECT a.v AS va, b.v AS vb
+      FROM r a JOIN r b
+        ON a.bkt = b.bkt AND b.rn = a.rn + 1 AND a.rn % 2 = 1
+    ),
+    cs AS (
+      SELECT list_dot_product(va, vb)
+             / (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+               AS c
+      FROM p
+    )
+    SELECT CAST(floor(c * 10) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(c), 4) AS avg_cos
+    FROM cs GROUP BY 1 ORDER BY 1
+    """,
+)
+def s17_pairwise_cosine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health profile: cosine similarity distribution
+    over a deterministic ~N/2-pair sample (md5-bucketed consecutive
+    pairing — no RNG, no all-pairs join). A healthy embedding space
+    shows a broad distribution centered near 0; mass piled at high
+    cosine means representation collapse / anisotropy (the check run
+    before trusting `d10`/`s5` geometry). Pairing is a per-bucket
+    window + one equi-join on (bucket, rank) — linear in N with 256
+    independent buckets, vs the quadratic all-pairs audit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+
+    from aws_csp_datapipeline_spark.functions.similarity import _as_double, dot
+
+    h = e.select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("v"),
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2).alias("bkt"),
+        F.md5(F.col("vec_id").cast("string")).alias("hh"),
+    )
+    w = Window.partitionBy("bkt").orderBy("hh", "vec_id")
+    r = h.withColumn("rn", F.row_number().over(w))
+    a = r.select("bkt", "rn", F.col("v").alias("va"))
+    b = r.select(
+        "bkt", (F.col("rn") - 1).alias("rn"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, ["bkt", "rn"]).filter(F.col("rn") % 2 == 1)
+    c = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(dot(F.col("va"), F.col("va")))
+        * F.sqrt(dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        pairs.select(c.alias("c"))
+        .groupBy(F.floor(F.col("c") * 10).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("c"), 4).alias("avg_cos"),
+        )
+        .orderBy("bucket")
+    )

@@ -660,3 +660,57 @@ def t22_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_types").cast("long").alias("new_types"),
         F.sum("new_types").over(w).cast("long").alias("vocab_size"),
     ).orderBy("bucket")
+
+
+@register(
+    "t23_readability",
+    r"""
+    WITH m AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_words,
+             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents,
+             greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')),
+                      len(regexp_extract_all(lower(text), '[aeiouy]+')))
+               AS n_syll
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syll AS BIGINT) AS n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words), 2) AS flesch
+    FROM m
+    """,
+)
+def t23_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document: syllables approximated as
+    vowel-group runs (floored at one per word), sentences as
+    terminal-punctuation runs (floored at 1) — the classic readability
+    feature corpus filters threshold on. Narrow projection, all regex
+    counts JVM-side; scores are comparable WITHIN a corpus under this
+    syllable approximation, which is the filtering use case."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = X.token_count(F.col("text"))
+    n_sents = F.greatest(
+        F.lit(1), F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0))
+    )
+    n_syll = F.greatest(
+        n_words,
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+        ),
+    )
+    return (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_syll.cast("long").alias("n_syllables"),
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (n_words.cast("double") / n_sents)
+                - F.lit(84.6) * (n_syll.cast("double") / n_words),
+                2,
+            ).alias("flesch"),
+        )
+    )

@@ -70,7 +70,8 @@ def register(name: str, oracle: str | None = None):
 # pm7_top_session_paths, tt12_cluster_aware_split, dq12/dq13,
 # d11_cross_source_dups, t21_freq_of_freq, t22_vocab_growth, w14_ewma,
 # dq15_fd_audit, tt13_temperature_mixture, x10_time_weighted_avg,
-# a24_mad_outliers.
+# a24_mad_outliers, dq16_chisq_independence,
+# s17_pairwise_cosine_profile, t23_readability.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core (cross-family longitudinal sample) ---
     "q1_pricing_summary",
