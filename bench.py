@@ -82,6 +82,13 @@ HEADLINE = [
     "pm7_top_session_paths",
     "dq12_skew_profile",
     "dq13_join_cardinality",
+    "tt13_temperature_mixture",
+    "x10_time_weighted_avg",
+    "a24_mad_outliers",
+    "dq15_fd_audit",
+    "dq16_chisq_independence",
+    "s17_pairwise_cosine_profile",
+    "t23_readability",
 ]
 
 
