@@ -583,3 +583,58 @@ def h3_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("lo"),
         F.round(F.max("value"), 4).alias("hi"),
     )
+
+
+@register(
+    "fun4_reach_curve",
+    """
+    WITH fs AS (
+      SELECT user_id, CAST(MIN(date_trunc('day', ts)) AS DATE) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1
+    ),
+    news AS (
+      SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY 1
+    )
+    SELECT d.day, CAST(d.dau AS BIGINT) AS dau,
+           CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_reach
+    FROM daily d LEFT JOIN news n ON d.day = n.day
+    ORDER BY d.day
+    """,
+)
+def fun4_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reach curve: daily active users, first-time users, and
+    cumulative distinct reach per day — the growth dashboard's core
+    series. Cumulative distinct is NOT a running COUNT(DISTINCT)
+    (quadratic state): each user collapses to a first-seen day
+    (one combiner agg on user_id), and the cumulative sum runs over
+    the constant-size day table — the same first-occurrence trick as
+    `t22_vocab_growth`."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    fs = ev.groupBy("user_id").agg(F.min(day).alias("day"))
+    news = fs.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    daily = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day", "left")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.coalesce("new_users", F.lit(0)).cast("long").alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_reach", F.sum("new_users").over(w).cast("long")
+        )
+        .orderBy("day")
+    )

@@ -384,3 +384,72 @@ def pm7_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "pm8_session_durations",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess
+      FROM g
+    ),
+    dur AS (
+      SELECT user_id, sess,
+             (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts))) / 60000.0 AS minutes
+      FROM s GROUP BY user_id, sess
+    )
+    SELECT CAST(least(floor(minutes / 5), 12) AS INT) AS bucket_5min,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(AVG(minutes), 3) AS avg_minutes
+    FROM dur GROUP BY 1 ORDER BY 1
+    """,
+)
+def pm8_session_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution: 30-min-gap sessions bucketed
+    into 5-minute duration bins (capped at 60+) with per-bin counts
+    and mean — the engagement histogram behind session-quality
+    dashboards. Reuses the single (user, time) sort for both the gap
+    flag and the cumulative session id; durations aggregate per
+    (user, session) then collapse to a 13-row histogram."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap_ms > 1800000), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.withColumn("sess", F.sum("is_new").over(w_cum))
+    dur = sess.groupBy("user_id", "sess").agg(
+        (
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))) / 60000.0
+        ).alias("minutes")
+    )
+    return (
+        dur.groupBy(
+            F.least(F.floor(F.col("minutes") / 5), F.lit(12))
+            .cast("int")
+            .alias("bucket_5min")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(F.avg("minutes"), 3).alias("avg_minutes"),
+        )
+        .orderBy("bucket_5min")
+    )
