@@ -221,3 +221,61 @@ def x10_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("dt").cast("long").alias("n_intervals"),
     )
+
+
+@register(
+    "x11_minmax_downsample",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS bucket
+      FROM events
+    ),
+    ext AS (
+      SELECT user_id, bucket,
+             MIN(value) AS lo, MAX(value) AS hi
+      FROM b GROUP BY user_id, bucket
+    ),
+    pick AS (
+      SELECT x.user_id, x.bucket, x.lo, x.hi,
+             MIN(CASE WHEN b.value = x.lo THEN b.event_id END) AS lo_event,
+             MIN(CASE WHEN b.value = x.hi THEN b.event_id END) AS hi_event
+      FROM ext x JOIN b
+        ON b.user_id = x.user_id AND b.bucket = x.bucket
+      GROUP BY x.user_id, x.bucket, x.lo, x.hi
+    )
+    SELECT user_id, bucket, ROUND(lo, 4) AS lo, ROUND(hi, 4) AS hi,
+           lo_event, hi_event
+    FROM pick
+    """,
+)
+def x11_minmax_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max downsampling for time-series rendering: per (user,
+    hour-bucket) keep the extreme values and the row identity of each
+    extreme (lowest event_id on ties) — the reduction that preserves
+    visual envelopes when a 10^9-point series must become 10^4 plot
+    points. One grouped pass computes envelope AND witnesses: the
+    argmin/argmax rows come from MIN/MAX over (value, ±event_id)
+    structs — struct ordering is lexicographic, so the extreme value
+    arrives with its lowest-event_id witness in the same combiner-
+    friendly aggregation, no join-back (the oracle restates the
+    witness lookup as a join). Single shuffle on (user, bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_millis(F.col("ts")) / 3600000).cast("long")
+    b = ev.select("user_id", "event_id", "value", bucket.alias("bucket"))
+    lo_s = F.min(F.struct(F.col("value"), F.col("event_id")))
+    # negated id: MAX of (value, -event_id) is the max value with the
+    # LOWEST event_id on ties, matching the oracle's MIN(event_id)
+    hi_s = F.max(F.struct(F.col("value"), (-F.col("event_id")).alias("neg")))
+    return (
+        b.groupBy("user_id", "bucket")
+        .agg(lo_s.alias("ls"), hi_s.alias("hs"))
+        .select(
+            "user_id",
+            "bucket",
+            F.round(F.col("ls.value"), 4).alias("lo"),
+            F.round(F.col("hs.value"), 4).alias("hi"),
+            F.col("ls.event_id").alias("lo_event"),
+            (-F.col("hs.neg")).alias("hi_event"),
+        )
+    )
