@@ -245,3 +245,71 @@ def gr5_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a pure-Python reference in tests/test_graph.py."""
     core = G.kcore(_edges(spark, sf_dir), k=3)
     return core.select("node", "degree")
+
+
+@register(
+    "gr6_neighbor_jaccard",
+    _EDGES_CTE
+    + """
+    , sym AS (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e
+    ),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM sym GROUP BY 1),
+    cn AS (
+      SELECT a.src AS node_a, b.src AS node_b,
+             CAST(COUNT(*) AS BIGINT) AS common
+      FROM sym a JOIN sym b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT node_a, node_b, common,
+           ROUND(CAST(common AS DOUBLE) / (da.d + db.d - common), 4)
+             AS jaccard
+    FROM cn
+    JOIN deg da ON cn.node_a = da.v
+    JOIN deg db ON cn.node_b = db.v
+    ORDER BY jaccard DESC, node_a, node_b
+    LIMIT 20
+    """,
+)
+def gr6_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural node similarity: Jaccard of neighbor sets over the
+    supplier co-occurrence graph — the link-prediction / role-
+    equivalence primitive (two suppliers that serve the same orders
+    are interchangeable). Common neighbors come from ONE self-join on
+    the shared-neighbor column (never materializing neighbor sets as
+    arrays), so the cost is Σ deg(n)² over neighbors — the standard
+    2-hop bound — and degree tables broadcast back onto the
+    constant-size pair aggregate."""
+    edges = _edges(spark, sf_dir)
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    a = sym.select(F.col("src").alias("node_a"), F.col("dst").alias("n"))
+    b = sym.select(F.col("src").alias("node_b"), F.col("dst").alias("n"))
+    cn = (
+        a.join(b, "n")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    da = deg.select(F.col("v").alias("node_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("node_b"), F.col("d").alias("db"))
+    return (
+        cn.join(F.broadcast(da), "node_a")
+        .join(F.broadcast(db), "node_b")
+        .select(
+            "node_a",
+            "node_b",
+            "common",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("node_a"), F.asc("node_b"))
+        .limit(20)
+    )
