@@ -675,3 +675,110 @@ def tt13_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(temp_share, 6).alias("temp_share"),
         F.round(temp_share / share, 6).alias("weight"),
     )
+
+
+def _pipe6_sql() -> str:
+    from aws_csp_datapipeline_spark.plans.q_text import QUALITY_EXPR_SQL
+
+    return f"""
+    WITH keep AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE {QUALITY_EXPR_SQL} >= 0.35
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(lower(text))
+    ),
+    base AS (SELECT k.* FROM keep k JOIN canon c USING (doc_id)),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM base
+    ),
+    tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4])) AS gs
+      FROM tok WHERE len(t) >= 5
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+    train_g AS (
+      SELECT DISTINCT g FROM ex JOIN split USING (doc_id)
+      WHERE split = 'train'
+    ),
+    contaminated AS (
+      SELECT DISTINCT e.doc_id
+      FROM ex e JOIN split s USING (doc_id) JOIN train_g t ON e.g = t.g
+      WHERE s.split = 'test'
+    ),
+    final AS (
+      SELECT b.doc_id,
+             CASE WHEN s.split = 'test' AND c.doc_id IS NOT NULL
+                  THEN 'test_quarantined' ELSE s.split END AS status,
+             len(regexp_split_to_array(trim(lower(b.text)), '\\s+')) AS n
+      FROM base b
+      JOIN split s USING (doc_id)
+      LEFT JOIN contaminated c USING (doc_id)
+    )
+    SELECT status, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM final GROUP BY status
+    """
+
+
+@register("pipe6_train_ready", _pipe6_sql())
+def pipe6_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-ready corpus with a CLEAN eval set, one lazy plan:
+    quality gate → exact dedup → deterministic split → GPT-3-style
+    5-gram decontamination that QUARANTINES contaminated test docs
+    (tt8 reports overlap; this pipeline acts on it — the eval set
+    that survives shares no 5-gram with train). Summary per status
+    (train / test / test_quarantined).
+
+    Composition cost: the gate and dedup shuffle fingerprints only;
+    the decontamination reuses tt8's hashed-gram join (xxhash64
+    fingerprints in-engine, string grams in the oracle — equivalence
+    modulo the documented 1e-7 collision rate); the status tag is a
+    left-semi-derived flag, never a second corpus scan."""
+    from aws_csp_datapipeline_spark.functions import dedup as D
+    from aws_csp_datapipeline_spark.functions.dedup import exact_dedup
+    from aws_csp_datapipeline_spark.functions.text import quality_score, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    keep = d.filter(quality_score(F.col("text")) >= 0.35).select(
+        "doc_id", "lang", "text"
+    )
+    base = exact_dedup(keep, "text", "doc_id")
+    split = SMP.hash_split(base, "doc_id", 0.75)
+    grams = split.select(
+        "doc_id",
+        "split",
+        F.explode(D.hashed_word_shingles(F.col("text"), 5)).alias("g"),
+    )
+    train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("split") == "test")
+        .join(train_g, "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__dirty", F.lit(1))
+    )
+    tagged = split.join(contaminated, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("split") == "test") & F.col("__dirty").isNotNull(),
+            F.lit("test_quarantined"),
+        )
+        .otherwise(F.col("split"))
+        .alias("status"),
+        token_count(F.col("text")).alias("n"),
+    )
+    return tagged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )

@@ -71,7 +71,9 @@ def register(name: str, oracle: str | None = None):
 # d11_cross_source_dups, t21_freq_of_freq, t22_vocab_growth, w14_ewma,
 # dq15_fd_audit, tt13_temperature_mixture, x10_time_weighted_avg,
 # a24_mad_outliers, dq16_chisq_independence,
-# s17_pairwise_cosine_profile, t23_readability.
+# s17_pairwise_cosine_profile, t23_readability, fun4_reach_curve,
+# pm8_session_durations, x11_minmax_downsample, gr6_neighbor_jaccard,
+# pipe6_train_ready.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core (cross-family longitudinal sample) ---
     "q1_pricing_summary",
