@@ -505,3 +505,54 @@ def w14_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_per_group(
         ev, "user_id", ["ts", "event_id"], "value", "event_id", alpha=0.2
     )
+
+
+@register(
+    "w15_rolling_zscore",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sd,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           ROUND((value - mu) / sd, 4) AS z,
+           CASE WHEN ABS((value - mu) / sd) > 3 THEN 1 ELSE 0 END AS is_anomaly
+    FROM r
+    WHERE n >= 10 AND sd > 0
+    """,
+)
+def w15_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    its user's TRAILING 20 observations (exclusive of itself, so an
+    anomaly can't mask itself in its own baseline); |z| > 3 flags.
+    The streaming-monitoring primitive in batch form — one window
+    frame computes mean, stddev, and warm-up count in a single pass
+    over the shared (user, time) sort; warm-up rows (< 10 priors) and
+    flat baselines are excluded on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    mu = F.avg("value").over(w)
+    sd = F.stddev_samp("value").over(w)
+    n = F.count(F.lit(1)).over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) > 3, 1).otherwise(0).alias("is_anomaly"),
+            n.alias("__n"),
+            sd.alias("__sd"),
+        )
+        .filter((F.col("__n") >= 10) & (F.col("__sd") > 0))
+        .drop("__n", "__sd")
+    )
