@@ -921,3 +921,44 @@ def dq16_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stat.crossJoin(F.broadcast(dims)).select(
         "chi_sq", ((F.col("r") - 1) * (F.col("c") - 1)).cast("long").alias("dof")
     )
+
+
+@register(
+    "dq17_monotonicity_audit",
+    """
+    WITH r AS (
+      SELECT user_id,
+             CASE WHEN event_id < lag(event_id)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS inv
+      FROM events
+    )
+    SELECT CAST(SUM(inv) AS BIGINT) AS n_inversions,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT CASE WHEN inv = 1 THEN user_id END) AS BIGINT)
+             AS n_users_affected
+    FROM r
+    """,
+)
+def dq17_monotonicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonicity audit: events whose serial id runs BACKWARD along
+    the user's time axis — the clock-skew / out-of-order-ingest signal
+    that breaks as-of joins and watermark assumptions downstream
+    (`x1`, `st2`). One window over the shared (user, time) sort, one
+    scalar rollup; a nonzero count at ingest time is the cue to widen
+    watermark delays before the streaming layer drops those rows."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    inv = F.when(
+        F.col("event_id") < F.lag("event_id").over(w), 1
+    ).otherwise(0)
+    r = ev.select("user_id", inv.alias("inv"))
+    return r.agg(
+        F.sum("inv").cast("long").alias("n_inversions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct(F.when(F.col("inv") == 1, F.col("user_id")))
+        .cast("long")
+        .alias("n_users_affected"),
+    )

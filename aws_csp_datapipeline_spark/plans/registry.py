@@ -73,7 +73,7 @@ def register(name: str, oracle: str | None = None):
 # a24_mad_outliers, dq16_chisq_independence,
 # s17_pairwise_cosine_profile, t23_readability, fun4_reach_curve,
 # pm8_session_durations, x11_minmax_downsample, gr6_neighbor_jaccard,
-# pipe6_train_ready, w15_rolling_zscore.
+# pipe6_train_ready, w15_rolling_zscore, dq17_monotonicity_audit.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core (cross-family longitudinal sample) ---
     "q1_pricing_summary",
