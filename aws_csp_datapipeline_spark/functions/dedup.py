@@ -31,6 +31,23 @@ from aws_csp_datapipeline_spark.functions.text import fingerprint, tokens
 from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
 
 
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the intermediate caches an operator attached to its
+    result DataFrame.
+
+    ``minhash_lsh_pairs`` persists internal tables (shingle
+    fingerprints, signatures) that the RESULT's first action populates
+    and whose cache later actions on the same result reuse — the
+    caller's first action owns those caches. In a long-lived session
+    running many dedup calls, release them once the result has been
+    actioned (or checkpointed past its lineage) by calling this; a
+    no-op for DataFrames without attached caches. ``neardup_groups``
+    calls it on its input automatically because its eager checkpoints
+    ARE the consuming action."""
+    for cached in getattr(df, "_graft_caches", ()):
+        cached.unpersist(blocking=False)
+
+
 def word_shingles(col, n: int = 3):
     """Distinct word n-gram shingles of lowered text (array column).
 
@@ -470,7 +487,13 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    out = verified.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    # Cache-ownership contract: the caller's first action on `out`
+    # populates sh/sig and later actions reuse them; long-lived
+    # sessions release them via ``release_caches(out)`` once done
+    # (see that helper's docstring). Attached, not leaked.
+    out._graft_caches = [sh] + ([sig] if est_prefilter is not None else [])
+    return out
 
 
 def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
@@ -525,7 +548,10 @@ def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # This operator OWNS the consuming actions (the eager checkpoints
     # above), so it releases its cache before returning: the final
     # labels are checkpointed and no longer depend on the edge list.
+    # The input's attached caches (e.g. minhash_lsh_pairs' shingle and
+    # signature tables) are likewise spent once edges materialized.
     edges.unpersist(blocking=False)
+    release_caches(pairs)
     return labels.select(F.col("doc"), F.col("grp").alias("group_id"))
 
 

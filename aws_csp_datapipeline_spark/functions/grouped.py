@@ -163,10 +163,18 @@ def ewma_per_group(
         )
 
     cols = [id_col, group_col, value_col, *order_cols]
-    return (
-        df.select(*dict.fromkeys(cols))
-        .groupBy(group_col)
-        .applyInPandas(
-            per_group, schema=f"{id_col} long, {group_col} long, ewma double"
-        )
+    narrow = df.select(*dict.fromkeys(cols))
+    # Derive the id/group output types from the input schema instead of
+    # hardcoding long — a string or date group key must round-trip with
+    # its real type, not silently miscast through Arrow.
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    in_fields = {f.name: f for f in narrow.schema.fields}
+    out_schema = StructType(
+        [
+            StructField(id_col, in_fields[id_col].dataType),
+            StructField(group_col, in_fields[group_col].dataType),
+            StructField("ewma", DoubleType()),
+        ]
     )
+    return narrow.groupBy(group_col).applyInPandas(per_group, schema=out_schema)

@@ -62,8 +62,11 @@ def get_spark(
         # the sf1 fact joins (q3/q5/q9/d10 — SCALE.md "Join strategy").
         # Safe at scale because per-partition build sides stay bounded:
         # shuffle partitions scale with the cluster, AQE splits skewed
-        # partitions, and small dims broadcast anyway. Flip the env var
-        # to revert to sort-merge (e.g. memory-constrained executors).
+        # partitions, and small dims broadcast anyway. Operational
+        # caveat (ADVICE r6): shuffled-hash has no sort-spill fallback
+        # for the build side, so on memory-constrained or heavily
+        # skewed deployments flip SPARK_GRAFT_PREFER_SMJ=true to
+        # revert to sort-merge session-wide (SCALE.md "Join strategy").
         .config(
             "spark.sql.join.preferSortMergeJoin",
             _env_bool("SPARK_GRAFT_PREFER_SMJ", default="false"),

@@ -295,3 +295,31 @@ def test_lsh_prefilter_tracks_low_thresholds(spark):
     exact = {(r["doc_a"], r["doc_b"])
              for r in ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.6).collect()}
     assert lsh == exact and exact
+
+
+def test_lsh_prefilter_margin_at_exact_boundary(spark):
+    """Pin the auto pre-filter's 0.3 safety margin with pairs planted
+    EXACTLY at the verification threshold: each planted pair shares 8
+    of 10 union shingles (J = 0.8 = threshold, with n=1 so shingles
+    are the words themselves and the Jaccard is constructed exactly).
+    The signature-agreement pre-filter must not eat any of them — a
+    miss here would be a persistent oracle mismatch, not a flake,
+    because the hash family is deterministic (ADVICE r6)."""
+    from aws_csp_datapipeline_spark.functions.dedup import minhash_lsh_pairs
+
+    docs, planted = [], set()
+    for i in range(12):
+        a_words = [f"p{i}tok{k}" for k in range(9)]
+        b_words = a_words[:8] + [f"p{i}tok9"]
+        docs.append((2 * i, " ".join(a_words)))
+        docs.append((2 * i + 1, " ".join(b_words)))
+        planted.add((2 * i, 2 * i + 1))
+    # unrelated singletons must not pair with anything
+    docs += [(100 + j, " ".join(f"lone{j}tok{k}" for k in range(9)))
+             for j in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(
+               df, "text", "doc_id", threshold=0.8, n=1).collect()}
+    assert set(got) == planted
+    assert all(abs(j - 0.8) < 1e-9 for j in got.values())
