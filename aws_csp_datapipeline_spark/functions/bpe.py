@@ -117,17 +117,76 @@ def pair_counts(word_syms: DataFrame) -> DataFrame:
     )
 
 
+def _safe_merge_batch(
+    rows, remaining: int, batch_size: int, min_pair_freq: int, truncated: bool
+) -> list[tuple[str, str, int]]:
+    """Select a prefix-greedy batch of merges from one round's
+    pair-count top list that is PROVABLY identical to what sequential
+    single-merge greedy would pick (the standard frequency-gap trick).
+
+    ``rows`` is sorted by (freq desc, left asc, right asc) — the exact
+    sequential pick order among pairs whose counts a prior merge in the
+    batch cannot have changed. A merge of (l, r) only perturbs counts
+    of pairs that contain l, r, or the new symbol l+r (existing pairs
+    touching l/r can shrink; new pairs (x, l+r)/(l+r, y) appear with
+    count bounded by the old count of the (x, l)/(r, y) pair they came
+    from). So a candidate is safe to batch iff
+
+    * its symbols are disjoint from every earlier selection's
+      {left, right, merged} set (its own count is then unperturbed), and
+    * its count is STRICTLY above every perturbable count: the max
+      freq seen among skipped-as-conflicting rows, and — when the
+      collected list was truncated — the last collected row's freq
+      (an uncollected pair could conflict and respawn at ≤ that).
+
+    Strictness makes tie-breaks irrelevant: the selected pair beats
+    every possibly-changed count outright, so the sequential argmax
+    after applying the earlier merges is exactly this pair."""
+    batch: list[tuple[str, str, int]] = []
+    conflict: set[str] = set()
+    bound = int(rows[-1]["pair_freq"]) if truncated else 0
+    for row in rows:
+        if len(batch) >= min(batch_size, remaining):
+            break
+        left, right, freq = row["left"], row["right"], int(row["pair_freq"])
+        if freq < min_pair_freq:
+            break
+        if not batch:
+            batch.append((left, right, freq))
+            conflict |= {left, right, left + right}
+            continue
+        if left in conflict or right in conflict:
+            bound = max(bound, freq)
+            continue
+        if freq <= bound:
+            break  # rows are freq-desc: nothing later can clear it either
+        batch.append((left, right, freq))
+        conflict |= {left, right, left + right}
+    return batch
+
+
 def train_bpe(
-    word_freq: DataFrame, n_merges: int, min_pair_freq: int = 2
+    word_freq: DataFrame,
+    n_merges: int,
+    min_pair_freq: int = 2,
+    batch_size: int = 8,
+    stats: dict | None = None,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from a (word, freq) table.
 
     Deterministic: argmax ties break on (left, right) lexicographically.
-    The driver loop is control-only — each iteration runs one
-    vocab-sized aggregation and collects exactly one row; the evolving
-    symbol table is re-persisted per step (and the predecessor
-    unpersisted) so lineage stays one fold deep. Stops early when no
-    pair reaches ``min_pair_freq``.
+    The driver loop is control-only — each round runs one vocab-sized
+    aggregation and collects a small top list; the evolving symbol
+    table is re-persisted per round (and the predecessor unpersisted)
+    so lineage stays a bounded number of folds deep. Stops early when
+    no pair reaches ``min_pair_freq``.
+
+    ``batch_size`` > 1 applies several merges per driver round when
+    provably equivalent to single-merge greedy (see
+    ``_safe_merge_batch``) — same output merges, fewer collect()
+    round-trips for large vocabularies (model-equality tested in
+    tests/test_bpe.py). ``stats``, if given, records
+    ``{"rounds": <driver rounds run>}``.
 
     Returns [(left, right, pair_freq), ...] in rank order.
     """
@@ -136,31 +195,38 @@ def train_bpe(
     ).persist()
     cur.count()  # materialize before the loop so each step folds once
     merges: list[tuple[str, str, int]] = []
+    rounds = 0
+    top_n = max(4 * batch_size, 8)
     try:
-        for _ in range(n_merges):
-            top = (
+        while len(merges) < n_merges:
+            rows = (
                 pair_counts(cur)
                 .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
-                .limit(1)
+                .limit(top_n)
                 .collect()
             )
-            if not top or top[0]["pair_freq"] < min_pair_freq:
+            rounds += 1
+            if not rows or rows[0]["pair_freq"] < min_pair_freq:
                 break
-            left, right, freq = (
-                top[0]["left"],
-                top[0]["right"],
-                int(top[0]["pair_freq"]),
+            batch = _safe_merge_batch(
+                rows,
+                remaining=n_merges - len(merges),
+                batch_size=batch_size,
+                min_pair_freq=min_pair_freq,
+                truncated=len(rows) == top_n,
             )
-            merges.append((left, right, freq))
-            nxt = cur.select(
-                merge_pair(F.col("syms"), left, right).alias("syms"),
-                F.col("freq"),
-            ).persist()
+            merges.extend(batch)
+            out_col = F.col("syms")
+            for left, right, _ in batch:
+                out_col = merge_pair(out_col, left, right)
+            nxt = cur.select(out_col.alias("syms"), F.col("freq")).persist()
             nxt.count()
             cur.unpersist()
             cur = nxt
     finally:
         cur.unpersist()
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 

@@ -92,6 +92,37 @@ def test_train_matches_model_on_corpus(spark, sf_smoke):
     assert len(spark_merges) == 6  # corpus is big enough to find 6
 
 
+def test_batched_training_matches_sequential(spark, sf_smoke):
+    """Multi-merge batching (the frequency-gap trick) must change the
+    driver round count, never the model: batch_size=8 yields the exact
+    merge list of batch_size=1 (which is itself pinned to the pure-
+    Python reference above) in strictly fewer collect() rounds."""
+    from aws_csp_datapipeline_spark.catalog import load_table
+
+    d = load_table(spark, sf_smoke, "documents")
+    wf = bpe.word_freqs(d).persist()
+    seq_stats: dict = {}
+    bat_stats: dict = {}
+    seq = bpe.train_bpe(wf, 12, batch_size=1, stats=seq_stats)
+    bat = bpe.train_bpe(wf, 12, batch_size=8, stats=bat_stats)
+    wf.unpersist()
+    assert bat == seq
+    assert len(seq) == 12
+    assert seq_stats["rounds"] == 12 + 1 or seq_stats["rounds"] == 12
+    assert bat_stats["rounds"] < seq_stats["rounds"]
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_word, min_size=2, max_size=20), st.integers(0, 6))
+def test_batched_training_matches_model_property(spark, words, n):
+    """Property: on arbitrary tiny corpora the batched trainer still
+    equals the pure-Python sequential reference merge-for-merge."""
+    freq = Counter(words)
+    wf = spark.createDataFrame(list(freq.items()), "word string, freq long")
+    got = bpe.train_bpe(wf, n, batch_size=4)
+    assert got == py_train(dict(freq), n)
+
+
 def test_encode_matches_model(spark, sf_smoke):
     from aws_csp_datapipeline_spark.catalog import load_table
 
