@@ -1,9 +1,13 @@
 """Record-linkage and ML-feature-prep queries.
 
-* ``er1_blocked_matches`` — entity resolution with blocking: the
-  bounded-quadratic scale path that ``t8_levenshtein_pairs``'s
-  docstring prescribes for open vocabularies, realized on the
-  customer table.
+* ``er1_blocked_matches`` — entity resolution with classic attribute
+  blocking; kept as the teaching demo of WHY fixed block keys fail at
+  scale (in-block pairs grow quadratically — measured 9k → 902k → 90M
+  at sf0.01/0.1/1, SCALE.md "er1 blocking lesson").
+* ``er2_scale_safe_matches`` — the scale path: positional pigeonhole
+  blocking + frequency-aware sub-split (functions/linkage.py) with
+  near-linear candidate growth and an exact recall guarantee for
+  pairs within 2 substitutions.
 * ``ml1_loo_target_encoding`` — leakage-safe leave-one-out target
   encoding, the standard categorical-feature transform for training
   tables.
@@ -48,10 +52,11 @@ def er1_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     once and the quadratic term is O(Σ|block|²), bounded by the
     blocking-key granularity — the same candidate-then-verify
     structure as the MinHash-LSH dedup (`functions/dedup.py`), applied
-    to structured records. At 100 TB you widen the block key (e.g.
-    add a name-prefix or phonetic code) until blocks fit the
-    comparison budget; the plan is unchanged. The expensive
-    levenshtein only runs on in-block pairs, never all-pairs."""
+    to structured records. The FIXED key makes in-block pairs grow
+    quadratically with data size (measured 42 s / 90M pairs at sf1) —
+    this query is kept as the teaching demo of that failure mode;
+    ``er2_scale_safe_matches`` below is the scale path (widened
+    pigeonhole keys + frequency-aware split, near-linear growth)."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
     )
@@ -80,6 +85,107 @@ def er1_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist").between(0, 2))
         .orderBy("custkey_a", "custkey_b")
         .limit(500)
+    )
+
+
+_ER2_CAP = 32
+
+# Mirrors functions/linkage.py::pigeonhole_candidate_pairs exactly:
+# 9 pigeonhole lane keys per record, frequency-aware 4-way sub-split
+# of lane-blocks over the cap, distinct candidates, banded-levenshtein
+# verification. chr(31) is the key separator on both sides.
+_ER2_SQL = f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             substr(c_name, greatest(1, length(c_name)-8), 9) AS s,
+             length(c_name) AS ln
+      FROM customer
+    ),
+    lane AS (SELECT * FROM (VALUES (0,0),(0,1),(0,2),(1,0),(1,1),(1,2),
+                                   (2,0),(2,1),(2,2)) AS v(t, j)),
+    lanes AS (
+      SELECT c_custkey, c_name,
+        concat_ws(chr(31), c_nationkey, c_mktsegment, ln, t,
+          substr(s, t*3+1, 3), j, substr(comp, j*2+1, 2)) AS k,
+        [substr(comp, u1, 1), substr(comp, u2, 1),
+         substr(comp, u3, 1), substr(comp, u4, 1)] AS xs
+      FROM (
+        SELECT c.*, lane.t, lane.j,
+          CASE lane.t WHEN 0 THEN substr(s,4,6)
+                      WHEN 1 THEN substr(s,1,3) || substr(s,7,3)
+                      ELSE substr(s,1,6) END AS comp,
+          CASE lane.j WHEN 0 THEN 3 ELSE 1 END AS u1,
+          CASE lane.j WHEN 0 THEN 4 ELSE 2 END AS u2,
+          CASE lane.j WHEN 2 THEN 3 ELSE 5 END AS u3,
+          CASE lane.j WHEN 2 THEN 4 ELSE 6 END AS u4
+        FROM c CROSS JOIN lane
+      )
+    ),
+    sizes AS (SELECT k, count(*) AS n FROM lanes GROUP BY k),
+    keyed AS (
+      SELECT l.c_custkey, l.c_name, fk
+      FROM lanes l JOIN sizes s2 ON l.k = s2.k,
+      UNNEST(CASE WHEN s2.n > {_ER2_CAP}
+                  THEN [l.k || chr(31) || '0' || l.xs[1],
+                        l.k || chr(31) || '1' || l.xs[2],
+                        l.k || chr(31) || '2' || l.xs[3],
+                        l.k || chr(31) || '3' || l.xs[4]]
+                  ELSE [l.k] END) AS ux(fk)
+    ),
+    cand AS (
+      SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+                      a.c_name AS name_a, b.c_name AS name_b
+      FROM keyed a JOIN keyed b ON a.fk = b.fk
+       AND a.c_custkey < b.c_custkey
+    )
+    SELECT custkey_a, custkey_b, name_a, name_b,
+           levenshtein(name_a, name_b) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 2
+    ORDER BY custkey_a, custkey_b
+    """
+
+
+@register("er2_scale_safe_matches", _ER2_SQL)
+def er2_scale_safe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe entity resolution: er1's duplicate-customer match
+    under positional pigeonhole blocking with a frequency-aware
+    sub-split instead of er1's fixed (nation, segment) key.
+
+    Why: er1's in-block pairs grow quadratically with data size
+    (9k → 902k → 90M candidates at sf0.01/0.1/1); this plan's grow
+    near-linearly (6.0/record at sf0.01, 12.7/record at sf0.1) while
+    finding EVERY pair within 2 substitutions that er1 finds — the
+    missed remainder are insert+delete position-shift pairs (0% at
+    sf≤0.01, 2.6% at sf0.1), the documented tradeoff
+    (functions/linkage.py docstring has the full recall contract and
+    the PassJoin-style extension that would recover them).
+
+    Scale shape: 9-13 short key rows per record, one hash-agg for
+    lane sizes, one equi-join on the lane key, banded levenshtein on
+    candidates only. tests/test_linkage.py pins the candidate budget,
+    the substitution-recall property, and er2 ⊆ er1."""
+    from aws_csp_datapipeline_spark.functions.linkage import (
+        pigeonhole_candidate_pairs,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+    )
+    cand = pigeonhole_candidate_pairs(
+        c, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"], cap=_ER2_CAP
+    )
+    dist = F.levenshtein("name_a", "name_b", 2)
+    return (
+        cand.select(
+            F.col("id_a").alias("custkey_a"),
+            F.col("id_b").alias("custkey_b"),
+            "name_a",
+            "name_b",
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist").between(0, 2))
+        .orderBy("custkey_a", "custkey_b")
     )
 
 
