@@ -78,6 +78,32 @@ class CspToolsEngine:
         """The envelope's total_count (lambda_function.py:98)."""
         return R.visible(self.table).count()
 
+    def get_tools_envelope(
+        self,
+        s_no: int | None = None,
+        login: str | None = None,
+        limit: int | None = 150,
+        allow_full_collect: bool = False,
+    ) -> str:
+        """The GET route's actual response shape: the
+        ``{total_count, records}`` JSON envelope
+        (lambda_function.py:96-102) over the visibility-filtered read.
+
+        End-to-end misuse guard: the default collects at most
+        ``limit`` records (the reference's interactive cap is
+        LIMIT 150, sql/ddl_create_tables.sql:36) while total_count
+        stays distributed; asking for ``limit=None`` without
+        ``allow_full_collect=True`` raises — the facade never ships
+        an unbounded result to the driver by accident
+        (tests/test_engine_crud.py golden)."""
+        from aws_csp_datapipeline_spark.sources.sinks import json_envelope
+
+        return json_envelope(
+            self.get_tools(s_no=s_no, login=login),
+            limit=limit,
+            allow_full_collect=allow_full_collect,
+        )
+
     def summary(self) -> tuple:
         """MIN/MAX/count sanity triple (sql/ddl_create_tables.sql:64)
         over ALL rows (soft-deleted included, as in the reference)."""

@@ -89,6 +89,12 @@ HEADLINE = [
     "dq16_chisq_independence",
     "s17_pairwise_cosine_profile",
     "t23_readability",
+    # round-7 additions: the train-ready capstone pipeline (quality →
+    # dedup → split → decontaminate with quarantined eval set) now
+    # carries a longitudinal perf number next to pipe1/pipe4, and the
+    # scale-safe ER variant replaces the excluded quadratic er1.
+    "pipe6_train_ready",
+    "er2_scale_safe_matches",
 ]
 
 

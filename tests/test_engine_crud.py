@@ -112,6 +112,31 @@ def test_dashboard_datasets(seeded):
     assert sum(r["cnt"] for r in eng2.dashboard()["by_team"].collect()) == 9
 
 
+def test_envelope_route_caps_collect_and_refuses_unbounded(seeded):
+    """Golden for the API-misuse loop: the GET route's envelope caps
+    the driver collect at `limit` while total_count stays distributed,
+    and an unbounded collect must be opted into explicitly — the
+    facade end-to-end, not just json_envelope's own guard."""
+    import json
+
+    env = json.loads(seeded.get_tools_envelope(limit=3))
+    assert env["total_count"] == 10  # distributed count, not len(records)
+    assert len(env["records"]) == 3
+
+    with pytest.raises(ValueError, match="allow_full_collect"):
+        seeded.get_tools_envelope(limit=None)
+
+    env_all = json.loads(
+        seeded.get_tools_envelope(limit=None, allow_full_collect=True)
+    )
+    assert len(env_all["records"]) == env_all["total_count"] == 10
+
+    # route predicates still apply inside the envelope
+    env_one = json.loads(seeded.get_tools_envelope(s_no=5, limit=150))
+    assert env_one["total_count"] == 1
+    assert env_one["records"][0]["tool_name"] == "tool_5"
+
+
 def test_merge_upsert_updates_and_inserts(spark):
     from aws_csp_datapipeline_spark.operators.crud import merge_upsert
 

@@ -1,0 +1,49 @@
+"""Plan-budget regression gate: the committed PLAN_AUDIT.md table IS
+the per-query physical-plan budget. A future edit that adds a shuffle
+exchange, a Python row eval, or a CartesianProduct to a bench-headline
+query fails here instead of surfacing as wall-clock noise —
+regenerating the table (`python tools/plan_audit.py`) is the explicit
+way to accept a plan change in review.
+
+Budgets are upper bounds (a plan that got CHEAPER passes; refresh the
+table to ratchet it down). pyrow and cartesian are hard zeros
+regardless of the table — the repo's scale policy bans them outright
+in headline plans."""
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+for p in (REPO, os.path.join(REPO, "tools")):
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+import bench  # noqa: E402
+from tools.plan_audit import collect_features, parse_audit_table  # noqa: E402
+
+BUDGETS = parse_audit_table(os.path.join(REPO, "PLAN_AUDIT.md"))
+
+
+def test_audit_table_covers_headline():
+    """Every benched query must have a committed budget row — adding a
+    headline query without regenerating PLAN_AUDIT.md fails here."""
+    missing = [n for n in bench.HEADLINE if n not in BUDGETS]
+    assert missing == [], f"regenerate PLAN_AUDIT.md: no budget for {missing}"
+
+
+@pytest.mark.parametrize("name", [n for n in bench.HEADLINE if n in BUDGETS])
+def test_headline_plan_within_budget(spark, name, sf_oracle):
+    from aws_csp_datapipeline_spark.plans import registry
+
+    qs = {s.name: s.fn for s in registry.specs()}
+    got = collect_features(qs[name](spark, sf_oracle))
+    budget = BUDGETS[name]
+    assert got["cartesian"] == 0, f"{name}: CartesianProduct in plan"
+    assert got["pyrow"] == 0, f"{name}: Python row eval in plan"
+    for feat in ("exch", "scans", "pandas"):
+        assert got[feat] <= budget[feat], (
+            f"{name}: {feat} grew {budget[feat]} -> {got[feat]} — a plan "
+            "regression, or regenerate PLAN_AUDIT.md to accept it"
+        )

@@ -16,6 +16,47 @@ import re
 import sys
 
 
+def collect_features(df) -> dict:
+    """Scale-relevant physical-plan features of a DataFrame — the
+    shared collector behind the CLI table and the pytest plan-budget
+    regression gate (tests/test_plan_budget.py)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "scans": plan.count("FileScan parquet"),
+        "pushed": len(re.findall(r"PushedFilters: \[[^\]]*\w", plan)),
+        "exch": len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan)),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "pandas": plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas"),
+        "pyrow": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+        "cartesian": plan.count("CartesianProduct"),
+        "rowudf": plan.count("BatchEvalPython"),
+    }
+
+
+def parse_audit_table(md_path: str) -> dict[str, dict]:
+    """Parse the committed PLAN_AUDIT.md table back into per-query
+    feature budgets ({name: {scans:…, exch:…, …}})."""
+    budgets: dict[str, dict] = {}
+    with open(md_path) as fh:
+        for line in fh:
+            m = re.match(
+                r"\| (\w+) \| (\d+) \| (\d+) \| (\d+) \| (\d+) \| (\d+) "
+                r"\| (\d+) \| (\d+) \|",
+                line,
+            )
+            if m:
+                name = m.group(1)
+                vals = [int(x) for x in m.groups()[1:]]
+                budgets[name] = dict(
+                    zip(
+                        ["scans", "pushed", "exch", "bhj", "smj", "pandas", "pyrow"],
+                        vals,
+                    )
+                )
+    return budgets
+
+
 def main() -> None:
     repo_root = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
     if repo_root not in sys.path:
@@ -37,22 +78,14 @@ def main() -> None:
     for name in bench.HEADLINE:
         if name not in qs:
             continue
-        df = qs[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        n_ex = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
-        n_bhj = plan.count("BroadcastHashJoin")
-        n_smj = plan.count("SortMergeJoin")
-        n_py = plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
-        n_pandas = plan.count("MapInPandas") + plan.count("FlatMapGroupsInPandas")
-        n_scans = plan.count("FileScan parquet")
-        pushed = len(re.findall(r"PushedFilters: \[[^\]]*\w", plan))
-        cart = plan.count("CartesianProduct")
-        if cart:
+        f = collect_features(qs[name](spark, sf_dir))
+        if f["cartesian"]:
             flags.append(f"{name}: CartesianProduct present")
-        if plan.count("BatchEvalPython"):
+        if f["rowudf"]:
             flags.append(f"{name}: row-at-a-time Python UDF in plan")
         rows.append(
-            (name, n_scans, pushed, n_ex, n_bhj, n_smj, n_pandas, n_py)
+            (name, f["scans"], f["pushed"], f["exch"], f["bhj"], f["smj"],
+             f["pandas"], f["pyrow"])
         )
 
     with open(out_md, "w") as fh:
