@@ -60,20 +60,16 @@ def register(name: str, oracle: str | None = None):
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
 #
-# Round-7 rotation queue (names still never driver-attested after r6;
-# keep the ~30 fixed core, swap the r6 tail for ~20 of these, spanning
-# families): q2/q4/q8/q10/q13/q16/q21 (remaining TPC-H silhouettes),
-# f9/f12-f17 (function batteries), w2/w6/w9, dq2/dq5/dq9, h2,
-# fun1/fun2, pipe4, d9/d10, ap3, mm2, tt11, st10, and the late-r6
-# additions: t17_bpe_pair_counts, s16_random_projection,
-# er1_blocked_matches, ml1_loo_target_encoding, x9_interval_coalesce,
-# pm7_top_session_paths, tt12_cluster_aware_split, dq12/dq13,
-# d11_cross_source_dups, t21_freq_of_freq, t22_vocab_growth, w14_ewma,
-# dq15_fd_audit, tt13_temperature_mixture, x10_time_weighted_avg,
-# a24_mad_outliers, dq16_chisq_independence,
-# s17_pairwise_cosine_profile, t23_readability, fun4_reach_curve,
-# pm8_session_durations, x11_minmax_downsample, gr6_neighbor_jaccard,
-# pipe6_train_ready, w15_rolling_zscore, dq17_monotonicity_audit.
+# Round-8+ rotation queue (names still never driver-attested after
+# the r7 window below; keep the ~30 fixed core, swap the r7 tail for
+# ~20 of these, spanning families): q16 (last TPC-H silhouette),
+# f9/f12-f17 (function batteries), w6/w9/w15, dq5/dq9/dq12/dq13/dq17,
+# h2, fun1/fun2/fun4, d9/d10, ap3, tt11/tt12/tt13, st10,
+# ml1_loo_target_encoding, er1_blocked_matches, pm7/pm8,
+# d11_cross_source_dups, t21/t22/t23, x10/x11, a24_mad_outliers,
+# s17_pairwise_cosine_profile, gr6_neighbor_jaccard, and the
+# remaining rows-only lanes (mm1/mm3-mm7, s5_ivf_ann_topk,
+# t17_bpe_merges, t18_bpe_encode, pipe5_tokenized_packing).
 _WINDOW: tuple[str, ...] = (
     # --- fixed core (cross-family longitudinal sample) ---
     "q1_pricing_summary",
@@ -106,32 +102,33 @@ _WINDOW: tuple[str, ...] = (
     "a5_group_count_2key",
     "j2_star_agg",
     "q3_shipping_priority",
-    # --- round-6 rotation: first-ever driver attestation for these ---
-    # (the round-5 block — TPC-H q5-q20, pivot/cube, dq4/dq7, tt7, s10,
-    # pm6, t15/t19, j3, set1 — rotated out; all stay green in
-    # tests/test_registry_oracle.py). This block covers the remaining
-    # never-attested projection/filter, scalar-aggregate, outer/null-safe
-    # join, set-op, and mutation families.
-    "p3_detail_projection",
-    "p4_point_lookup",
-    "p5_filter_eq_string",
-    "p7_conjunctive_filter",
-    "p8_contains_ci",
-    "p9_not_exists_antijoin",
-    "a1_scalar_max",
-    "a2_summary_stats",
-    "a3_total_count",
-    "a4_group_count",
-    "a6_group_sum",
-    "a7_next_serial_key",
-    "a8_count_distinct",
-    "a9_approx_distinct",
-    "j4_left_outer_join",
-    "j5_full_outer_agg",
-    "j6_null_safe_join",
-    "set2_intersect",
-    "set3_except",
-    "m5_hard_delete",
+    # --- round-7 rotation: first-ever driver attestation for these ---
+    # (the round-6 block — p3-p9, a1-a9, j4-j6, set2/set3, m5 — rotated
+    # out; all stay green in tests/test_registry_oracle.py). This block
+    # covers the never-attested TPC-H silhouettes, window battery,
+    # quality gates, capstone pipelines, the new scale-safe ER, and —
+    # per the r6 review ask — rows-only multimodal/ANN/streaming lanes
+    # (mm2, s3, st9) so the driver record also spans the no_oracle path.
+    "q2_min_per_group_lookup",
+    "q4_priority_with_exists",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q21_exists_not_exists",
+    "w2_running_sum",
+    "w14_ewma",
+    "dq2_orphan_counts",
+    "dq15_fd_audit",
+    "dq16_chisq_independence",
+    "pipe4_full_curation",
+    "pipe6_train_ready",
+    "t17_bpe_pair_counts",
+    "s16_random_projection",
+    "x9_interval_coalesce",
+    "er2_scale_safe_matches",
+    "mm2_frame_sample",
+    "s3_lsh_ann_topk",
+    "st9_stream_dedup_watermark",
 )
 
 
