@@ -12,9 +12,28 @@ equi-join on the key, exact-verify candidates — applied to
 edit-distance matching on structured records (cf. the PassJoin /
 Ed-Join partition-based family for edit-distance joins).
 
+Two-phase architecture (the textbook ER pipeline at scale):
+
+1. COLLAPSE exact duplicates: all lane construction, frequency
+   splitting, candidate joins, and levenshtein verification run on
+   DISTINCT (block, name) representatives. A duplicate-heavy corpus
+   (the common case in web-scale entity data — and the measured case
+   in the replicated .scratch/sf10 corpus, where every name appears
+   100×) pays the expensive matching ONCE per distinct name, not once
+   per record: without this, 100× duplication inflates the verify
+   join's input ~10,000× and the old id-level formulation ground a
+   13-minute sf10 stage (SCALE.md "er2 at sf10").
+2. EXPAND back to record pairs: verified name-pairs equi-join to the
+   record table on (block, name) twice; same-name record pairs come
+   from a (block, name) self-equi-join at dist 0. Both joins emit
+   each output pair exactly once — no distinct over the (possibly
+   huge) record-pair set is ever needed, so this phase is
+   OUTPUT-BOUND: its cost is the size of the answer, the lower bound
+   for any correct implementation.
+
 Key construction, for an edit budget of 2 SUBSTITUTIONS:
 
-* Level 0: records only ever compare inside (block_cols..., length)
+* Level 0: names only ever compare inside (block_cols..., length)
   — equal-length banding (a production variant widens to ±2 length
   bands for indels; see the recall contract below).
 * Level 1: the 9-char discriminative suffix of the name is split into
@@ -22,32 +41,36 @@ Key construction, for an edit budget of 2 SUBSTITUTIONS:
   at least one untouched triple.
 * Level 2: given the untouched triple t, the complementary 6 chars
   carry all ≤2 edits; their 3 bigrams B0..B2 again leave one
-  untouched. Each record therefore emits 9 lane keys
+  untouched. Each name therefore emits 9 lane keys
   (block, length, t, T_t, j, B_j) — a pair with ≤2 substitutions
   collides on at least one.
 * Frequency-aware split (the budget guard): lane-blocks bigger than
   ``cap`` would re-create the quadratic blow-up (low-entropy lanes —
   e.g. the all-zeros high-order digits of serial IDs — pin nothing).
   Oversized blocks re-pigeonhole the 4 still-unpinned complement
-  chars: the record emits 4 sub-keys, each pinning one char; ≤2 subs
+  chars: the name emits 4 sub-keys, each pinning one char; ≤2 subs
   leave ≥2 of the 4 untouched, so the collision guarantee SURVIVES
   the split — unlike a hash salt, which would drop cross-bucket pairs.
 
 Recall contract: EXACT for pairs within 2 substitutions (verified
 property: zero substitution pairs missed vs the quadratic er1 at
-sf0.001/0.01/0.1, tests/test_linkage.py). Pairs whose edit script
-needs an insert+delete (position shift) may be missed — measured 2.6%
-of lev≤2 pairs at sf0.1, 0% at sf≤0.01; the production extension for
-indel-heavy corpora is PassJoin's shifted-segment probes (emit each
-triple also at ±shift positions), which multiplies lanes by a
-constant and preserves the linear candidate growth.
+sf0.001/0.01/0.1, tests/test_linkage.py); identical-name pairs are
+always emitted (phase-2 self-join — they need no blocking at all).
+Pairs whose edit script needs an insert+delete (position shift) may
+be missed — measured 2.6% of lev≤2 pairs at sf0.1, 0% at sf≤0.01;
+the production extension for indel-heavy corpora is PassJoin's
+shifted-segment probes (emit each triple also at ±shift positions),
+which multiplies lanes by a constant and preserves the linear
+candidate growth.
 
-Cost shape at 100 TB: 9-13 narrow key rows per record (measured
-candidate pairs: 6.0/record at sf0.01, 12.7/record at sf0.1 — vs the
-fixed-key er1's 6 → 60/record over the same step), one hash-agg for
-lane sizes, one equi-join per side on the lane key, and the expensive
-banded levenshtein only on surviving candidates. Every shuffle is
-keyed by short strings, never by record payloads.
+Cost shape at 100 TB: one distinct over (block, short-name) keys,
+9-13 narrow key rows per DISTINCT name (measured candidate pairs:
+6.0/record at sf0.01, 12.7/record at sf0.1 — vs the fixed-key er1's
+6 → 60/record over the same step), one hash-agg for lane sizes, one
+equi-join per side on the lane key, the banded levenshtein only on
+surviving DISTINCT-name candidates, and output-bound expansion
+joins. Every shuffle is keyed by short strings, never by record
+payloads.
 """
 
 from __future__ import annotations
@@ -57,7 +80,7 @@ from pyspark.sql import functions as F
 
 # Unit separator: cannot appear in the key fields it joins (documented
 # caller contract — names containing \x1f would need a different sep).
-_SEP = ""
+_SEP = "\x1f"
 
 # Unpinned complement positions per bigram index j (1-based): B_j pins
 # comp[2j+1 .. 2j+2], the other four single chars re-pigeonhole
@@ -65,16 +88,16 @@ _SEP = ""
 _UNPINNED = {0: (3, 4, 5, 6), 1: (1, 2, 5, 6), 2: (1, 2, 3, 4)}
 
 
-def pigeonhole_candidate_pairs(
+def _candidate_name_pairs(
     df: DataFrame,
-    id_col: str,
     name_col: str,
     block_cols: list[str],
-    cap: int = 32,
+    cap: int,
 ) -> DataFrame:
-    """Candidate pairs (id_a, id_b, name_a, name_b) for edit-distance
-    matching under positional pigeonhole blocking (module docstring).
-    Deterministic; callers verify with a banded ``levenshtein``."""
+    """Distinct candidate name pairs (block_cols..., name_a, name_b),
+    name_a < name_b, from pigeonhole lanes over the DISTINCT
+    (block, name) representatives of ``df`` (module docstring)."""
+    names = df.select(*block_cols, name_col).distinct()
     name = F.col(name_col)
     ln = F.length(name)
     s = F.substring(name, F.greatest(F.lit(1), ln - 8), F.lit(9))
@@ -104,12 +127,16 @@ def pigeonhole_candidate_pairs(
             xs = F.array(*[sub(comp, u, 1) for u in _UNPINNED[j]])
             lanes.append(F.struct(key.alias("k"), xs.alias("xs")))
 
-    laned = df.select(
-        F.col(id_col).alias("id"),
-        name.alias("name"),
+    laned = names.select(
+        *block_cols,
+        name.alias("_n"),
         F.explode(F.array(*lanes)).alias("l"),
-    ).select("id", "name", F.col("l.k").alias("k"), F.col("l.xs").alias("xs"))
+    ).select(
+        *block_cols, "_n", F.col("l.k").alias("k"), F.col("l.xs").alias("xs")
+    )
 
+    # sizes counts DISTINCT NAMES per lane (not records): duplication
+    # never triggers the split, only genuine name-space density does.
     sizes = laned.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     # Oversized lane-blocks emit 4 sub-keys (one per unpinned char),
     # small ones the lane key itself — frequency-aware, recall-safe.
@@ -119,25 +146,170 @@ def pigeonhole_candidate_pairs(
             for i in range(4)
         ]
     )
-    keyed = (
-        laned.join(sizes, "k")
-        .select(
-            "id",
-            "name",
-            F.explode(
-                F.when(F.col("n") > cap, subkeys).otherwise(F.array(F.col("k")))
-            ).alias("fk"),
-        )
+    # Join-strategy note: static size estimates cannot see the ×9
+    # explode fan-out (the scan side is small, the lane relations are
+    # not), so Catalyst's initial plan broadcast BOTH the sizes join
+    # and the self-join below — on an id-level formulation at sf10
+    # that built a 13.5M-row broadcast and OOM'd the driver;
+    # shuffled-hash then OOM'd the per-partition build map (no spill
+    # fallback — the session-level SHJ caveat, session.py). merge
+    # (sort-merge) is the only strategy here that degrades by
+    # spilling instead of failing, which is what a frequency-blind
+    # operator must pick: this is the inverse of the repo's "no
+    # broadcast hints on scaled inputs" rule, not an exception to it.
+    # Bonus: the two self-join sides sort+shuffle an identical
+    # subtree, so the exchange is computed once and reused.
+    keyed = laned.join(sizes.hint("merge"), "k").select(
+        *block_cols,
+        "_n",
+        F.explode(
+            F.when(F.col("n") > cap, subkeys).otherwise(F.array(F.col("k")))
+        ).alias("fk"),
     )
-    a = keyed.select(
-        F.col("id").alias("id_a"), F.col("name").alias("name_a"), "fk"
-    )
-    b = keyed.select(
-        F.col("id").alias("id_b"), F.col("name").alias("name_b"), "fk"
-    )
+    a = keyed.select(*block_cols, F.col("_n").alias("name_a"), "fk")
+    b = keyed.select(F.col("_n").alias("name_b"), "fk")
     return (
-        a.join(b, ["fk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+        a.hint("merge")
+        .join(b, ["fk"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(*block_cols, "name_a", "name_b")
         .distinct()
     )
+
+
+def _expand_to_ids(
+    recs: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    name_pairs: DataFrame,
+) -> DataFrame:
+    """Output-bound expansion: name-level pairs back to record-level
+    (id_a < id_b, name_a, name_b [, carried cols]) via two equi-joins
+    on (block, name). Each output pair is produced exactly once — an
+    unordered id pair determines its name pair — so no record-level
+    distinct is needed."""
+    carried = [c for c in name_pairs.columns if c not in
+               (*block_cols, "name_a", "name_b")]
+    # Parallelism guard for the fan-out: the name-pair set is orders
+    # of magnitude smaller than its record-pair expansion, so AQE
+    # (rightly, by shuffle bytes) coalesces the distinct's exchange to
+    # ~1 partition — and when Catalyst then broadcasts the record
+    # side, the ENTIRE fan-out is produced serially by that one task
+    # (measured at sf10: 1 task, 7+ min, 31 cores idle). An explicit
+    # round-robin spread of the TINY side costs nothing at any scale
+    # and parallelizes the output-bound phase under any join strategy;
+    # explicit repartition counts are exempt from AQE re-coalescing.
+    n_parts = int(
+        name_pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    name_pairs = name_pairs.repartition(n_parts)
+    ra = recs.select(
+        *[F.col(b).alias(f"_ba_{b}") for b in block_cols],
+        F.col(name_col).alias("_na"),
+        F.col(id_col).alias("_ia"),
+    )
+    rb = recs.select(
+        *[F.col(b).alias(f"_bb_{b}") for b in block_cols],
+        F.col(name_col).alias("_nb"),
+        F.col(id_col).alias("_ib"),
+    )
+    joined = (
+        name_pairs.join(
+            ra,
+            [F.col(f"_ba_{b}") == F.col(b) for b in block_cols]
+            + [F.col("_na") == F.col("name_a")],
+        )
+        .join(
+            rb,
+            [F.col(f"_bb_{b}") == F.col(b) for b in block_cols]
+            + [F.col("_nb") == F.col("name_b")],
+        )
+    )
+    fwd = F.col("_ia") < F.col("_ib")
+    return joined.select(
+        F.least("_ia", "_ib").alias("id_a"),
+        F.greatest("_ia", "_ib").alias("id_b"),
+        F.when(fwd, F.col("name_a")).otherwise(F.col("name_b")).alias("name_a"),
+        F.when(fwd, F.col("name_b")).otherwise(F.col("name_a")).alias("name_b"),
+        *carried,
+    )
+
+
+def _same_name_pairs(
+    recs: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+) -> DataFrame:
+    """All (id_a < id_b) pairs of records sharing (block, name) —
+    exact duplicates need no blocking; the self-equi-join is
+    output-bound."""
+    a = recs.select(
+        *block_cols,
+        F.col(name_col).alias("name_a"),
+        F.col(id_col).alias("id_a"),
+    )
+    b = recs.select(
+        *[F.col(c).alias(f"_b_{c}") for c in (*block_cols, name_col, id_col)]
+    )
+    return (
+        a.join(
+            b,
+            [F.col(f"_b_{c}") == F.col(c) for c in block_cols]
+            + [F.col(f"_b_{name_col}") == F.col("name_a")],
+        )
+        .filter(F.col("id_a") < F.col(f"_b_{id_col}"))
+        .select(
+            "id_a",
+            F.col(f"_b_{id_col}").alias("id_b"),
+            "name_a",
+            F.col("name_a").alias("name_b"),
+        )
+    )
+
+
+def pigeonhole_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    cap: int = 32,
+) -> DataFrame:
+    """Candidate pairs (id_a, id_b, name_a, name_b) for edit-distance
+    matching under positional pigeonhole blocking (module docstring).
+    Deterministic; callers verify with a banded ``levenshtein``.
+    Identical-name pairs (trivially distance 0) are always candidates."""
+    recs = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
+    )
+    npairs = _candidate_name_pairs(recs, "_nm", block_cols, cap)
+    expanded = _expand_to_ids(recs, "_id", "_nm", block_cols, npairs)
+    same = _same_name_pairs(recs, "_id", "_nm", block_cols)
+    return expanded.unionByName(same)
+
+
+def pigeonhole_matches(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    cap: int = 32,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Verified matches (id_a, id_b, name_a, name_b, dist) with
+    levenshtein ≤ ``max_dist``, verified at NAME level before the
+    output-bound expansion — on a duplicate-heavy corpus the banded
+    levenshtein runs once per distinct name pair, not once per record
+    pair, and identical-name pairs skip it entirely (dist 0)."""
+    recs = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
+    )
+    verified = _candidate_name_pairs(recs, "_nm", block_cols, cap).withColumn(
+        "dist", F.levenshtein("name_a", "name_b", max_dist)
+    ).filter(F.col("dist").between(0, max_dist))
+    expanded = _expand_to_ids(recs, "_id", "_nm", block_cols, verified)
+    same = _same_name_pairs(recs, "_id", "_nm", block_cols).withColumn(
+        "dist", F.lit(0)
+    )
+    return expanded.unionByName(same)

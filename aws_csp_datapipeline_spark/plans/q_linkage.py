@@ -90,21 +90,27 @@ def er1_blocked_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ER2_CAP = 32
 
-# Mirrors functions/linkage.py::pigeonhole_candidate_pairs exactly:
-# 9 pigeonhole lane keys per record, frequency-aware 4-way sub-split
-# of lane-blocks over the cap, distinct candidates, banded-levenshtein
-# verification. chr(31) is the key separator on both sides.
+# Mirrors functions/linkage.py::pigeonhole_matches exactly — the
+# two-phase shape: (1) 9 pigeonhole lane keys per DISTINCT
+# (block, name) representative, frequency-aware 4-way sub-split of
+# lane-blocks over the cap, distinct name-level candidates,
+# levenshtein verification at name level; (2) output-bound expansion
+# back to record pairs plus the identical-name self-join (dist 0).
+# chr(31) is the key separator on both sides.
 _ER2_SQL = f"""
-    WITH c AS (
-      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+    WITH recs AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+    ),
+    c AS (
+      SELECT DISTINCT c_name, c_nationkey, c_mktsegment,
              substr(c_name, greatest(1, length(c_name)-8), 9) AS s,
              length(c_name) AS ln
-      FROM customer
+      FROM recs
     ),
     lane AS (SELECT * FROM (VALUES (0,0),(0,1),(0,2),(1,0),(1,1),(1,2),
                                    (2,0),(2,1),(2,2)) AS v(t, j)),
     lanes AS (
-      SELECT c_custkey, c_name,
+      SELECT c_name,
         concat_ws(chr(31), c_nationkey, c_mktsegment, ln, t,
           substr(s, t*3+1, 3), j, substr(comp, j*2+1, 2)) AS k,
         [substr(comp, u1, 1), substr(comp, u2, 1),
@@ -123,7 +129,7 @@ _ER2_SQL = f"""
     ),
     sizes AS (SELECT k, count(*) AS n FROM lanes GROUP BY k),
     keyed AS (
-      SELECT l.c_custkey, l.c_name, fk
+      SELECT l.c_name, fk
       FROM lanes l JOIN sizes s2 ON l.k = s2.k,
       UNNEST(CASE WHEN s2.n > {_ER2_CAP}
                   THEN [l.k || chr(31) || '0' || l.xs[1],
@@ -132,17 +138,44 @@ _ER2_SQL = f"""
                         l.k || chr(31) || '3' || l.xs[4]]
                   ELSE [l.k] END) AS ux(fk)
     ),
-    cand AS (
-      SELECT DISTINCT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
-                      a.c_name AS name_a, b.c_name AS name_b
-      FROM keyed a JOIN keyed b ON a.fk = b.fk
+    npairs AS (
+      SELECT DISTINCT a.c_name AS na, b.c_name AS nb, a.fk
+      FROM keyed a JOIN keyed b ON a.fk = b.fk AND a.c_name < b.c_name
+    ),
+    verified AS (
+      SELECT DISTINCT na, nb,
+             split_part(fk, chr(31), 1) AS bk_nation,
+             split_part(fk, chr(31), 2) AS bk_segment,
+             levenshtein(na, nb) AS dist
+      FROM npairs
+      WHERE levenshtein(na, nb) <= 2
+    ),
+    expanded AS (
+      SELECT least(ra.c_custkey, rb.c_custkey) AS custkey_a,
+             greatest(ra.c_custkey, rb.c_custkey) AS custkey_b,
+             CASE WHEN ra.c_custkey < rb.c_custkey THEN v.na ELSE v.nb END
+               AS name_a,
+             CASE WHEN ra.c_custkey < rb.c_custkey THEN v.nb ELSE v.na END
+               AS name_b,
+             v.dist
+      FROM verified v
+      JOIN recs ra ON ra.c_name = v.na
+       AND CAST(ra.c_nationkey AS VARCHAR) = v.bk_nation
+       AND ra.c_mktsegment = v.bk_segment
+      JOIN recs rb ON rb.c_name = v.nb
+       AND CAST(rb.c_nationkey AS VARCHAR) = v.bk_nation
+       AND rb.c_mktsegment = v.bk_segment
+    ),
+    same_name AS (
+      SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+             a.c_name AS name_a, b.c_name AS name_b, 0 AS dist
+      FROM recs a JOIN recs b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_name = b.c_name
        AND a.c_custkey < b.c_custkey
     )
-    SELECT custkey_a, custkey_b, name_a, name_b,
-           levenshtein(name_a, name_b) AS dist
-    FROM cand
-    WHERE levenshtein(name_a, name_b) <= 2
-    ORDER BY custkey_a, custkey_b
+    SELECT * FROM expanded UNION ALL SELECT * FROM same_name
     """
 
 
@@ -161,31 +194,37 @@ def er2_scale_safe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/linkage.py docstring has the full recall contract and
     the PassJoin-style extension that would recover them).
 
-    Scale shape: 9-13 short key rows per record, one hash-agg for
-    lane sizes, one equi-join on the lane key, banded levenshtein on
-    candidates only. tests/test_linkage.py pins the candidate budget,
-    the substitution-recall property, and er2 ⊆ er1."""
-    from aws_csp_datapipeline_spark.functions.linkage import (
-        pigeonhole_candidate_pairs,
-    )
+    Scale shape (functions/linkage.py module docstring): collapse to
+    distinct (block, name) representatives, 9-13 short key rows per
+    representative, one hash-agg for lane sizes, one equi-join on the
+    lane key, banded levenshtein on DISTINCT-name candidates only,
+    then output-bound expansion back to record pairs. On a
+    duplicate-heavy corpus (e.g. the replicated .scratch/sf10, every
+    name ×100) the expensive phase runs once per distinct name; the
+    rest costs what the answer weighs. No ORDER BY: the driver
+    compare is row-order-independent, and a global sort of the
+    (possibly huge) verified pair set would add a range exchange that
+    buys nothing at any scale. tests/test_linkage.py pins the
+    candidate budget, the substitution-recall property, er2 ⊆ er1,
+    and duplicate-collapse invariance."""
+    from aws_csp_datapipeline_spark.functions.linkage import pigeonhole_matches
 
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
     )
-    cand = pigeonhole_candidate_pairs(
-        c, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"], cap=_ER2_CAP
-    )
-    dist = F.levenshtein("name_a", "name_b", 2)
-    return (
-        cand.select(
-            F.col("id_a").alias("custkey_a"),
-            F.col("id_b").alias("custkey_b"),
-            "name_a",
-            "name_b",
-            dist.alias("dist"),
-        )
-        .filter(F.col("dist").between(0, 2))
-        .orderBy("custkey_a", "custkey_b")
+    return pigeonhole_matches(
+        c,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "c_mktsegment"],
+        cap=_ER2_CAP,
+        max_dist=2,
+    ).select(
+        F.col("id_a").alias("custkey_a"),
+        F.col("id_b").alias("custkey_b"),
+        "name_a",
+        "name_b",
+        "dist",
     )
 
 

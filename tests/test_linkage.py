@@ -87,6 +87,41 @@ def test_er2_substitution_complete_at_sf01(spark):
     assert len(er2) >= 0.95 * len(er1)
 
 
+def test_er2_duplicate_collapse_invariance(spark):
+    """The two-phase design's contract on duplicate-heavy corpora
+    (the .scratch/sf10 shape — every name replicated): doubling every
+    record with a shifted key must (a) add exactly one dist-0 pair
+    per name, (b) expand every distinct-name match 2x2, and (c) leave
+    the NAME-level match set unchanged — duplication never changes
+    which names match, only how often."""
+    from aws_csp_datapipeline_spark.functions.linkage import pigeonhole_matches
+
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+    )
+    n_rows = c.count()
+    doubled = c.unionByName(
+        c.withColumn("c_custkey", F.col("c_custkey") + 1_000_000)
+    )
+    base = pigeonhole_matches(
+        c, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"]
+    ).collect()
+    dup = pigeonhole_matches(
+        doubled, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"]
+    ).collect()
+    # name_a carries the LOWER id's name, so a duplicated corpus
+    # emits both orientations — normalize to unordered name pairs.
+    base_names = {(*sorted((r["name_a"], r["name_b"])), r["dist"]) for r in base}
+    dup_names = {(*sorted((r["name_a"], r["name_b"])), r["dist"]) for r in dup}
+    # (c) name-level matches: base pairs plus the self-pairs at dist 0
+    assert dup_names == base_names | {
+        (r["c_name"], r["c_name"], 0) for r in c.collect()
+    }
+    # (a)+(b): one dist-0 pair per duplicated name, 4x each base match
+    assert len(dup) == 4 * len(base) + n_rows
+    assert base  # non-vacuous
+
+
 def test_er2_candidate_budget_stays_linear(spark):
     """The point of er2: the blocking join's fan-out (sum of
     m*(m-1)/2 over final key blocks) stays within a per-row budget as
