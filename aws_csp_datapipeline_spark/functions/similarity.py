@@ -290,6 +290,31 @@ def lsh_topk(
     )
 
 
+def auto_sign_bits(
+    n_rows: int, target_cell: int = 64, floor: int = 6, cap: int = 14
+) -> int:
+    """The SemDeDup cell-count scale rule: pick the sign-bit width so
+    the EXPECTED cell population stays near ``target_cell`` as the
+    corpus grows — the paper's k ∝ N prescription (Abbas et al. 2023
+    run 50k clusters on LAION-440M for the same reason). The in-cell
+    comparison is quadratic per cell, so fixed cells make total pair
+    work O(N²/cells): measured 154 s for d10 at sf10 (200k vectors in
+    64 cells ⇒ ~312M dot products) vs ~linear once cells track N
+    (SCALE.md "d10 cell-count scale rule"). ``floor=6`` keeps every
+    corpus small enough to fit 64-row cells on the historical 6-bit
+    plan (and therefore keeps the sf0.01/sf0.1 oracle-attested
+    outputs bit-identical); ``cap`` bounds the bits by embedding
+    dimensionality. Callers opt in explicitly:
+    ``semdedup_flags(..., sign_bits=auto_sign_bits(df.count()))`` —
+    the count is a parquet-footer metadata read, the same corpus
+    statistic a KMeans quantizer would need anyway."""
+    import math
+
+    if n_rows <= target_cell:
+        return floor
+    return min(cap, max(floor, math.ceil(math.log2(n_rows / target_cell))))
+
+
 def _cells_and_units(
     df: DataFrame, vec_col: str, id_col: str, sign_bits: int
 ) -> DataFrame:

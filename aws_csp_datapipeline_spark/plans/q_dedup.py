@@ -304,13 +304,26 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     returning it (rather than all-rows-with-flags) also keeps every
     benchmark action dependent on the pair join, which Catalyst would
     otherwise prune out of a count over the multiplicity-preserving
-    flags form."""
+    flags form.
+
+    Cell count follows ``auto_sign_bits`` (the paper's k ∝ N rule):
+    6 bits — bit-identical to the fixed-bits oracle — at every
+    corpus up to ~8k vectors (so sf0.01/sf0.1 attestation is
+    unchanged), growing one bit per corpus doubling beyond that to
+    hold expected cell size at ~64 (SCALE.md "d10 cell-count scale
+    rule" has the measured sf10 effect)."""
     from pyspark.sql import functions as F
 
     from aws_csp_datapipeline_spark.functions import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
-    flags = S.semdedup_flags(e, "embedding", "vec_id", threshold=0.45, sign_bits=6)
+    flags = S.semdedup_flags(
+        e,
+        "embedding",
+        "vec_id",
+        threshold=0.45,
+        sign_bits=S.auto_sign_bits(e.count()),
+    )
     return flags.filter(F.col("kept")).select("vec_id", "bucket")
 
 

@@ -456,6 +456,27 @@ def test_semdedup_matches_bruteforce_model(spark, vecs):
             assert got[i][1] == exp_kept, (i, v)
 
 
+def test_auto_sign_bits_scale_rule():
+    """The SemDeDup cell-count rule (d10): 6 bits at every
+    driver-attested corpus size (oracle outputs bit-identical), one
+    extra bit per corpus doubling past ~8k so the expected cell
+    population stays ≤ ~2x the target, capped by embedding width."""
+    from aws_csp_datapipeline_spark.functions.similarity import auto_sign_bits
+
+    # oracle-attested corpora stay on the historical 6-bit plan
+    assert auto_sign_bits(200) == 6       # sf0.01
+    assert auto_sign_bits(2_000) == 6     # sf0.1
+    prev = 0
+    for n in [10, 10**3, 10**4, 10**5, 10**6, 10**8]:
+        bits = auto_sign_bits(n)
+        assert bits >= prev               # monotone in corpus size
+        assert 6 <= bits <= 14            # floor and dim cap
+        if 2 ** 6 * 64 < n <= 2 ** 14 * 64:
+            # inside the adaptive range: expected cell size in [32, 128]
+            assert 32 <= n / 2 ** bits <= 128, (n, bits)
+        prev = bits
+
+
 def test_trimmed_mean_returns_null_when_trim_consumes_group(spark):
     """trim_frac >= 0.5 on a small group leaves no survivors: the
     UDAF must emit NULL (documented divergence from the oracle's
