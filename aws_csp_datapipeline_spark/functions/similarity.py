@@ -137,6 +137,22 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def auto_ivf_cells(n_rows: int, floor: int = 16, cap: int = 4096) -> int:
+    """The IVF cell-count scale rule: ``n_cells ≈ √N`` (the classic
+    inverted-file balance — per-probe scan cost n_probe·N/cells and
+    quantizer-ranking cost ∝ cells are equalized at √N; FAISS's
+    guideline for IVF index sizing). A FIXED cell count makes the
+    per-probe scan a constant FRACTION of the corpus — linear growth
+    per query, the d10 failure mode in probe form. ``floor=16`` keeps
+    every corpus ≤ ~256 vectors on the historical 16-cell plan (so
+    the sf0.01 attested output is unchanged); ``cap`` bounds the
+    KMeans training cost and the broadcast centers table. Callers opt
+    in explicitly: ``ivf_topk(..., n_cells=auto_ivf_cells(n))``."""
+    import math
+
+    return min(cap, max(floor, round(math.sqrt(n_rows))))
+
+
 def ivf_topk(
     probes: DataFrame,
     corpus: DataFrame,
@@ -153,8 +169,19 @@ def ivf_topk(
 
     At corpus scale the cell assignment is written once (partitioned
     by cell); a probe touches n_probe/n_cells of the data. Recall is
-    tunable via n_probe. Deterministic: fixed KMeans seed.
-    Falls back to brute force if pyspark.ml is unavailable.
+    tunable via n_probe. Deterministic: fixed KMeans seed (the
+    quantizer training sample is seeded too). Falls back to brute
+    force if pyspark.ml is unavailable.
+
+    Scale shape: the quantizer is TRAINED on a bounded seeded sample
+    (≥256 vectors per cell, the FAISS training guideline) rather than
+    the full corpus — KMeans iterations over all N rows would make
+    index BUILD quadratic-ish in corpus size for zero quantizer
+    quality gain — then assignment (one pass) covers every row. Cell
+    ranking against probes uses a literal centers array while it is
+    small enough to codegen, and a broadcast crossJoin of the centers
+    table beyond that (the expression tree, not the data, is the
+    limit: 4096 cells × 64 dims ≈ 270k literal nodes).
     """
     try:
         from pyspark.ml.clustering import KMeans
@@ -169,30 +196,41 @@ def ivf_topk(
             F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
         )
     ).withColumn("features", array_to_vector("cv"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(c)
+    train = c
+    sample_target = max(10_000, 256 * n_cells)
+    n_corpus = c.count()
+    if n_corpus > sample_target:
+        train = c.sample(fraction=sample_target / n_corpus, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
     assigned = model.transform(c).select(
         "neighbor_id", "cv", F.col("prediction").alias("cell")
     )
     centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
 
-    # each probe ranks the (tiny, literal) center list → n_probe cells
     p = probes.select(
         F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("pv")
     )
-    center_lit = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cell"),
-                F.array(*[F.lit(x) for x in ctr]).alias("ctr"),
-            )
-            for i, ctr in enumerate(centers)
-        ]
-    )
     # rank cells by the SAME metric KMeans assigned with (euclidean):
     # argmin |p-c|^2 = argmin (|c|^2 - 2 p·c), |p|^2 constant per probe
-    ranked = p.select(
-        "probe_id", "pv", F.explode(center_lit).alias("c")
-    ).withColumn(
+    if n_cells <= 64:
+        # each probe ranks the (tiny, literal) center list
+        center_lit = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("cell"),
+                    F.array(*[F.lit(x) for x in ctr]).alias("ctr"),
+                )
+                for i, ctr in enumerate(centers)
+            ]
+        )
+        ranked = p.select("probe_id", "pv", F.explode(center_lit).alias("c"))
+    else:
+        centers_df = p.sparkSession.createDataFrame(
+            [(i, ctr) for i, ctr in enumerate(centers)],
+            "cell int, ctr array<double>",
+        ).select(F.struct("cell", "ctr").alias("c"))
+        ranked = p.crossJoin(F.broadcast(centers_df))
+    ranked = ranked.withColumn(
         "cdist",
         dot(F.col("c.ctr"), F.col("c.ctr")) - F.lit(2.0) * dot(F.col("pv"), F.col("c.ctr")),
     )
@@ -217,6 +255,33 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def auto_lsh_planes(
+    n_rows: int,
+    n_tables: int = 6,
+    target_bucket: int = 32,
+    floor_bits: int = 4,
+    cap_bits: int = 16,
+) -> int:
+    """The multi-table-LSH bucket-width scale rule: bits per table ≈
+    log2(N / target_bucket), so expected bucket population — and with
+    it the per-probe candidate volume — stays ~constant as the corpus
+    grows. Fixed bits (the historical 4 → 16 buckets/table) make each
+    bucket a constant FRACTION of the corpus: per-probe candidates
+    grow linearly, the d10/IVF failure mode in banded form. Recall
+    per true neighbor declines as bits grow (p^bits per table), which
+    is the standard L-tables tradeoff — raise ``n_tables`` to buy it
+    back; the OR-construction math is in ``lsh_tables``. ``floor_bits=4``
+    keeps corpora ≤ ~512 vectors on the attested 24-plane plan.
+    Returns ``n_tables * bits`` (the ``n_planes`` argument of
+    ``lsh_topk``); callers opt in explicitly."""
+    import math
+
+    bits = floor_bits
+    if n_rows > target_bucket:
+        bits = min(cap_bits, max(floor_bits, math.ceil(math.log2(n_rows / target_bucket))))
+    return n_tables * bits
 
 
 def lsh_tables(vec: Column, planes: list[list[float]], n_tables: int) -> Column:
@@ -461,7 +526,13 @@ def semdedup_incremental(
     fingerprint path, where exact-equality keys make batch-internal
     min-id dedup a cheap same-aggregate side effect — near-dup
     admission within the batch would need the full pair join inc3
-    exists to avoid."""
+    exists to avoid.
+
+    ``sign_bits`` MUST equal the quantizer config the state was built
+    with (bucket ids are meaningless across configs): a production
+    pipeline records ``auto_sign_bits(N)`` alongside the state at
+    full-pass time and passes it here — the state, not the batch,
+    owns the cell geometry until the next full pass rebuilds both."""
     inc = _cells_and_units(incoming, vec_col, id_col, sign_bits)
     kept = kept_state.select(
         F.col("bucket").alias("__b"), F.col("unit").alias("__ku")

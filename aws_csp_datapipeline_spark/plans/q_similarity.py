@@ -66,10 +66,22 @@ def s2_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (rows-only: approximate by design) —
     bucketed candidate generation + exact re-rank, the shape that
-    scales to corpus-sized ANN via bucketed storage."""
+    scales to corpus-sized ANN via bucketed storage. Bucket width
+    follows ``auto_lsh_planes`` (bits/table ≈ log2(N/32), 24 planes —
+    the attested plan — at sf0.01) so per-probe candidate volume
+    stays ~constant instead of a fixed 1/16 of the corpus."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return S.lsh_topk(probes, e, "embedding", "vec_id", k=3, n_planes=24, n_tables=6, dim=64)
+    return S.lsh_topk(
+        probes,
+        e,
+        "embedding",
+        "vec_id",
+        k=3,
+        n_planes=S.auto_lsh_planes(e.count(), n_tables=6),
+        n_tables=6,
+        dim=64,
+    )
 
 
 @register(
@@ -150,12 +162,24 @@ def s8_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("s5_ivf_ann_topk", None)
 def s5_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate k-NN (rows-only: index-dependent): KMeans
-    coarse quantizer (16 cells, fixed seed), probes search their 4
-    nearest cells only — the index shape that bounds per-query work
-    to n_probe/n_cells of the corpus."""
+    coarse quantizer (√N cells via ``auto_ivf_cells`` — 16 at
+    sf0.01, the historical attested plan; 45 at sf0.1, ~450 at the
+    200k-vector sf10 corpus), probes search their 4 nearest cells
+    only — the index shape that bounds per-query work to
+    n_probe/n_cells of the corpus, which stays a SHRINKING fraction
+    only if cells track corpus size (SCALE.md "d10 cell-count scale
+    rule" — same lesson, probe form)."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
-    return S.ivf_topk(probes, e, "embedding", "vec_id", k=3, n_cells=16, n_probe=4)
+    return S.ivf_topk(
+        probes,
+        e,
+        "embedding",
+        "vec_id",
+        k=3,
+        n_cells=S.auto_ivf_cells(e.count()),
+        n_probe=4,
+    )
 
 
 @register(
@@ -421,7 +445,14 @@ def pipe3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id", "neighbor_id"
     )
     approx = S.lsh_topk(
-        probes, e, "embedding", "vec_id", k=10, n_planes=24, n_tables=6, dim=64
+        probes,
+        e,
+        "embedding",
+        "vec_id",
+        k=10,
+        n_planes=S.auto_lsh_planes(e.count(), n_tables=6),
+        n_tables=6,
+        dim=64,
     ).select("probe_id", F.col("neighbor_id").alias("ann_neighbor_id"))
     hits = exact.join(
         approx,

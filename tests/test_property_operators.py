@@ -477,6 +477,26 @@ def test_auto_sign_bits_scale_rule():
         prev = bits
 
 
+def test_auto_ivf_cells_scale_rule():
+    """IVF cell sizing: √N between the floor (16 — keeps the sf0.01
+    attested quantizer) and the cap, monotone, and the per-probe scan
+    fraction n_probe/cells SHRINKS as the corpus grows (the property
+    a fixed cell count lacks)."""
+    from aws_csp_datapipeline_spark.functions.similarity import auto_ivf_cells
+
+    assert auto_ivf_cells(200) == 16          # sf0.01 attested plan
+    assert auto_ivf_cells(2_000) == 45        # √N in the open range
+    assert auto_ivf_cells(200_000) == 447
+    assert auto_ivf_cells(10**9) == 4096      # training/broadcast cap
+    prev = 0
+    for n in [10, 10**3, 10**5, 10**7, 10**9]:
+        cells = auto_ivf_cells(n)
+        assert cells >= prev
+        prev = cells
+    # scan fraction shrinks 10x corpus over corpus
+    assert 4 / auto_ivf_cells(10**6) < 4 / auto_ivf_cells(10**4)
+
+
 def test_trimmed_mean_returns_null_when_trim_consumes_group(spark):
     """trim_frac >= 0.5 on a small group leaves no survivors: the
     UDAF must emit NULL (documented divergence from the oracle's
