@@ -27,6 +27,33 @@ def test_ivf_ann_recall_floor(spark, sf_oracle):
     assert recall >= 0.6, f"IVF recall degraded: {recall:.2f}"
 
 
+def test_ivf_broadcast_centers_path_equals_bruteforce(spark):
+    """Above 64 cells ivf_topk switches from the codegen literal to a
+    broadcast centers table (auto_ivf_cells can size into the
+    hundreds). With n_probe = n_cells every cell is searched, so the
+    result must EQUAL exact brute force — which exercises the
+    broadcast path end-to-end, not just its plan shape."""
+    from aws_csp_datapipeline_spark.functions.similarity import ivf_topk, knn_join
+
+    rows = [
+        (i, [float(((i * 31 + d * 17) % 97) - 48) / 48.0 for d in range(8)])
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["probe_id"], r["neighbor_id"], r["cos_sim"])
+        for r in knn_join(probes, df, "embedding", "vec_id", k=3).collect()
+    }
+    ivf = {
+        (r["probe_id"], r["neighbor_id"], r["cos_sim"])
+        for r in ivf_topk(
+            probes, df, "embedding", "vec_id", k=3, n_cells=70, n_probe=70
+        ).collect()
+    }
+    assert ivf == exact and len(exact) == 9
+
+
 def test_simhash_finds_jaccard_dups(spark, sf_oracle):
     """SimHash candidates must cover a reasonable share of the true
     J>=0.8 pairs (weaker signature, so a floor, not equality)."""

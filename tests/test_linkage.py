@@ -122,6 +122,30 @@ def test_er2_duplicate_collapse_invariance(spark):
     assert base  # non-vacuous
 
 
+def test_er2_plan_pins_scale_fixes(spark, sf_oracle):
+    """Pins the two sf10 fixes in the physical plan (SCALE.md "er2 at
+    sf10"): (a) the explicit round-robin spread of the tiny verified
+    set — without it AQE coalesces the distinct's exchange to ~1
+    partition and the broadcast-join expansion fans out serially in
+    one task; (b) the merge-hinted lane joins — sort-merge is the
+    only spill-safe strategy for the explode-fanned lane relations
+    whose size static estimates cannot see."""
+    plan = (
+        er2_scale_safe_matches(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "RoundRobinPartitioning" in plan, (
+        "er2 lost its explicit expansion spread — the sf10 serial "
+        "fan-out regression:\n" + plan
+    )
+    assert "SortMergeJoin" in plan, (
+        "er2's lane joins lost their merge hints — the sf10 broadcast/"
+        "SHJ OOM regression:\n" + plan
+    )
+
+
 def test_er2_candidate_budget_stays_linear(spark):
     """The point of er2: the blocking join's fan-out (sum of
     m*(m-1)/2 over final key blocks) stays within a per-row budget as
