@@ -289,6 +289,164 @@ def pigeonhole_candidate_pairs(
     return expanded.unionByName(same)
 
 
+def _shifted_candidate_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_cols: list[str],
+    cap: int,
+) -> DataFrame:
+    """Indel-complete candidate name pairs (PassJoin-style shifted
+    probes): every in-block pair within levenshtein 2 — substitutions
+    AND insert/deletes — collides on at least one key.
+
+    Construction (all on DISTINCT (block, name) representatives):
+
+    * INDEX lanes: the 9-char suffix splits into 3 triples; key
+      (block, t, triple). No length in the key — lev≤2 pairs may
+      differ in length by up to 2.
+    * PROBE lanes: each name also probes every (t, triple-content)
+      it would present to a partner whose suffix window is displaced:
+      the triple CONTENT is re-extracted at absolute offset δ ∈
+      [-2, +2]. If lev(a,b) ≤ 2 then (partition a's suffix) some
+      triple of a is untouched and appears in b end-anchored within
+      displacement ≤ 2 (net length change to its right ≤ #edits) —
+      so index(a) meets probe(b); the lemma applies symmetrically, so
+      ordering the pair by name loses nothing.
+    * Frequency-aware split (cap): an oversized level-1 lane
+      re-pigeonholes the 6-char complement into parts — 3 bigrams for
+      the contiguous complements (t=0,2); for t=1 the complement
+      spans a seam, so its parts are bigram+single per region (4
+      parts, seam never crossed — a seam-spanning part could be
+      displaced DIFFERENTLY on each side). ≤2 edits leave ≥1 of 3
+      (or ≥2 of 4) parts untouched, and the untouched part appears
+      within ±2 of its canonical absolute position — probed
+      accordingly. Recall survives the split exactly as in the
+      aligned scheme.
+    * SHORT lane: the suffix/probe arithmetic is clamp-free only for
+      len ≥ 13, so every name with len ≤ 14 also shares one
+      (block, short) lane — a pair outside the long path's guarantee
+      has min len ≤ 12, hence both sides ≤ 14, hence collides there.
+
+    Cost shape: ~18 short key rows per DISTINCT name (+ ~15-20 per
+    oversized lane), one size aggregate, one equi-join. The shift
+    multiplier (×5 per probe level) is the price of indel
+    completeness — this is why er2 (substitution-exact, no shifts)
+    remains the default and er3 the completeness lane. Probe rows
+    whose key matches no index lane are dropped by the size join
+    before the candidate join."""
+    names = df.select(*block_cols, name_col).distinct()
+    name = F.col(name_col)
+    ln = F.length(name)
+    sstart = F.greatest(F.lit(1), ln - 8)  # suffix abs start (1-based)
+    s = F.substring(name, sstart, F.lit(9))
+
+    def abs_sub(offset: int, width: int):
+        # substring of NAME at suffix-coord `offset` (1-based within
+        # the 9-char suffix window); shifted windows clamp at 1
+        return F.substring(
+            name, F.greatest(F.lit(1), sstart + offset - 1), F.lit(width)
+        )
+
+    def key(*parts):
+        return F.concat_ws(
+            _SEP,
+            *[F.col(b).cast("string") for b in block_cols],
+            *[F.lit(p) if isinstance(p, str) else p for p in parts],
+        )
+
+    # complement parts per t: (s-coord start, width); seam-free by
+    # construction (t=1 splits per region)
+    parts_of = {
+        0: [(4, 2), (6, 2), (8, 2)],
+        1: [(1, 2), (3, 1), (7, 2), (9, 1)],
+        2: [(1, 2), (3, 2), (5, 2)],
+    }
+    shifts = range(-2, 3)
+    # short lane: both roles, one key per block (never split)
+    short = F.when(
+        ln <= 14,
+        F.array(F.struct(key("S").alias("k1"), F.lit(-1).alias("t"))),
+    )
+
+    def laned(lanes) -> DataFrame:
+        # distinct: shifted probes often re-extract identical content
+        # (e.g. inside digit runs) — identical keys add join rows, not
+        # recall
+        arr = F.array_distinct(
+            F.concat(F.array(*lanes), F.coalesce(short, F.array()))
+        )
+        return names.select(
+            *block_cols, name_col, F.explode(arr).alias("l")
+        ).select(
+            *block_cols,
+            name_col,
+            F.col("l.k1").alias("k1"),
+            F.col("l.t").alias("t"),
+        )
+
+    idx_lanes = [
+        F.struct(
+            key(str(t), F.substring(s, 3 * t + 1, 3)).alias("k1"),
+            F.lit(t).alias("t"),
+        )
+        for t in range(3)
+    ]
+    prb_lanes = [
+        F.struct(
+            key(str(t), abs_sub(3 * t + 1 + d, 3)).alias("k1"),
+            F.lit(t).alias("t"),
+        )
+        for t in range(3)
+        for d in shifts
+    ]
+    idx = laned(idx_lanes)
+    prb = laned(prb_lanes)
+    sizes = idx.groupBy("k1").agg(F.count(F.lit(1)).alias("n"))
+
+    def with_level2(side: DataFrame, probe: bool) -> DataFrame:
+        # below-cap lanes keep k1; oversized (non-short) lanes emit
+        # level-2 keys: k1 + part id + part content — probed at ±2
+        # absolute displacement on the probe side.
+        subkeys = []
+        for t in range(3):
+            for pi, (a, w) in enumerate(parts_of[t]):
+                for d2 in shifts if probe else (0,):
+                    content = abs_sub(a + d2, w) if probe else F.substring(s, a, w)
+                    subkeys.append(
+                        F.when(
+                            F.col("t") == t,
+                            F.concat(
+                                F.col("k1"),
+                                F.lit(_SEP + str(pi) + _SEP),
+                                content,
+                            ),
+                        )
+                    )
+        sub_arr = F.array_distinct(F.array_compact(F.array(*subkeys)))
+        return side.join(sizes.hint("merge"), "k1").select(
+            *block_cols,
+            name_col,
+            F.explode(
+                F.when((F.col("n") > cap) & (F.col("t") >= 0), sub_arr)
+                .otherwise(F.array(F.col("k1")))
+            ).alias("fk"),
+        )
+
+    a = with_level2(idx, probe=False).select(
+        *block_cols, F.col(name_col).alias("name_a"), "fk"
+    )
+    b = with_level2(prb, probe=True).select(
+        F.col(name_col).alias("name_b"), "fk"
+    )
+    return (
+        a.hint("merge")
+        .join(b, ["fk"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(*block_cols, "name_a", "name_b")
+        .distinct()
+    )
+
+
 def pigeonhole_matches(
     df: DataFrame,
     id_col: str,
@@ -306,6 +464,40 @@ def pigeonhole_matches(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
     )
     verified = _candidate_name_pairs(recs, "_nm", block_cols, cap).withColumn(
+        "dist", F.levenshtein("name_a", "name_b", max_dist)
+    ).filter(F.col("dist").between(0, max_dist))
+    expanded = _expand_to_ids(recs, "_id", "_nm", block_cols, verified)
+    same = _same_name_pairs(recs, "_id", "_nm", block_cols).withColumn(
+        "dist", F.lit(0)
+    )
+    return expanded.unionByName(same)
+
+
+def edit_complete_matches(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    cap: int = 32,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Like ``pigeonhole_matches`` but INDEL-COMPLETE: candidates come
+    from ``_shifted_candidate_name_pairs`` (PassJoin-style shifted
+    probes), so every in-block pair within levenshtein ``max_dist``
+    — substitutions AND insert/deletes — is found. The two-phase
+    collapse/expand architecture is unchanged: all shifted-probe work
+    runs once per DISTINCT (block, name); the ×5-per-level shift
+    multiplier is the documented price of completeness over
+    ``pigeonhole_matches``. Only max_dist=2 is supported (the lane
+    geometry — 3 segments, ±2 shifts — encodes the budget)."""
+    if max_dist != 2:
+        raise ValueError("edit_complete_matches encodes max_dist=2 lanes")
+    recs = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
+    )
+    verified = _shifted_candidate_name_pairs(
+        recs, "_nm", block_cols, cap
+    ).withColumn(
         "dist", F.levenshtein("name_a", "name_b", max_dist)
     ).filter(F.col("dist").between(0, max_dist))
     expanded = _expand_to_ids(recs, "_id", "_nm", block_cols, verified)

@@ -228,6 +228,66 @@ def er2_scale_safe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# er3's oracle is er1's quadratic block join WITHOUT the limit: er3
+# claims EXACT lev<=2 completeness (indels included), so the correct
+# answer is definable without mirroring the algorithm — the oracle
+# compare itself is the completeness proof. (er2 cannot be paired
+# this way: it intentionally trades indel-shift pairs for shift-free
+# lanes.)
+_ER3_SQL = """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM customer
+    )
+    SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """
+
+
+@register("er3_indel_complete_matches", _ER3_SQL)
+def er3_indel_complete_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indel-COMPLETE entity resolution: every in-block pair within
+    levenshtein 2 — substitutions AND insert/deletes — via
+    PassJoin-style shifted probes (functions/linkage.py
+    ``_shifted_candidate_name_pairs``). Closes er2's documented
+    2.6%-at-sf0.1 indel gap: measured er3 ≡ er1-full exactly (zero
+    missed, zero extra) at sf0.001/0.01/0.1.
+
+    Scale shape: same two-phase collapse/expand as er2 — all shifted
+    probing runs once per DISTINCT (block, name); the ×5-per-level
+    probe multiplier is the price of completeness, which is why er2
+    stays the default lane and er3 the completeness lane. The oracle
+    here is the DEFINITION (er1's quadratic join, unlimited), not a
+    mirror of the algorithm — a recall hole anywhere in the lane
+    geometry fails the hash compare."""
+    from aws_csp_datapipeline_spark.functions.linkage import (
+        edit_complete_matches,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+    )
+    return edit_complete_matches(
+        c,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "c_mktsegment"],
+        cap=_ER2_CAP,
+        max_dist=2,
+    ).select(
+        F.col("id_a").alias("custkey_a"),
+        F.col("id_b").alias("custkey_b"),
+        "name_a",
+        "name_b",
+        "dist",
+    )
+
+
 @register(
     "ml1_loo_target_encoding",
     """

@@ -122,6 +122,75 @@ def test_er2_duplicate_collapse_invariance(spark):
     assert base  # non-vacuous
 
 
+def test_er3_equals_full_ground_truth(spark, sf_oracle):
+    """er3's whole claim: EXACT lev<=2 completeness, indels included —
+    equality (not ⊆) with the unlimited quadratic er1 join at sf0.01
+    AND at sf0.1, where er2 measurably misses 848 indel-shift pairs
+    (32,527 vs 31,679)."""
+    from aws_csp_datapipeline_spark.plans.q_linkage import (
+        er3_indel_complete_matches,
+    )
+
+    for sf_dir in [sf_oracle, SF_BIG]:
+        er3 = {
+            (r["custkey_a"], r["custkey_b"])
+            for r in er3_indel_complete_matches(spark, sf_dir).collect()
+        }
+        er1 = {
+            (r["ka"], r["kb"]) for r in _er1_full_pairs(spark, sf_dir).collect()
+        }
+        assert er3 == er1, (
+            sf_dir,
+            f"missed={len(er1 - er3)}",
+            f"extra={len(er3 - er1)}",
+        )
+        assert er1  # non-vacuous
+
+
+def test_er3_adversarial_edit_pairs_always_found(spark):
+    """Generator gate for the lane geometry: seeded random base
+    strings (mixed lengths 6-20, small alphabet) each paired with a
+    <=2-edit mutation (insert/delete/substitute at random positions,
+    biased toward the suffix window the lanes read). Every mutated
+    pair lives in its own block, all checked in ONE Spark job:
+    edit_complete_matches must find every pair — by construction all
+    are within levenshtein 2."""
+    import random
+
+    from aws_csp_datapipeline_spark.functions.linkage import (
+        edit_complete_matches,
+    )
+
+    rng = random.Random(20260814)
+    alpha = "ab0"
+    rows, want = [], set()
+    for case in range(300):
+        n = rng.randint(6, 20)
+        base = "".join(rng.choice(alpha) for _ in range(n))
+        s = list(base)
+        for _ in range(rng.randint(1, 2)):
+            # bias edit positions toward the tail (the lanes' window)
+            pos = rng.randint(max(0, len(s) - 11), max(0, len(s) - 1))
+            op = rng.choice("ids")
+            if op == "i":
+                s.insert(pos, rng.choice(alpha))
+            elif op == "d" and s:
+                del s[min(pos, len(s) - 1)]
+            else:
+                s[min(pos, len(s) - 1)] = rng.choice(alpha)
+        other = "".join(s)
+        rows.append((2 * case, base, case))
+        rows.append((2 * case + 1, other, case))
+        want.add((2 * case, 2 * case + 1))
+    df = spark.createDataFrame(rows, "id long, name string, blk int")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in edit_complete_matches(df, "id", "name", ["blk"]).collect()
+    }
+    missed = want - got
+    assert missed == set(), f"{len(missed)} edit pairs lost: {sorted(missed)[:5]}"
+
+
 def test_er2_plan_pins_scale_fixes(spark, sf_oracle):
     """Pins the two sf10 fixes in the physical plan (SCALE.md "er2 at
     sf10"): (a) the explicit round-robin spread of the tiny verified
