@@ -65,7 +65,8 @@ def register(name: str, oracle: str | None = None):
 # ~20 of these, spanning families): q16 (last TPC-H silhouette),
 # f9/f12-f17 (function batteries), w6/w9/w15, dq5/dq9/dq12/dq13/dq17,
 # h2, fun1/fun2/fun4, d9/d10, ap3, tt11/tt12/tt13, st10,
-# ml1_loo_target_encoding, er1_blocked_matches, pm7/pm8,
+# ml1_loo_target_encoding, er1_blocked_matches,
+# er3_indel_complete_matches (added late r7, never attested), pm7/pm8,
 # d11_cross_source_dups, t21/t22/t23, x10/x11, a24_mad_outliers,
 # s17_pairwise_cosine_profile, gr6_neighbor_jaccard, and the
 # remaining rows-only lanes (mm1/mm3-mm7, s5_ivf_ann_topk,

@@ -95,6 +95,7 @@ HEADLINE = [
     # scale-safe ER variant replaces the excluded quadratic er1.
     "pipe6_train_ready",
     "er2_scale_safe_matches",
+    "er3_indel_complete_matches",
 ]
 
 
