@@ -185,7 +185,7 @@ def ivf_topk(
     """
     try:
         from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector, vector_to_array
+        from pyspark.ml.functions import array_to_vector
     except ImportError:  # pragma: no cover
         return knn_join(probes, corpus, vec_col, id_col, k)
 
