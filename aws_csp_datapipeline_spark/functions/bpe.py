@@ -125,40 +125,60 @@ def _safe_merge_batch(
     single-merge greedy would pick (the standard frequency-gap trick).
 
     ``rows`` is sorted by (freq desc, left asc, right asc) — the exact
-    sequential pick order among pairs whose counts a prior merge in the
-    batch cannot have changed. A merge of (l, r) only perturbs counts
-    of pairs that contain l, r, or the new symbol l+r (existing pairs
-    touching l/r can shrink; new pairs (x, l+r)/(l+r, y) appear with
-    count bounded by the old count of the (x, l)/(r, y) pair they came
-    from). So a candidate is safe to batch iff
+    sequential pick order among pairs whose counts a prior merge in
+    the batch cannot have changed. A merge of (l, r) only perturbs
+    counts of pairs containing l, r, or the merged symbol l+r:
+    pairs touching l/r can only SHRINK, and a pair (x, l+r)/(l+r, y)
+    can RISE to at most old(x, l+r) + old(x, l) (respawns are bounded
+    by the count of the source pair they came from; the first term is
+    nonzero only when the string l+r collides with a symbol that
+    already existed via a different merge path). Every old count in
+    those sums belongs to a CONFLICTING pair, so each is ≤ ``bound``,
+    the max old freq over every conflicting row — wherever it sits in
+    the list, scanned or not (a round-5 review found the original
+    scanned-rows-only bound unsound: an equal-freq conflicting row
+    BELOW the candidate could respawn a lexicographically-smaller
+    winner) — or, when the list was truncated, the last row's freq.
+    Hence every perturbed count is < 2·bound + 1, and a candidate is
+    safe iff
 
     * its symbols are disjoint from every earlier selection's
-      {left, right, merged} set (its own count is then unperturbed), and
-    * its count is STRICTLY above every perturbable count: the max
-      freq seen among skipped-as-conflicting rows, and — when the
-      collected list was truncated — the last collected row's freq
-      (an uncollected pair could conflict and respawn at ≤ that).
+      {left, right, merged} set (its own count is then unperturbed),
+      and
+    * its count is STRICTLY above 2·bound — it then beats every
+      possibly-perturbed pair outright, so tie-breaks are irrelevant
+      and the sequential argmax after the earlier merges is exactly
+      this pair.
 
-    Strictness makes tie-breaks irrelevant: the selected pair beats
-    every possibly-changed count outright, so the sequential argmax
-    after applying the earlier merges is exactly this pair."""
-    batch: list[tuple[str, str, int]] = []
-    conflict: set[str] = set()
-    bound = int(rows[-1]["pair_freq"]) if truncated else 0
-    for row in rows:
-        if len(batch) >= min(batch_size, remaining):
+    The 2× is the symbol-collision term; it closes batches earlier
+    than a max-only rule (more driver rounds, never more than
+    sequential), buying a proof that needs no global vocabulary
+    lookup. Model-equality is pinned by tests/test_bpe.py including
+    the tie regression that broke the original rule."""
+    cap = min(batch_size, remaining)
+    first = rows[0]
+    batch = [(first["left"], first["right"], int(first["pair_freq"]))]
+    conflict = {first["left"], first["right"], first["left"] + first["right"]}
+    trunc_bound = int(rows[-1]["pair_freq"]) if truncated else 0
+
+    def bound() -> int:
+        b = trunc_bound
+        for r in rows:
+            if (r["left"] in conflict or r["right"] in conflict) and (
+                r["left"], r["right"], int(r["pair_freq"])
+            ) not in batch:
+                b = max(b, int(r["pair_freq"]))
+        return b
+
+    for row in rows[1:]:
+        if len(batch) >= cap:
             break
         left, right, freq = row["left"], row["right"], int(row["pair_freq"])
         if freq < min_pair_freq:
             break
-        if not batch:
-            batch.append((left, right, freq))
-            conflict |= {left, right, left + right}
-            continue
         if left in conflict or right in conflict:
-            bound = max(bound, freq)
             continue
-        if freq <= bound:
+        if freq <= 2 * bound():
             break  # rows are freq-desc: nothing later can clear it either
         batch.append((left, right, freq))
         conflict |= {left, right, left + right}
@@ -190,6 +210,8 @@ def train_bpe(
 
     Returns [(left, right, pair_freq), ...] in rank order.
     """
+    if batch_size < 1:
+        raise ValueError("batch_size must be >= 1")  # 0 would loop forever
     cur = word_freq.select(
         chars(F.col("word")).alias("syms"), F.col("freq")
     ).persist()

@@ -365,11 +365,13 @@ def auto_sign_bits(
     comparison is quadratic per cell, so fixed cells make total pair
     work O(N²/cells): measured 154 s for d10 at sf10 (200k vectors in
     64 cells ⇒ ~312M dot products) vs ~linear once cells track N
-    (SCALE.md "d10 cell-count scale rule"). ``floor=6`` keeps every
-    corpus small enough to fit 64-row cells on the historical 6-bit
-    plan (and therefore keeps the sf0.01/sf0.1 oracle-attested
-    outputs bit-identical); ``cap`` bounds the bits by embedding
-    dimensionality. Callers opt in explicitly:
+    (SCALE.md "d10 cell-count scale rule"). ``floor=6`` holds every
+    corpus up to exactly 4,096 vectors (2⁶ cells × 64 target) on the
+    historical 6-bit plan — which covers the sf0.01 (200) and sf0.1
+    (2,000) attested corpora bit-identically; at 4,097+ the bits grow
+    and the kept set legitimately changes with them, so fixed-6-bit
+    oracles (d10's SQL) are valid ONLY at those attested sizes.
+    ``cap`` bounds the bits by embedding dimensionality. Callers opt in explicitly:
     ``semdedup_flags(..., sign_bits=auto_sign_bits(df.count()))`` —
     the count is a parquet-footer metadata read, the same corpus
     statistic a KMeans quantizer would need anyway."""

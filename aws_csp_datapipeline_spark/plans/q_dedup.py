@@ -307,11 +307,13 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags form.
 
     Cell count follows ``auto_sign_bits`` (the paper's k ∝ N rule):
-    6 bits — bit-identical to the fixed-bits oracle — at every
-    corpus up to ~8k vectors (so sf0.01/sf0.1 attestation is
-    unchanged), growing one bit per corpus doubling beyond that to
-    hold expected cell size at ~64 (SCALE.md "d10 cell-count scale
-    rule" has the measured sf10 effect)."""
+    6 bits — bit-identical to the fixed-bits oracle below — at every
+    corpus up to 4,096 vectors, which covers the attested sf0.01
+    (200) and sf0.1 (2,000) corpora; from 4,097 the bits grow one
+    per corpus doubling to hold expected cell size at ~64, and the
+    oracle (hard-coded v[1..6] buckets) is NOT valid there — do not
+    oracle-compare d10 on larger corpora (SCALE.md "d10 cell-count
+    scale rule" has the measured sf10 effect)."""
     from pyspark.sql import functions as F
 
     from aws_csp_datapipeline_spark.functions import similarity as S

@@ -123,6 +123,30 @@ def test_batched_training_matches_model_property(spark, words, n):
     assert got == py_train(dict(freq), n)
 
 
+def test_batched_training_tie_regression(spark):
+    """The round-7 review counterexample: {'arw': 10, 'bb': 10}. The
+    original scanned-rows-only bound accepted (b,b) into (a,r)'s
+    batch because the conflicting tie (r,w) sat BELOW it in the sort;
+    sequential greedy instead merges (a,r), sees the respawned
+    (ar,w) at freq 10, and 'ar' wins the lexicographic tie against
+    'b'. The corrected 2x-bound rule must close the batch after
+    (a,r) and reproduce the sequential order exactly."""
+    wf = spark.createDataFrame([("arw", 10), ("bb", 10)], "word string, freq long")
+    want = py_train({"arw": 10, "bb": 10}, 3)
+    assert bpe.train_bpe(wf, 3, batch_size=8) == want
+    assert [m[:2] for m in want] == [("a", "r"), ("ar", "w"), ("b", "b")]
+
+
+def test_train_bpe_rejects_nonpositive_batch(spark):
+    """batch_size < 1 would loop forever re-collecting identical
+    counts; it must fail fast instead."""
+    import pytest as _pytest
+
+    wf = spark.createDataFrame([("ab", 5)], "word string, freq long")
+    with _pytest.raises(ValueError):
+        bpe.train_bpe(wf, 1, batch_size=0)
+
+
 def test_encode_matches_model(spark, sf_smoke):
     from aws_csp_datapipeline_spark.catalog import load_table
 

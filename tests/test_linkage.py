@@ -42,8 +42,14 @@ def _er1_full_pairs(spark, sf_dir):
     )
 
 
-def _hamming(a: str, b: str) -> int:
-    return sum(x != y for x, y in zip(a, b)) + abs(len(a) - len(b))
+def _substitution_dist(a: str, b: str) -> float:
+    """Substitution-only distance: er2's recall contract covers pairs
+    reachable by substitutions alone, which REQUIRES equal length —
+    an unequal-length lev<=2 pair (pure indel) is a contract-
+    compliant miss, not a lost substitution pair."""
+    if len(a) != len(b):
+        return float("inf")
+    return sum(x != y for x, y in zip(a, b))
 
 
 def test_er2_substitution_complete_and_subset(spark, sf_oracle):
@@ -82,7 +88,7 @@ def test_er2_substitution_complete_at_sf01(spark):
     missed = set(er1) - er2
     for k in missed:
         na, nb = er1[k]
-        assert _hamming(na, nb) > 2, f"substitution pair lost: {er1[k]}"
+        assert _substitution_dist(na, nb) > 2, f"substitution pair lost: {er1[k]}"
     # measured 2.6% indel-shift misses at sf0.1 — pin a recall floor
     assert len(er2) >= 0.95 * len(er1)
 
@@ -222,6 +228,7 @@ def test_er2_candidate_budget_stays_linear(spark):
     cap — while er1's fixed-key fan-out grows ~10x per 10x data
     (6/row at sf0.01 → 60/row at sf0.1, SCALE.md)."""
     budget_per_row = 30
+    per_row = {}
     for sf_dir in ["/root/testdata/sf0.001", "/root/testdata/sf0.01", SF_BIG]:
         c = load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
@@ -233,19 +240,8 @@ def test_er2_candidate_budget_stays_linear(spark):
         )
         n_cand = cand.count()
         assert n_cand <= budget_per_row * n_rows, (sf_dir, n_cand, n_rows)
+        per_row[sf_dir] = n_cand / n_rows
     # growth check at the top step: candidates per row at sf0.1 must
     # stay under ~2.5x the sf0.01 per-row rate (measured 6.0 -> 12.7),
     # i.e. nowhere near er1's 10x per-row quadratic step.
-    def per_row(sf_dir):
-        c = load_table(spark, sf_dir, "customer").select(
-            "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
-        )
-        return (
-            pigeonhole_candidate_pairs(
-                c, "c_custkey", "c_name",
-                ["c_nationkey", "c_mktsegment"], cap=_ER2_CAP,
-            ).count()
-            / c.count()
-        )
-
-    assert per_row(SF_BIG) <= 2.5 * per_row("/root/testdata/sf0.01")
+    assert per_row[SF_BIG] <= 2.5 * per_row["/root/testdata/sf0.01"]

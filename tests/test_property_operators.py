@@ -459,13 +459,17 @@ def test_semdedup_matches_bruteforce_model(spark, vecs):
 def test_auto_sign_bits_scale_rule():
     """The SemDeDup cell-count rule (d10): 6 bits at every
     driver-attested corpus size (oracle outputs bit-identical), one
-    extra bit per corpus doubling past ~8k so the expected cell
-    population stays ≤ ~2x the target, capped by embedding width."""
+    extra bit per corpus doubling past 4,096 (= 2^6 cells x 64
+    target — the EXACT boundary where the fixed-6-bit oracle stops
+    being valid) so the expected cell population stays ≤ ~2x the
+    target, capped by embedding width."""
     from aws_csp_datapipeline_spark.functions.similarity import auto_sign_bits
 
     # oracle-attested corpora stay on the historical 6-bit plan
     assert auto_sign_bits(200) == 6       # sf0.01
     assert auto_sign_bits(2_000) == 6     # sf0.1
+    assert auto_sign_bits(4_096) == 6     # last 6-bit corpus size
+    assert auto_sign_bits(4_097) == 7     # first divergence from the oracle
     prev = 0
     for n in [10, 10**3, 10**4, 10**5, 10**6, 10**8]:
         bits = auto_sign_bits(n)
