@@ -77,6 +77,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 # Unit separator: cannot appear in the key fields it joins (documented
 # caller contract — names containing \x1f would need a different sep).
@@ -327,13 +328,15 @@ def _shifted_candidate_name_pairs(
       (block, short) lane — a pair outside the long path's guarantee
       has min len ≤ 12, hence both sides ≤ 14, hence collides there.
 
-    Cost shape: ~18 short key rows per DISTINCT name (+ ~15-20 per
-    oversized lane), one size aggregate, one equi-join. The shift
-    multiplier (×5 per probe level) is the price of indel
-    completeness — this is why er2 (substitution-exact, no shifts)
-    remains the default and er3 the completeness lane. Probe rows
-    whose key matches no index lane are dropped by the size join
-    before the candidate join."""
+    Cost shape: 3 index + ~31 probe key rows per DISTINCT name at
+    level 1 (probe keys enumerate candidate partner lengths × their
+    displacement windows — on a fixed-length corpus all but ~7 die
+    in the size join, which drops any probe key no index entry
+    uses), one size aggregate and one equi-join per split level.
+    The shift multiplier is the price of indel completeness — this
+    is why er2 (substitution-exact, no shifts) remains the default
+    and er3 the completeness lane; the measured budget numbers and
+    their dense-serial ceiling are in the window comment below."""
     names = df.select(*block_cols, name_col).distinct()
     name = F.col(name_col)
     ln = F.length(name)
@@ -361,11 +364,14 @@ def _shifted_candidate_name_pairs(
         1: [(1, 2), (3, 1), (7, 2), (9, 1)],
         2: [(1, 2), (3, 2), (5, 2)],
     }
-    shifts = range(-2, 3)
     # short lane: both roles, one key per block (never split)
     short = F.when(
         ln <= 14,
-        F.array(F.struct(key("S").alias("k1"), F.lit(-1).alias("t"))),
+        F.array(
+            F.struct(
+                key("S").alias("k1"), F.lit(-1).alias("t"), F.lit(0).alias("dl")
+            )
+        ),
     )
 
     def laned(lanes) -> DataFrame:
@@ -382,69 +388,255 @@ def _shifted_candidate_name_pairs(
             name_col,
             F.col("l.k1").alias("k1"),
             F.col("l.t").alias("t"),
+            F.col("l.dl").alias("dl"),
         )
+
+    # Multi-match-aware probe windows (the PassJoin selection): every
+    # key embeds the INDEX string's length, and a probe of b claims a
+    # partner length M, fixing Δ = len(b) − M. An untouched region's
+    # end-anchored displacement ρ is the net length change to its
+    # right, the rest of the Δ budget (Δ − ρ) is spent to its left,
+    # and each unit of either costs one edit: |ρ| + |Δ − ρ| ≤ 2. So
+    # the probe window is 3 displacements at Δ=0, 2 at |Δ|=1, 3 at
+    # |Δ|=2 — not a blanket ±2 — and a region ending at the string
+    # end has ρ = 0 EXACTLY for every Δ (nothing to its right can
+    # move end-anchored content). Two effects: cross-length keys
+    # never meet an index entry unless that length exists (the sizes
+    # join prunes them), and on a fixed-length corpus the interior
+    # windows shrink 5 → 3. Measured on the dense-serial sf0.1
+    # corpus, windows + the recursive split cut candidates 60.1 →
+    # 40.8/name — only ~1.5× under the in-block quadratic (60),
+    # because dense digit strings cap the selectivity any
+    # shift-tolerant positional key can reach (a probe window of 3
+    # on a 10-ary alphabet discriminates at best ~3.3× per pinned
+    # char). That is the honest price of indel completeness here;
+    # er2's aligned keys (6.0 → 12.7/name) remain the scale lane,
+    # and the two-phase collapse keeps er3's cost constant across
+    # replicated corpora regardless (see the registry docstring).
+    RHO = {-2: (-2, -1, 0), -1: (-1, 0), 0: (-1, 0, 1),
+           1: (0, 1), 2: (0, 1, 2)}
+
+    def rhos_for(delta: int, end_coord: int):
+        return (0,) if end_coord == 9 else RHO[delta]
 
     idx_lanes = [
         F.struct(
-            key(str(t), F.substring(s, 3 * t + 1, 3)).alias("k1"),
+            key(ln.cast("string"), str(t), F.substring(s, 3 * t + 1, 3)).alias(
+                "k1"
+            ),
             F.lit(t).alias("t"),
+            F.lit(0).alias("dl"),
         )
         for t in range(3)
     ]
     prb_lanes = [
         F.struct(
-            key(str(t), abs_sub(3 * t + 1 + d, 3)).alias("k1"),
+            key(
+                (ln - F.lit(delta)).cast("string"),
+                str(t),
+                abs_sub(3 * t + 1 - rho, 3),
+            ).alias("k1"),
             F.lit(t).alias("t"),
+            F.lit(delta).alias("dl"),
         )
         for t in range(3)
-        for d in shifts
+        for delta in range(-2, 3)
+        for rho in rhos_for(delta, 3 * t + 3)
     ]
-    idx = laned(idx_lanes)
-    prb = laned(prb_lanes)
-    sizes = idx.groupBy("k1").agg(F.count(F.lit(1)).alias("n"))
+    # The split legs (small/over at two levels) each re-reference the
+    # laned and level-2 frames; without a persist the whole
+    # lane-construction subtree replays per leg (~6×) — measured 3×
+    # wall-clock on the name phase. The frames are DISTINCT-NAME
+    # sized (15k names × ~34 short rows here), so MEMORY_AND_DISK is
+    # cheap; they attach to the result as ``_graft_caches`` per the
+    # dedup module's lifecycle contract (the result's first action
+    # populates them; ``dedup.release_caches`` frees them).
+    caches = []
 
-    def with_level2(side: DataFrame, probe: bool) -> DataFrame:
-        # below-cap lanes keep k1; oversized (non-short) lanes emit
-        # level-2 keys: k1 + part id + part content — probed at ±2
-        # absolute displacement on the probe side.
-        subkeys = []
+    def cached(frame: DataFrame) -> DataFrame:
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        caches.append(frame)
+        return frame
+
+    from pyspark.sql import Window
+
+    # Index lane sizes come from a WINDOW over the index frame (one
+    # hash shuffle, no join); the probe side joins the distinct
+    # (k1, n) table ONCE per level — an inner join, so probe keys no
+    # index entry uses are pruned here. All split legs below are then
+    # plain FILTERS over these cached frames: the first version
+    # expressed each leg as its own sizes-join and paid ~10 sort-merge
+    # stages for six mostly-empty legs (measured 21 s of the 32 s
+    # name phase at sf0.1; now ~5 shuffles total).
+    idx = cached(
+        laned(idx_lanes).withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("k1"))
+        )
+    )
+    sizes1 = idx.select("k1", "n").distinct()
+    prb = cached(laned(prb_lanes).join(sizes1.hint("merge"), "k1"))
+
+    # Single-char complement coords per (t, part) for the level-3
+    # split: everything in t's complement the part didn't pin.
+    comp_coords = {0: [4, 5, 6, 7, 8, 9], 1: [1, 2, 3, 7, 8, 9],
+                   2: [1, 2, 3, 4, 5, 6]}
+
+    def rest_coords(t: int, pi: int) -> list[int]:
+        a, w = parts_of[t][pi]
+        pinned = set(range(a, a + w))
+        return [c for c in comp_coords[t] if c not in pinned]
+
+    def split2(side: DataFrame, probe: bool):
+        """Below-cap (or short) lanes keep k1 as the join key;
+        oversized lanes emit level-2 keys (k1 + part id + part
+        content, probed at the part's displacement window). The
+        small/over decision reads the INDEX lane size carried on both
+        cached frames, so it is consistent across a colliding pair."""
+        j = side
+        small = j.filter((F.col("n") <= cap) | (F.col("t") < 0)).select(
+            *block_cols, name_col, F.col("k1").alias("fk")
+        )
+        # The (t, part, Δ, ρ) enumeration is DATA (a literal array
+        # filtered per row), not a chain of hundreds of when()
+        # branches: the when-chain form generated ~1.6 MB codegen
+        # classes whose compilation dominated the whole name phase
+        # (measured: a fixed ~20 s across every corpus size).
+        variants = []
         for t in range(3):
             for pi, (a, w) in enumerate(parts_of[t]):
-                for d2 in shifts if probe else (0,):
-                    content = abs_sub(a + d2, w) if probe else F.substring(s, a, w)
-                    subkeys.append(
-                        F.when(
-                            F.col("t") == t,
-                            F.concat(
-                                F.col("k1"),
-                                F.lit(_SEP + str(pi) + _SEP),
-                                content,
-                            ),
-                        )
-                    )
-        sub_arr = F.array_distinct(F.array_compact(F.array(*subkeys)))
-        return side.join(sizes.hint("merge"), "k1").select(
-            *block_cols,
-            name_col,
-            F.explode(
-                F.when((F.col("n") > cap) & (F.col("t") >= 0), sub_arr)
-                .otherwise(F.array(F.col("k1")))
-            ).alias("fk"),
+                if probe:
+                    for delta in range(-2, 3):
+                        for rho in rhos_for(delta, a + w - 1):
+                            variants.append((t, pi, a, w, delta, rho))
+                else:
+                    variants.append((t, pi, a, w, 0, 0))
+        lit = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("vt"), F.lit(pi).alias("vpi"),
+                    F.lit(a).alias("va"), F.lit(w).alias("vw"),
+                    F.lit(d).alias("vd"), F.lit(r).alias("vr"),
+                )
+                for (t, pi, a, w, d, r) in variants
+            ]
         )
+        row_match = (
+            (lambda x: (x["vt"] == F.col("t")) & (x["vd"] == F.col("dl")))
+            if probe
+            else (lambda x: x["vt"] == F.col("t"))
+        )
+        mk = lambda x: F.struct(  # noqa: E731
+            F.concat(
+                F.col("k1"), F.lit(_SEP), x["vpi"].cast("string"), F.lit(_SEP),
+                name.substr(
+                    F.greatest(F.lit(1), sstart + x["va"] - x["vr"] - 1), x["vw"]
+                ),
+            ).alias("k2"),
+            x["vpi"].alias("pi"),
+        )
+        arr = F.array_distinct(F.transform(F.filter(lit, row_match), mk))
+        lv2 = (
+            j.filter((F.col("n") > cap) & (F.col("t") >= 0))
+            .select(*block_cols, name_col, "t", "dl", F.explode(arr).alias("l2"))
+            .select(
+                *block_cols, name_col, "t", "dl",
+                F.col("l2.k2").alias("k2"), F.col("l2.pi").alias("pi"),
+            )
+        )
+        return small, lv2
 
-    a = with_level2(idx, probe=False).select(
-        *block_cols, F.col(name_col).alias("name_a"), "fk"
+    idx_s1, idx_lv2 = split2(idx, probe=False)
+    prb_s1, prb_lv2 = split2(prb, probe=True)
+    idx_lv2 = cached(
+        idx_lv2.withColumn(
+            "n2", F.count(F.lit(1)).over(Window.partitionBy("k2"))
+        )
     )
-    b = with_level2(prb, probe=True).select(
-        F.col(name_col).alias("name_b"), "fk"
+    sizes2 = idx_lv2.select("k2", "n2").distinct()
+    prb_lv2 = cached(prb_lv2.join(sizes2.hint("merge"), "k2"))
+
+    def split3(lv2: DataFrame, probe: bool):
+        """Level-3: a level-2 lane still over cap (low-entropy part
+        content — e.g. the constant high-order digits of dense serial
+        ids) re-pigeonholes each UNPINNED complement char: the index
+        pins each at its exact position, the probe at the char's
+        displacement window. ≤2 edits leave ≥2 of the ≥4 rest chars
+        untouched, so the collision guarantee survives this split
+        too. No level 4: leaf keys are emitted regardless, keeping
+        recall; three pinned regions bound leaf lanes on every corpus
+        measured."""
+        j = lv2
+        small = j.filter(F.col("n2") <= cap).select(
+            *block_cols, name_col, F.col("k2").alias("fk")
+        )
+        # same literal-array-of-variants trick as split2 (the
+        # when-chain here was ~500 branches — the worst codegen
+        # offender)
+        variants = []
+        for t in range(3):
+            for pi in range(len(parts_of[t])):
+                for c in rest_coords(t, pi):
+                    if probe:
+                        for delta in range(-2, 3):
+                            for rho in rhos_for(delta, c):
+                                variants.append((t, pi, c, delta, rho))
+                    else:
+                        variants.append((t, pi, c, 0, 0))
+        lit = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("vt"), F.lit(pi).alias("vpi"),
+                    F.lit(c).alias("vc"), F.lit(d).alias("vd"),
+                    F.lit(r).alias("vr"),
+                )
+                for (t, pi, c, d, r) in variants
+            ]
+        )
+        row_match = (
+            (
+                lambda x: (x["vt"] == F.col("t"))
+                & (x["vpi"] == F.col("pi"))
+                & (x["vd"] == F.col("dl"))
+            )
+            if probe
+            else (
+                lambda x: (x["vt"] == F.col("t")) & (x["vpi"] == F.col("pi"))
+            )
+        )
+        mk = lambda x: F.concat(  # noqa: E731
+            F.col("k2"), F.lit(_SEP), x["vc"].cast("string"), F.lit(_SEP),
+            name.substr(
+                F.greatest(F.lit(1), sstart + x["vc"] - x["vr"] - 1), F.lit(1)
+            ),
+        )
+        arr = F.array_distinct(F.transform(F.filter(lit, row_match), mk))
+        deep = j.filter(F.col("n2") > cap).select(
+            *block_cols, name_col, F.explode(arr).alias("fk")
+        )
+        return small, deep
+
+    idx_s2, idx_lv3 = split3(idx_lv2, probe=False)
+    prb_s2, prb_lv3 = split3(prb_lv2, probe=True)
+
+    a = (
+        idx_s1.unionByName(idx_s2)
+        .unionByName(idx_lv3)
+        .select(*block_cols, F.col(name_col).alias("name_a"), "fk")
     )
-    return (
+    b = (
+        prb_s1.unionByName(prb_s2)
+        .unionByName(prb_lv3)
+        .select(F.col(name_col).alias("name_b"), "fk")
+    )
+    out = (
         a.hint("merge")
         .join(b, ["fk"])
         .filter(F.col("name_a") < F.col("name_b"))
         .select(*block_cols, "name_a", "name_b")
         .distinct()
     )
+    out._graft_caches = tuple(caches)
+    return out
 
 
 def pigeonhole_matches(
@@ -495,13 +687,16 @@ def edit_complete_matches(
     recs = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
     )
-    verified = _shifted_candidate_name_pairs(
-        recs, "_nm", block_cols, cap
-    ).withColumn(
+    cand = _shifted_candidate_name_pairs(recs, "_nm", block_cols, cap)
+    verified = cand.withColumn(
         "dist", F.levenshtein("name_a", "name_b", max_dist)
     ).filter(F.col("dist").between(0, max_dist))
     expanded = _expand_to_ids(recs, "_id", "_nm", block_cols, verified)
     same = _same_name_pairs(recs, "_id", "_nm", block_cols).withColumn(
         "dist", F.lit(0)
     )
-    return expanded.unionByName(same)
+    out = expanded.unionByName(same)
+    # carry the candidate generator's caches to the caller-visible
+    # result (dedup.release_caches contract)
+    out._graft_caches = getattr(cand, "_graft_caches", ())
+    return out

@@ -95,7 +95,11 @@ HEADLINE = [
     # scale-safe ER variant replaces the excluded quadratic er1.
     "pipe6_train_ready",
     "er2_scale_safe_matches",
-    "er3_indel_complete_matches",
+    # er3_indel_complete_matches is registry-only: its wall-clock is
+    # dominated by a ~10 s plan/codegen overhead of the 3-level
+    # shifted-probe DAG (measured flat from a 150-row corpus to
+    # sf10), which would inflate the headline without measuring data
+    # cost; SCALE.md "er3" records its per-scale numbers.
 ]
 
 

@@ -197,6 +197,32 @@ def test_er3_adversarial_edit_pairs_always_found(spark):
     assert missed == set(), f"{len(missed)} edit pairs lost: {sorted(missed)[:5]}"
 
 
+def test_er3_candidate_budget_sanity(spark):
+    """er3's shifted probes pay for indel completeness with a weaker
+    candidate bound than er2 (dense digit strings cap shift-tolerant
+    key selectivity — functions/linkage.py window comment). Pin the
+    honest ceiling: candidates stay strictly UNDER the in-block
+    quadratic er1 would verify (i.e. the blocking still does real
+    work on the adversarial corpus), measured at the top test scale."""
+    from aws_csp_datapipeline_spark.functions.linkage import (
+        _shifted_candidate_name_pairs,
+    )
+
+    c = load_table(spark, SF_BIG, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+    )
+    cand = _shifted_candidate_name_pairs(
+        c.selectExpr("c_name as _nm", "c_nationkey", "c_mktsegment"),
+        "_nm",
+        ["c_nationkey", "c_mktsegment"],
+        _ER2_CAP,
+    ).count()
+    # in-block pairs at sf0.1: 125 blocks x C(120,2) = 892,500
+    blocks = c.groupBy("c_nationkey", "c_mktsegment").count().collect()
+    quad = sum(r["count"] * (r["count"] - 1) // 2 for r in blocks)
+    assert cand < 0.75 * quad, (cand, quad)
+
+
 def test_er2_plan_pins_scale_fixes(spark, sf_oracle):
     """Pins the two sf10 fixes in the physical plan (SCALE.md "er2 at
     sf10"): (a) the explicit round-robin spread of the tiny verified
