@@ -84,6 +84,7 @@ class CspToolsEngine:
         login: str | None = None,
         limit: int | None = 150,
         allow_full_collect: bool = False,
+        order_by: str | list[str] | None = "s_no",
     ) -> str:
         """The GET route's actual response shape: the
         ``{total_count, records}`` JSON envelope
@@ -95,13 +96,17 @@ class CspToolsEngine:
         stays distributed; asking for ``limit=None`` without
         ``allow_full_collect=True`` raises — the facade never ships
         an unbounded result to the driver by accident
-        (tests/test_engine_crud.py golden)."""
+        (tests/test_engine_crud.py golden). ``order_by`` defaults to
+        s_no so a capped envelope is the deterministic ordered prefix
+        (the reference's interactive queries ORDER BY s_no,
+        sql/ddl_create_tables.sql:71-72)."""
         from aws_csp_datapipeline_spark.sources.sinks import json_envelope
 
         return json_envelope(
             self.get_tools(s_no=s_no, login=login),
             limit=limit,
             allow_full_collect=allow_full_collect,
+            order_by=order_by,
         )
 
     def summary(self) -> tuple:

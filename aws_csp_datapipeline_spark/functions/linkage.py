@@ -700,3 +700,94 @@ def edit_complete_matches(
     # result (dedup.release_caches contract)
     out._graft_caches = getattr(cand, "_graft_caches", ())
     return out
+
+
+def edit_match_stats(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_cols: list[str],
+    cap: int = 32,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Per-block MATCH COUNTS (by edit distance, plus a total) without
+    materializing a single id-level pair — the governance-report form
+    of entity resolution a 100-TB pipeline actually runs, where the
+    full pair list can be orders of magnitude larger than the corpus
+    (39B pairs on the replicated sf100 corpus, SCALE.md "er2 at sf10").
+
+    Counting instead of expanding: with the indel-complete candidate
+    set (``_shifted_candidate_name_pairs``) verified at the DISTINCT
+    (block, name) level, the number of record pairs a verified name
+    pair (a, b) contributes is cnt(a) x cnt(b), and each duplicated
+    name contributes C(cnt, 2) distance-0 pairs. Both are equi-joins
+    against the distinct-name count table — the record-level fan-out
+    (the one phase whose output grows with the SQUARE of replication)
+    never happens. Output is one row per block that has at least one
+    match: (block..., pairs_d0..pairs_d{max_dist}, pairs_total).
+
+    Exactness: candidates are indel-COMPLETE for lev <= 2 (the er3
+    lane geometry), so these counts equal the unlimited quadratic
+    join's aggregate — the registered oracle compares against exactly
+    that definition. Only max_dist=2 is supported (inherited from the
+    lane geometry)."""
+    if max_dist != 2:
+        raise ValueError("edit_match_stats encodes max_dist=2 lanes")
+    recs = df.select(
+        F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
+    )
+    name_counts = recs.groupBy(*block_cols, "_nm").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    cand = _shifted_candidate_name_pairs(recs, "_nm", block_cols, cap)
+    # name_a < name_b => distinct names => dist >= 1
+    verified = cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b", max_dist)
+    ).filter(F.col("dist").between(1, max_dist))
+    ca = name_counts.select(
+        *[F.col(b).alias(f"_ba_{b}") for b in block_cols],
+        F.col("_nm").alias("_na"),
+        F.col("_cnt").alias("_cnt_a"),
+    )
+    cb = name_counts.select(
+        *[F.col(b).alias(f"_bb_{b}") for b in block_cols],
+        F.col("_nm").alias("_nb"),
+        F.col("_cnt").alias("_cnt_b"),
+    )
+    cross = (
+        verified.join(
+            ca,
+            [F.col(f"_ba_{b}") == F.col(b) for b in block_cols]
+            + [F.col("_na") == F.col("name_a")],
+        )
+        .join(
+            cb,
+            [F.col(f"_bb_{b}") == F.col(b) for b in block_cols]
+            + [F.col("_nb") == F.col("name_b")],
+        )
+        .select(
+            *block_cols,
+            "dist",
+            (F.col("_cnt_a") * F.col("_cnt_b")).alias("pairs"),
+        )
+    )
+    same = name_counts.filter(F.col("_cnt") > 1).select(
+        *block_cols,
+        F.lit(0).alias("dist"),
+        (F.col("_cnt") * (F.col("_cnt") - 1) / 2).cast("long").alias("pairs"),
+    )
+    out = (
+        cross.unionByName(same)
+        .groupBy(*block_cols)
+        .agg(
+            *[
+                F.sum(F.when(F.col("dist") == d, F.col("pairs")).otherwise(0))
+                .cast("long")
+                .alias(f"pairs_d{d}")
+                for d in range(max_dist + 1)
+            ],
+            F.sum("pairs").cast("long").alias("pairs_total"),
+        )
+    )
+    out._graft_caches = getattr(cand, "_graft_caches", ())
+    return out

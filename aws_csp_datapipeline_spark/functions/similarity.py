@@ -382,8 +382,82 @@ def auto_sign_bits(
     return min(cap, max(floor, math.ceil(math.log2(n_rows / target_cell))))
 
 
+def auto_semdedup_quantizer(
+    n_rows: int, target_cell: int = 64
+) -> tuple[int, int]:
+    """Quantizer selection for the semantic-dedup family as the corpus
+    grows: returns ``(ivf_cells, sign_bits)`` for
+    ``semdedup_flags``.
+
+    * Up to the sign-bit cap (``auto_sign_bits`` cap 14 ⇒ 16,384
+      cells ⇒ 1,048,576 vectors at target 64) the sign-bit quantizer
+      alone holds cell population at ~``target_cell`` — returns
+      ``(0, auto_sign_bits(n))``, bit-identical to every historically
+      attested plan (sf0.01 … sf10 corpora are all ≤ 200k vectors).
+    * Beyond the cap, sign bits stop scaling (leading-coordinate
+      signs correlate on real embeddings, so extra bits add skew
+      faster than discrimination — measured 12.7× d10 scaling at
+      sf100, SCALE.md "d10 beyond the sign-bit cap") and the cell id
+      switches to the paper's actual prescription: a sample-trained
+      KMeans coarse cell (``auto_ivf_cells`` ≈ √N, capped 4096 — the
+      same quantizer/broadcast-centers machinery as ``ivf_topk``)
+      COMPOSED with however many sign bits still separate the
+      remainder: total cells = ivf_cells × 2^sign_bits ≈
+      N / target_cell, with KMeans carrying the data-adaptive part
+      of the split and the sign bits the cheap residual part. KMeans
+      training stays bounded (k ≤ 4096, seeded sample) where a flat
+      k = N/64 KMeans (32k+ centers at 2M vectors) would not train
+      on any single box."""
+    import math
+
+    bits = auto_sign_bits(n_rows, target_cell=target_cell)
+    if n_rows <= target_cell * (1 << 14):  # sign-bit cap not reached
+        return 0, bits
+    cells = auto_ivf_cells(n_rows)
+    sub = max(0, math.ceil(math.log2(n_rows / target_cell / cells)))
+    return cells, sub
+
+
+def _ivf_cell_ids(
+    df: DataFrame, vec_col: str, id_col: str, n_cells: int, seed: int = 42
+) -> DataFrame:
+    """(id, cell) KMeans coarse-cell assignment for the corpus —
+    the same sample-trained quantizer as ``ivf_topk`` (≥256 vectors
+    per cell training sample, fixed seed, one full assignment pass).
+    Returns None-equivalent fallback (all cell 0) if pyspark.ml is
+    unavailable, preserving correctness (dedup with fewer cells is
+    strictly MORE complete — cells only bound candidate scope)."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError:  # pragma: no cover
+        return df.select(
+            F.col(id_col).alias("__qid"), F.lit(0).cast("long").alias("__cell")
+        )
+
+    c = df.select(
+        F.col(id_col).alias("__qid"), _as_double(F.col(vec_col)).alias("__qv")
+    ).withColumn("features", array_to_vector("__qv"))
+    sample_target = max(10_000, 256 * n_cells)
+    n_corpus = c.count()
+    train = c
+    if n_corpus > sample_target:
+        train = c.sample(fraction=sample_target / n_corpus, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", maxIter=10).fit(
+        train
+    )
+    return model.transform(c).select(
+        "__qid", F.col("prediction").cast("long").alias("__cell")
+    )
+
+
 def _cells_and_units(
-    df: DataFrame, vec_col: str, id_col: str, sign_bits: int
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    sign_bits: int,
+    ivf_cells: int = 0,
+    seed: int = 42,
 ) -> DataFrame:
     """(__id, __bucket, __u): sign-bit cell id plus the L2-normalized
     vector, persisted — the shared substrate of the semantic-dedup

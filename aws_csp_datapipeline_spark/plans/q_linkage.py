@@ -272,20 +272,26 @@ def er3_indel_complete_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
     )
-    return edit_complete_matches(
+    matches = edit_complete_matches(
         c,
         "c_custkey",
         "c_name",
         ["c_nationkey", "c_mktsegment"],
         cap=_ER2_CAP,
         max_dist=2,
-    ).select(
+    )
+    out = matches.select(
         F.col("id_a").alias("custkey_a"),
         F.col("id_b").alias("custkey_b"),
         "name_a",
         "name_b",
         "dist",
     )
+    # .select() returns a NEW DataFrame, severing the attribute-based
+    # cache handoff — re-attach so dedup.release_caches(plan_result)
+    # can free the persisted lane frames (ADVICE r7).
+    out._graft_caches = getattr(matches, "_graft_caches", ())
+    return out
 
 
 @register(
@@ -331,3 +337,72 @@ def ml1_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((s - F.col("o_totalprice")) / (n - 1), 4),
         ).alias("loo_avg_price"),
     )
+
+
+# er4's oracle, like er3's, is the DEFINITION: the per-block aggregate
+# of er1's unlimited quadratic join. A completeness hole anywhere in
+# er4's counting (candidate geometry, the cnt_a x cnt_b expansion
+# algebra, the C(cnt,2) same-name term) fails the hash compare.
+_ER4_SQL = """
+    WITH c AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM customer
+    ), p AS (
+      SELECT a.c_nationkey AS nationkey, a.c_mktsegment AS mktsegment,
+             levenshtein(a.c_name, b.c_name) AS dist
+      FROM c a JOIN c b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 2
+    )
+    SELECT nationkey, mktsegment,
+           CAST(SUM(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_d0,
+           CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_d1,
+           CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pairs_d2,
+           CAST(COUNT(*) AS BIGINT) AS pairs_total
+    FROM p
+    GROUP BY nationkey, mktsegment
+    """
+
+
+@register("er4_match_stats", _ER4_SQL)
+def er4_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-honest ER: per-block match counts by edit distance,
+    WITHOUT materializing id-level pairs (functions/linkage.py
+    ``edit_match_stats``). On the replicated sf100 corpus the full
+    pair answer is ~39B rows — this is the governance-report form
+    (how many duplicates, where, how close) a 100-TB pipeline runs
+    instead; output is one constant-size row per matching block.
+
+    Scale shape: everything runs at DISTINCT (block, name)
+    granularity — the indel-complete candidate lanes, the banded
+    levenshtein verify, and two equi-joins against the distinct-name
+    count table; record multiplicity enters only as cnt_a x cnt_b
+    arithmetic. The record-pair fan-out phase (the one term quadratic
+    in replication) does not exist in this plan."""
+    from aws_csp_datapipeline_spark.functions.linkage import edit_match_stats
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+    )
+    stats = edit_match_stats(
+        c,
+        "c_custkey",
+        "c_name",
+        ["c_nationkey", "c_mktsegment"],
+        cap=_ER2_CAP,
+        max_dist=2,
+    )
+    out = stats.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "pairs_d0",
+        "pairs_d1",
+        "pairs_d2",
+        "pairs_total",
+    )
+    out._graft_caches = getattr(stats, "_graft_caches", ())
+    return out

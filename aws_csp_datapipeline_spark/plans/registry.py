@@ -60,76 +60,81 @@ def register(name: str, oracle: str | None = None):
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
 #
-# Round-8+ rotation queue (names still never driver-attested after
-# the r7 window below; keep the ~30 fixed core, swap the r7 tail for
-# ~20 of these, spanning families): q16 (last TPC-H silhouette),
-# f9/f12-f17 (function batteries), w6/w9/w15, dq5/dq9/dq12/dq13/dq17,
-# h2, fun1/fun2/fun4, d9/d10, ap3, tt11/tt12/tt13, st10,
-# ml1_loo_target_encoding, er1_blocked_matches,
-# er3_indel_complete_matches (added late r7, never attested), pm7/pm8,
-# d11_cross_source_dups, t21/t22/t23, x10/x11, a24_mad_outliers,
-# s17_pairwise_cosine_profile, gr6_neighbor_jaccard, and the
-# remaining rows-only lanes (mm1/mm3-mm7, s5_ivf_ann_topk,
-# t17_bpe_merges, t18_bpe_encode, pipe5_tokenized_packing).
+# Round-9+ rotation queue (names still never driver-attested after
+# the r8 window below; keep the ~15 fixed core, swap the r8 tail for
+# ~35 of these, spanning families): er1_blocked_matches,
+# ml1_loo_target_encoding, ap1/ap2/ap3 leftovers, pm2/pm3/pm5/pm7/pm8,
+# t4-t8/t10/t11/t13/t14/t16/t20-t23, x3-x5/x7/x8/x10/x11,
+# a10-a24 (scalar/sketch aggregate battery), h1/h2/h3,
+# g2/g3/g5, fun3, dq3/dq6/dq10/dq11/dq14, w4/w7/w8/w11/w12/w13,
+# tt2/tt4/tt5/tt9/tt10/tt11/tt12/tt13, s4/s7/s8/s9/s11/s13/s14/s15/s17,
+# d4/d5/d7/d8/d11/d12, gr2/gr3/gr5/gr6, inc1/inc2/inc3,
+# m3/m6/m11/m12, f1/f4/f10/f11, p9/p10, j1, q6/q11/q17/q18/q22,
+# pipe1/pipe2/pipe3, st4/st7/st8/st10, h2_equidepth_histogram,
+# mm4_modality_dispatch (rows-only leftovers: mm4 if not green in r8).
 _WINDOW: tuple[str, ...] = (
-    # --- fixed core (cross-family longitudinal sample) ---
+    # --- fixed core, shrunk 30 -> 15 per the r7 verdict (one name per
+    # family keeps the longitudinal record; everything rotated out
+    # stays green in tests/test_registry_oracle.py) ---
     "q1_pricing_summary",
     "m1_serial_insert",
     "m4_soft_delete_visible",
-    "m7_dedup_by_keys",
-    "m8_scd2_versioning",
-    "m9_merge_upsert",
-    "f3_null_normalize",
     "f7_messy_dates",
     "d1_exact_dedup",
     "d3_minhash_lsh_pairs",
-    "d6_neardup_groups",
     "t1_token_stats",
-    "t2_quality_score",
-    "t12_bm25_topdocs",
     "s1_cosine_topk",
-    "s2_knn_join",
     "st1_stream_ingest_dedup",
-    "st2_windowed_counts",
     "tt1_hash_split",
-    "tt6_greedy_pack",
-    "tt8_ngram_decontaminate",
     "w1_topk_per_group",
-    "w3_sessionize",
     "x1_asof_join",
-    "pm4_last_touch_attribution",
     "gr1_triangle_count",
     "dq1_column_profile",
-    "a5_group_count_2key",
-    "j2_star_agg",
-    "q3_shipping_priority",
-    # --- round-7 rotation: first-ever driver attestation for these ---
-    # (the round-6 block — p3-p9, a1-a9, j4-j6, set2/set3, m5 — rotated
-    # out; all stay green in tests/test_registry_oracle.py). This block
-    # covers the never-attested TPC-H silhouettes, window battery,
-    # quality gates, capstone pipelines, the new scale-safe ER, and —
-    # per the r6 review ask — rows-only multimodal/ANN/streaming lanes
-    # (mm2, s3, st9) so the driver record also spans the no_oracle path.
-    "q2_min_per_group_lookup",
-    "q4_priority_with_exists",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q21_exists_not_exists",
-    "w2_running_sum",
-    "w14_ewma",
-    "dq2_orphan_counts",
-    "dq15_fd_audit",
-    "dq16_chisq_independence",
     "pipe4_full_curation",
-    "pipe6_train_ready",
-    "t17_bpe_pair_counts",
-    "s16_random_projection",
-    "x9_interval_coalesce",
-    "er2_scale_safe_matches",
-    "mm2_frame_sample",
-    "s3_lsh_ann_topk",
-    "st9_stream_dedup_watermark",
+    # --- round-8 rotation: 35 first-ever driver attestations ---
+    # Leading with er3 (its oracle is er1's UNLIMITED quadratic join —
+    # the strongest external completeness check in the repo) and the
+    # new er4 scale-honest match-stats; then the remaining rows-only
+    # multimodal/ANN/BPE/packing lanes (driver runs no_oracle entries
+    # as rows-only checks — proven by r7's s3/st9/mm2); then the
+    # never-attested function batteries, window/quality/funnel blocks,
+    # passage/semantic dedup, the UDAF surface, and q16.
+    "er3_indel_complete_matches",
+    "er4_match_stats",
+    "q16_not_in_subquery",
+    "f9_scalar_battery",
+    "f12_try_ops_battery",
+    "f13_string_battery",
+    "f14_datetime_battery",
+    "f15_conditional_battery",
+    "f16_bitwise_battery",
+    "f17_map_battery",
+    "f18_variant_extract",
+    "w6_moving_avg",
+    "w9_running_distinct",
+    "w15_rolling_zscore",
+    "dq5_quarantine_routing",
+    "dq9_outlier_audit",
+    "dq12_skew_profile",
+    "dq13_join_cardinality",
+    "dq17_monotonicity_audit",
+    "fun1_funnel",
+    "fun2_retention",
+    "fun4_reach_curve",
+    "d9_duplicate_passages",
+    "d10_semdedup",
+    "ap3_trimmed_mean_udaf",
+    # rows-only lanes (no_oracle; driver records execution + row count)
+    "mm1_media_features",
+    "mm3_resize_images",
+    "mm4_modality_dispatch",
+    "mm5_audio_features",
+    "mm6_video_meta",
+    "mm7_image_dhash_groups",
+    "s5_ivf_ann_topk",
+    "t17_bpe_merges",
+    "t18_bpe_encode",
+    "pipe5_tokenized_packing",
 )
 
 

@@ -17,12 +17,25 @@ from pyspark.sql import functions as F
 
 
 def json_envelope(
-    df: DataFrame, limit: int | None = None, allow_full_collect: bool = False
+    df: DataFrame,
+    limit: int | None = None,
+    allow_full_collect: bool = False,
+    order_by: str | list[str] | None = None,
 ) -> str:
     """``{total_count, records}`` envelope. total_count is computed
     distributed; only ``limit`` records are collected (the reference
     caps interactive results at LIMIT 150,
     sql/ddl_create_tables.sql:36).
+
+    ``order_by`` sorts before the limit so a truncated envelope is a
+    DETERMINISTIC prefix — mirroring the reference, whose interactive
+    queries carry ORDER BY s_no (sql/ddl_create_tables.sql:71-72).
+    Without it, ``df.limit(n)`` on a larger result returns an
+    arbitrary, run-to-run varying subset. One documented divergence
+    from the reference remains: its lambda paginates the FULL result
+    (lambda_function.py:98) so total_count == len(records) there,
+    while here total_count counts all rows and records is the capped
+    prefix.
 
     This is the one deliberate ``.collect()`` in the codebase — an
     API-parity endpoint for bounded interactive results, not a query
@@ -37,7 +50,11 @@ def json_envelope(
             "or explicitly opt in with allow_full_collect=True"
         )
     total = df.count()
-    rows = (df.limit(limit) if limit is not None else df).toJSON().collect()
+    out = df
+    if order_by is not None:
+        cols = [order_by] if isinstance(order_by, str) else list(order_by)
+        out = out.orderBy(*cols)
+    rows = (out.limit(limit) if limit is not None else out).toJSON().collect()
     return json.dumps({"total_count": total, "records": [json.loads(r) for r in rows]})
 
 

@@ -271,3 +271,59 @@ def test_er2_candidate_budget_stays_linear(spark):
     # stay under ~2.5x the sf0.01 per-row rate (measured 6.0 -> 12.7),
     # i.e. nowhere near er1's 10x per-row quadratic step.
     assert per_row[SF_BIG] <= 2.5 * per_row["/root/testdata/sf0.01"]
+
+
+def test_er3_plan_result_carries_cache_handle(spark, sf_oracle):
+    """ADVICE r7: the registered er3 plan's final .select() used to
+    sever the _graft_caches attribute, leaking the four persisted lane
+    frames per invocation. The plan result must expose them so
+    dedup.release_caches(result) actually unpersists."""
+    from aws_csp_datapipeline_spark.functions.dedup import release_caches
+    from aws_csp_datapipeline_spark.plans.q_linkage import (
+        er3_indel_complete_matches,
+    )
+
+    out = er3_indel_complete_matches(spark, sf_oracle)
+    caches = getattr(out, "_graft_caches", ())
+    assert len(caches) > 0, "plan result lost the cache handoff"
+    out.count()  # materialize (populates the persisted lanes)
+    release_caches(out)
+    for cached in caches:
+        assert not cached.is_cached, "release_caches left a lane persisted"
+
+
+def test_er4_stats_equal_full_ground_truth_at_sf01(spark):
+    """er4's counts vs the unlimited quadratic join's aggregate at
+    sf0.1 (the oracle pairing covers sf0.01; this pins the larger
+    corpus where blocks overflow the cap and the split lanes engage)."""
+    from aws_csp_datapipeline_spark.functions.dedup import release_caches
+    from aws_csp_datapipeline_spark.plans.q_linkage import er4_match_stats
+
+    c = load_table(spark, SF_BIG, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    truth = (
+        a.join(
+            b,
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+            & (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
+            & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+        )
+        .withColumn("dist", F.levenshtein("a_c_name", "b_c_name", 2))
+        .filter(F.col("dist").between(0, 2))
+        .groupBy(F.col("a_c_nationkey").alias("nationkey"),
+                 F.col("a_c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).alias("pairs_d0"),
+            F.sum(F.when(F.col("dist") == 1, 1).otherwise(0)).alias("pairs_d1"),
+            F.sum(F.when(F.col("dist") == 2, 1).otherwise(0)).alias("pairs_d2"),
+            F.count(F.lit(1)).alias("pairs_total"),
+        )
+    )
+    got = er4_match_stats(spark, SF_BIG)
+    t = {tuple(r) for r in truth.collect()}
+    g = {tuple(r) for r in got.collect()}
+    release_caches(got)
+    assert g == t

@@ -12,8 +12,11 @@ SPECS = [s for s in registry.specs() if s.oracle is not None]
 
 @pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
 def test_oracle_match(spark, sf_oracle, spec):
+    from aws_csp_datapipeline_spark.functions.dedup import release_caches
+
     df = spec.fn(spark, sf_oracle)
     compare(df, spec.oracle, sf_oracle)
+    release_caches(df)  # don't accumulate persisted lanes across 240+ cases
 
 
 def test_entry_smoke(spark, sf_smoke):
@@ -24,6 +27,10 @@ def test_entry_smoke(spark, sf_smoke):
 
 
 def test_rows_only_queries_run(spark, sf_smoke):
+    from aws_csp_datapipeline_spark.functions.dedup import release_caches
+
     for s in registry.specs():
         if s.oracle is None:
-            assert s.fn(spark, sf_smoke).count() >= 0, s.name
+            df = s.fn(spark, sf_smoke)
+            assert df.count() >= 0, s.name
+            release_caches(df)

@@ -59,6 +59,19 @@ def test_json_envelope(spark, sf_smoke):
     assert env0["total_count"] == 3 and env0["records"] == []
 
 
+def test_json_envelope_ordered_prefix_deterministic(spark, sf_smoke):
+    """ADVICE r7: a truncated envelope with order_by is the
+    deterministic ordered prefix (the reference's LIMIT 150 queries
+    carry ORDER BY s_no), while total_count still counts all rows."""
+    nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
+    env = json.loads(json_envelope(nation, limit=5, order_by="n_nationkey"))
+    assert env["total_count"] == 25
+    assert [r["n_nationkey"] for r in env["records"]] == [0, 1, 2, 3, 4]
+    # identical across runs
+    env2 = json.loads(json_envelope(nation, limit=5, order_by="n_nationkey"))
+    assert env == env2
+
+
 def test_json_envelope_guards_full_collect(spark, sf_smoke):
     nation = spark.read.parquet(f"{sf_smoke}/nation.parquet")
     with pytest.raises(ValueError, match="allow_full_collect"):

@@ -68,7 +68,11 @@ def main() -> int:
     bad = 0
     for name in names:
         try:
-            rows = sorted(map(tuple, qs[name](spark, args.sf_dir).collect()), key=str)
+            df = qs[name](spark, args.sf_dir)
+            rows = sorted(map(tuple, df.collect()), key=str)
+            from aws_csp_datapipeline_spark.functions.dedup import release_caches
+
+            release_caches(df)  # free any operator-persisted lane frames
         except Exception as exc:  # a query that cannot run is a failure
             bad += 1
             print(f"{name}: ERROR {type(exc).__name__}: {str(exc)[:200]}")
