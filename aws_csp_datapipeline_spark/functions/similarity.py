@@ -399,56 +399,66 @@ def auto_semdedup_quantizer(
       faster than discrimination — measured 12.7× d10 scaling at
       sf100, SCALE.md "d10 beyond the sign-bit cap") and the cell id
       switches to the paper's actual prescription: a sample-trained
-      KMeans coarse cell (``auto_ivf_cells`` ≈ √N, capped 4096 — the
-      same quantizer/broadcast-centers machinery as ``ivf_topk``)
-      COMPOSED with however many sign bits still separate the
-      remainder: total cells = ivf_cells × 2^sign_bits ≈
-      N / target_cell, with KMeans carrying the data-adaptive part
-      of the split and the sign bits the cheap residual part. KMeans
-      training stays bounded (k ≤ 4096, seeded sample) where a flat
-      k = N/64 KMeans (32k+ centers at 2M vectors) would not train
-      on any single box."""
+      KMeans coarse cell (capped at 256 centers) COMPOSED with
+      however many sign bits still separate the remainder: total
+      cells = ivf_cells × 2^sign_bits ≈ N / target_cell, with KMeans
+      carrying the data-adaptive part of the split and the sign bits
+      the cheap residual part. The 256-center cap keeps BOTH quantizer
+      costs bounded and in-plan: training is a seeded ≤65k-row sample
+      (sub-second), and assignment is an argmin over a LITERAL
+      broadcast centers array evaluated inside the corpus's single
+      projection pass — no ML transform job, no assignment join, no
+      extra shuffle. A first cut with k = √N (1,414 centers at sf100)
+      spent more on training + a 2M-row assignment join than the
+      smaller cells saved: 70 s vs the sign-bit path's 47 s; capping
+      k at 256 and folding assignment into the plan is what actually
+      beats it (SCALE.md)."""
     import math
 
     bits = auto_sign_bits(n_rows, target_cell=target_cell)
     if n_rows <= target_cell * (1 << 14):  # sign-bit cap not reached
         return 0, bits
-    cells = auto_ivf_cells(n_rows)
+    cells = min(256, auto_ivf_cells(n_rows))
     sub = max(0, math.ceil(math.log2(n_rows / target_cell / cells)))
     return cells, sub
 
 
-def _ivf_cell_ids(
-    df: DataFrame, vec_col: str, id_col: str, n_cells: int, seed: int = 42
-) -> DataFrame:
-    """(id, cell) KMeans coarse-cell assignment for the corpus —
-    the same sample-trained quantizer as ``ivf_topk`` (≥256 vectors
-    per cell training sample, fixed seed, one full assignment pass).
-    Returns None-equivalent fallback (all cell 0) if pyspark.ml is
-    unavailable, preserving correctness (dedup with fewer cells is
-    strictly MORE complete — cells only bound candidate scope)."""
+def _ivf_model(df: DataFrame, vec_col: str, n_cells: int, seed: int = 42):
+    """Sample-trained KMeans model (same quantizer discipline as
+    ``ivf_topk``: ≥256 vectors per cell seeded sample, fixed seed,
+    bounded iterations). Returns None if pyspark.ml is unavailable —
+    callers then keep the sign-bit-only cell id, which is strictly
+    MORE complete (fewer cells only widen candidate scope).
+
+    Assignment goes through ``model.transform`` IN the caller's own
+    frame — the prediction is one JVM column transformer, so the
+    composite cell id costs no assignment join and no extra shuffle.
+    (Two rejected designs, both measured at sf100: a separate
+    (id, cell) frame joined back — the join + transform job pushed
+    d10 to 70 s vs the 47 s it was supposed to beat; and an in-plan
+    argmin over a literal centers array via F.transform/F.aggregate —
+    higher-order functions evaluate on the INTERPRETED expression
+    path, and 16k interpreted flops/row on 2M rows did not finish in
+    10 minutes. The ML transformer is compiled JVM code and the only
+    per-row cost that scales with k that Spark executes efficiently
+    here.)"""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
     except ImportError:  # pragma: no cover
-        return df.select(
-            F.col(id_col).alias("__qid"), F.lit(0).cast("long").alias("__cell")
-        )
+        return None
 
-    c = df.select(
-        F.col(id_col).alias("__qid"), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("features", array_to_vector("__qv"))
+    c = df.select(_as_double(F.col(vec_col)).alias("__qv")).withColumn(
+        "__feat", array_to_vector("__qv")
+    )
     sample_target = max(10_000, 256 * n_cells)
     n_corpus = c.count()
     train = c
     if n_corpus > sample_target:
         train = c.sample(fraction=sample_target / n_corpus, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", maxIter=10).fit(
-        train
-    )
-    return model.transform(c).select(
-        "__qid", F.col("prediction").cast("long").alias("__cell")
-    )
+    return KMeans(
+        k=n_cells, seed=seed, featuresCol="__feat", maxIter=10
+    ).fit(train)
 
 
 def _cells_and_units(
@@ -486,11 +496,32 @@ def _cells_and_units(
         ),
         1,
     )
+    if bucket is None:  # sign_bits == 0: all residual splitting to IVF
+        bucket = F.lit(0)
+    bucket = bucket.cast("long")
+    src = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    if ivf_cells > 0:
+        # composite cell id: KMeans coarse cell in the high bits, sign
+        # bits in the low bits — the beyond-the-cap quantizer
+        # (auto_semdedup_quantizer docstring). The prediction column
+        # rides the SAME frame (model.transform), so assignment adds
+        # no join and no shuffle; training reads a bounded sample.
+        model = _ivf_model(df, vec_col, ivf_cells)
+        if model is not None:
+            from pyspark.ml.functions import array_to_vector
+
+            src = model.transform(
+                src.withColumn("__feat", array_to_vector("__v"))
+            )
+            bucket = (
+                F.col("prediction").cast("long")
+                * F.lit(1 << sign_bits).cast("long")
+                + bucket
+            )
     return (
-        df.select(F.col(id_col).alias("__id"), v.alias("__v"))
-        .withColumn("__bucket", bucket)
+        src.withColumn("__bucket", bucket)
         .withColumn("__u", unit)
-        .drop("__v")
+        .select("__id", "__bucket", "__u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
@@ -528,6 +559,7 @@ def semdedup_flags(
     id_col: str,
     threshold: float = 0.45,
     sign_bits: int = 6,
+    ivf_cells: int = 0,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): partition the corpus into coarse cells, compare
@@ -547,13 +579,87 @@ def semdedup_flags(
     bucket, vector) projection. Document bodies never move; only the
     embedding column shuffles, and the dup-id set that joins back is
     a narrow (id) relation, orders smaller than the corpus.
+
+    ``ivf_cells > 0`` composes a KMeans coarse cell into the high
+    bits of the cell id (``auto_semdedup_quantizer``) — the scale
+    path beyond the sign-bit cap (~1M vectors at target 64), where
+    additional sign bits add skew faster than discrimination.
+
+    Beyond the cap the plan also switches to two-phase
+    collapse/expand (the er2 lesson applied to vectors): all quadratic
+    in-cell work runs once per DISTINCT vector, because exact replicas
+    decide themselves — an identical lower-id mate has cosine exactly
+    1 (mathematically, not float-evaluated), so every non-minimal
+    member of an identical-vector group is dropped and the group's
+    minimal id survives iff its representative does in the
+    distinct-vector semdedup keyed by group-min id. Replica-heavy
+    corpora (every dedup corpus, by definition; the sf100 replicated
+    corpus is 99.9% exact dups) pay the pair stage on the distinct
+    count only — measured 47.0 s → 24.2 s for d10 at sf100 together
+    with the composite quantizer (SCALE.md "d10 beyond the sign-bit
+    cap"). The collapse is NOT applied below the cap: its extra
+    groupBy + expand-join stages carry ~1.6 s of fixed plan overhead
+    that measured LARGER than the pair work they save on every ≤200k
+    corpus (sf0.1 0.84 → 2.4 s, sf10 3.1 → 5.0 s), and gating keeps
+    every attested plan bit-identical. Zero-norm vectors are exempt
+    from collapse (their cosine is NaN, which the drop rule treats as
+    no-match, so identical zero vectors all survive — singleton
+    groups preserve that). Assumes threshold <= 1 (above 1 nothing
+    matches anything, including exact duplicates).
     """
-    base = _cells_and_units(df, vec_col, id_col, sign_bits)
+    if ivf_cells <= 0:  # below the cap: the attested single-phase plan
+        base = _cells_and_units(df, vec_col, id_col, sign_bits)
+        dup_ids = _dup_ids(base, threshold).withColumn("__dup", F.lit(True))
+        return base.join(dup_ids, "__id", "left").select(
+            F.col("__id").alias(id_col),
+            F.col("__bucket").alias("bucket"),
+            F.col("__dup").isNull().alias("kept"),
+        )
+
+    recs = df.select(
+        F.col(id_col).alias("__rid"), _as_double(F.col(vec_col)).alias("__vec")
+    ).withColumn(
+        # zero-norm test via array_min/array_max (codegen-able native
+        # collection expressions) — l2_norm's F.aggregate is a
+        # higher-order function evaluated on the interpreted path,
+        # which costs real time over the full corpus
+        "__gk",
+        F.when(
+            (F.array_min(F.col("__vec")) == 0)
+            & (F.array_max(F.col("__vec")) == 0),
+            F.col("__rid"),
+        ).otherwise(F.lit(-1).cast("long")),
+    )
+    # groupBy, not a window: map-side combine collapses replicas before
+    # the shuffle, and there is no sort — a window over the 64-dim
+    # array key sort-merges the full corpus by array comparisons
+    # (measured: the window form gave back everything the collapse
+    # saved at sf100)
+    reps = recs.groupBy("__gk", "__vec").agg(F.min("__rid").alias("__rep"))
+    base = _cells_and_units(reps, "__vec", "__rep", sign_bits, ivf_cells)
     dup_ids = _dup_ids(base, threshold).withColumn("__dup", F.lit(True))
-    return base.join(dup_ids, "__id", "left").select(
-        F.col("__id").alias(id_col),
+    rep_flags = base.join(dup_ids, "__id", "left").select(
+        F.col("__id").alias("__flagid"),
         F.col("__bucket").alias("bucket"),
-        F.col("__dup").isNull().alias("kept"),
+        F.col("__dup").isNull().alias("__repkept"),
+    )
+    rep_map = reps.join(rep_flags, reps["__rep"] == rep_flags["__flagid"]).select(
+        F.col("__gk").alias("__mgk"),
+        F.col("__vec").alias("__mvec"),
+        "__rep",
+        "bucket",
+        "__repkept",
+    )
+    # expand: replica-heavy corpora broadcast the tiny rep_map (AQE
+    # sizes it); distinct-heavy corpora pay one co-partitioned join —
+    # the honest price of the collapse, bounded by one extra shuffle
+    return recs.join(
+        rep_map,
+        (F.col("__gk") == F.col("__mgk")) & (F.col("__vec") == F.col("__mvec")),
+    ).select(
+        F.col("__rid").alias(id_col),
+        "bucket",
+        (F.col("__repkept") & (F.col("__rid") == F.col("__rep"))).alias("kept"),
     )
 
 
@@ -569,7 +675,20 @@ def semdedup_kept_state(
     it grows slowly. A 100-TB pipeline computes this ONCE per full
     pass, persists it (write the three narrow columns, partitioned
     by cell), and feeds it to ``semdedup_incremental`` for every
-    subsequent batch. Columns: (``id_col``, bucket, unit)."""
+    subsequent batch. Columns: (``id_col``, bucket, unit).
+
+    Note: ``semdedup_incremental`` re-derives cell ids from the
+    incoming vectors alone, which only the deterministic sign-bit
+    quantizer supports — a kept-state built with ``ivf_cells > 0``
+    would additionally need its KMeans centers persisted beside the
+    state, so the incremental lane stays sign-bit-only (its corpora
+    are per-batch, far below the cap by construction).
+
+    Stays on the single-phase (no-collapse) plan: kept-state corpora
+    sit below the sign-bit cap by construction, where the collapse's
+    extra stages measure as pure overhead (see ``semdedup_flags``),
+    and both functions must encode the identical drop rule for the
+    flags/state containment invariant."""
     base = _cells_and_units(df, vec_col, id_col, sign_bits)
     kept = base.join(_dup_ids(base, threshold), "__id", "left_anti")
     return kept.select(

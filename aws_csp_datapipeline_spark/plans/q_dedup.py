@@ -306,25 +306,33 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise prune out of a count over the multiplicity-preserving
     flags form.
 
-    Cell count follows ``auto_sign_bits`` (the paper's k ∝ N rule):
-    6 bits — bit-identical to the fixed-bits oracle below — at every
-    corpus up to 4,096 vectors, which covers the attested sf0.01
-    (200) and sf0.1 (2,000) corpora; from 4,097 the bits grow one
-    per corpus doubling to hold expected cell size at ~64, and the
-    oracle (hard-coded v[1..6] buckets) is NOT valid there — do not
-    oracle-compare d10 on larger corpora (SCALE.md "d10 cell-count
-    scale rule" has the measured sf10 effect)."""
+    Cell count follows ``auto_semdedup_quantizer`` (the paper's
+    k ∝ N rule): 6 sign bits — bit-identical to the fixed-bits oracle
+    below — at every corpus up to 4,096 vectors, which covers the
+    attested sf0.01 (200) and sf0.1 (2,000) corpora; from 4,097 the
+    bits grow one per corpus doubling to hold expected cell size at
+    ~64, and the oracle (hard-coded v[1..6] buckets) is NOT valid
+    there — do not oracle-compare d10 on larger corpora (SCALE.md
+    "d10 cell-count scale rule" has the measured sf10 effect). Past
+    the 14-bit sign cap (~1M vectors) the cell id composes a KMeans
+    coarse cell with residual sign bits (SCALE.md "d10 beyond the
+    sign-bit cap")."""
     from pyspark.sql import functions as F
 
     from aws_csp_datapipeline_spark.functions import similarity as S
 
     e = load_table(spark, sf_dir, "embeddings")
+    # quantizer scales with the corpus: pure sign bits up to the
+    # 14-bit cap (~1M vectors; bit-identical to every attested plan),
+    # KMeans-composed cells beyond it (auto_semdedup_quantizer)
+    ivf_cells, sign_bits = S.auto_semdedup_quantizer(e.count())
     flags = S.semdedup_flags(
         e,
         "embedding",
         "vec_id",
         threshold=0.45,
-        sign_bits=S.auto_sign_bits(e.count()),
+        sign_bits=sign_bits,
+        ivf_cells=ivf_cells,
     )
     return flags.filter(F.col("kept")).select("vec_id", "bucket")
 

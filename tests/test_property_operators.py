@@ -654,3 +654,66 @@ def test_lsh_equals_exact_on_generated_corpora(spark):
         }
         assert lsh == exact, f"seed {seed}: {lsh ^ exact}"
         assert exact  # planted dups must actually produce pairs
+
+
+def test_auto_semdedup_quantizer_selection():
+    """Quantizer selection (SCALE.md "d10 beyond the sign-bit cap"):
+    pure sign bits — identical to auto_sign_bits — up to exactly
+    64 * 2^14 = 1,048,576 vectors (covers every attested corpus),
+    KMeans-composed cells beyond, with total cells tracking N/64."""
+    from aws_csp_datapipeline_spark.functions.similarity import (
+        auto_ivf_cells,
+        auto_semdedup_quantizer,
+        auto_sign_bits,
+    )
+
+    for n in (200, 2_000, 4_096, 4_097, 200_000, 1_048_576):
+        assert auto_semdedup_quantizer(n) == (0, auto_sign_bits(n))
+    for n in (1_048_577, 2_000_000, 20_000_000):
+        cells, sub = auto_semdedup_quantizer(n)
+        assert cells == min(256, auto_ivf_cells(n)) and cells > 0
+        total = cells * (1 << sub)
+        # cells track the target population within the 2x rounding of
+        # the power-of-two sub-split
+        assert n / 64 <= total <= 2 * (n / 64) * 2
+
+
+def test_semdedup_ivf_cells_flags_are_valid_and_deterministic(spark, sf_smoke):
+    """The composite-quantizer path is a VALID semdedup output: with
+    the returned buckets as ground truth, a vector is dropped iff a
+    lower-id cell-mate sits within the threshold — and the whole
+    assignment is deterministic across runs (seeded KMeans sample +
+    fixed seed)."""
+    import math
+
+    from aws_csp_datapipeline_spark.functions.similarity import semdedup_flags
+
+    e = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    kw = dict(threshold=0.45, sign_bits=2, ivf_cells=4)
+    rows = semdedup_flags(e, "embedding", "vec_id", **kw).collect()
+    assert len(rows) == e.count()
+    again = semdedup_flags(e, "embedding", "vec_id", **kw).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # composite id arithmetic: bucket in [0, ivf_cells * 2^sign_bits)
+    assert all(0 <= r["bucket"] < 4 * (1 << 2) for r in rows)
+
+    vec = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in e.select("vec_id", "embedding").collect()
+    }
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["vec_id"])
+    for r in rows:
+        mates = [
+            i for i in by_bucket[r["bucket"]]
+            if i < r["vec_id"] and cos(vec[i], vec[r["vec_id"]]) >= 0.45
+        ]
+        assert r["kept"] == (not mates), (r["vec_id"], r["kept"], mates[:3])
