@@ -341,21 +341,6 @@ def _shifted_candidate_name_pairs(
     name = F.col(name_col)
     ln = F.length(name)
     sstart = F.greatest(F.lit(1), ln - 8)  # suffix abs start (1-based)
-    s = F.substring(name, sstart, F.lit(9))
-
-    def abs_sub(offset: int, width: int):
-        # substring of NAME at suffix-coord `offset` (1-based within
-        # the 9-char suffix window); shifted windows clamp at 1
-        return F.substring(
-            name, F.greatest(F.lit(1), sstart + offset - 1), F.lit(width)
-        )
-
-    def key(*parts):
-        return F.concat_ws(
-            _SEP,
-            *[F.col(b).cast("string") for b in block_cols],
-            *[F.lit(p) if isinstance(p, str) else p for p in parts],
-        )
 
     # complement parts per t: (s-coord start, width); seam-free by
     # construction (t=1 splits per region)
@@ -364,22 +349,43 @@ def _shifted_candidate_name_pairs(
         1: [(1, 2), (3, 1), (7, 2), (9, 1)],
         2: [(1, 2), (3, 2), (5, 2)],
     }
+    # SQL-text twins of the lane expressions: the level-1 lane arrays
+    # (3 index + ~31 probe structs, each a concat_ws over block cols +
+    # substrings) built Column-by-Column cost ~1.5 s of py4j BUILD
+    # chatter per invocation; one generated SQL string parses JVM-side
+    # into the identical tree (same fix as the split2/split3 variant
+    # arrays below — SCALE.md "er3 build cost").
+    _nm = f"`{name_col}`"
+    _blocks_sql = ", ".join(f"cast(`{b}` as string)" for b in block_cols)
+    _ln_sql = f"length({_nm})"
+    _sstart_sql = f"greatest(1, {_ln_sql} - 8)"
+    _s_sql = f"substring({_nm}, {_sstart_sql}, 9)"
+
+    def _abs_sub_sql(offset: int, width: int) -> str:
+        return (
+            f"substring({_nm}, greatest(1, {_sstart_sql} + {offset - 1}),"
+            f" {width})"
+        )
+
+    def _key_sql(*parts: str) -> str:
+        return f"concat_ws(chr(31), {_blocks_sql}, {', '.join(parts)})"
+
+    def _lane_sql(k1: str, t: int, dl: int) -> str:
+        return f"named_struct('k1', {k1}, 't', {t}, 'dl', {dl})"
+
     # short lane: both roles, one key per block (never split)
-    short = F.when(
-        ln <= 14,
-        F.array(
-            F.struct(
-                key("S").alias("k1"), F.lit(-1).alias("t"), F.lit(0).alias("dl")
-            )
-        ),
+    _short_sql = (
+        f"case when {_ln_sql} <= 14 then "
+        f"array({_lane_sql(_key_sql(chr(39) + 'S' + chr(39)), -1, 0)}) end"
     )
 
-    def laned(lanes) -> DataFrame:
+    def laned(lane_sqls: list[str]) -> DataFrame:
         # distinct: shifted probes often re-extract identical content
         # (e.g. inside digit runs) — identical keys add join rows, not
         # recall
-        arr = F.array_distinct(
-            F.concat(F.array(*lanes), F.coalesce(short, F.array()))
+        arr = F.expr(
+            f"array_distinct(concat(array({', '.join(lane_sqls)}), "
+            f"coalesce({_short_sql}, array())))"
         )
         return names.select(
             *block_cols, name_col, F.explode(arr).alias("l")
@@ -420,24 +426,26 @@ def _shifted_candidate_name_pairs(
         return (0,) if end_coord == 9 else RHO[delta]
 
     idx_lanes = [
-        F.struct(
-            key(ln.cast("string"), str(t), F.substring(s, 3 * t + 1, 3)).alias(
-                "k1"
+        _lane_sql(
+            _key_sql(
+                f"cast({_ln_sql} as string)",
+                f"'{t}'",
+                f"substring({_s_sql}, {3 * t + 1}, 3)",
             ),
-            F.lit(t).alias("t"),
-            F.lit(0).alias("dl"),
+            t,
+            0,
         )
         for t in range(3)
     ]
     prb_lanes = [
-        F.struct(
-            key(
-                (ln - F.lit(delta)).cast("string"),
-                str(t),
-                abs_sub(3 * t + 1 - rho, 3),
-            ).alias("k1"),
-            F.lit(t).alias("t"),
-            F.lit(delta).alias("dl"),
+        _lane_sql(
+            _key_sql(
+                f"cast(({_ln_sql} - {delta}) as string)",
+                f"'{t}'",
+                _abs_sub_sql(3 * t + 1 - rho, 3),
+            ),
+            t,
+            delta,
         )
         for t in range(3)
         for delta in range(-2, 3)
@@ -510,15 +518,17 @@ def _shifted_candidate_name_pairs(
                             variants.append((t, pi, a, w, delta, rho))
                 else:
                     variants.append((t, pi, a, w, 0, 0))
-        lit = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("vt"), F.lit(pi).alias("vpi"),
-                    F.lit(a).alias("va"), F.lit(w).alias("vw"),
-                    F.lit(d).alias("vd"), F.lit(r).alias("vr"),
-                )
+        # one F.expr per array: building hundreds of literal structs
+        # through individual Column calls costs ~100 py4j round-trips
+        # per struct — measured 8-12 s of pure DataFrame BUILD time
+        # per er3 invocation; a single SQL text parses JVM-side into
+        # the identical tree (SCALE.md "er3 build cost")
+        lit = F.expr(
+            "array(" + ",".join(
+                f"named_struct('vt',{t},'vpi',{pi},'va',{a},"
+                f"'vw',{w},'vd',{d},'vr',{r})"
                 for (t, pi, a, w, d, r) in variants
-            ]
+            ) + ")"
         )
         row_match = (
             (lambda x: (x["vt"] == F.col("t")) & (x["vd"] == F.col("dl")))
@@ -582,15 +592,13 @@ def _shifted_candidate_name_pairs(
                                 variants.append((t, pi, c, delta, rho))
                     else:
                         variants.append((t, pi, c, 0, 0))
-        lit = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("vt"), F.lit(pi).alias("vpi"),
-                    F.lit(c).alias("vc"), F.lit(d).alias("vd"),
-                    F.lit(r).alias("vr"),
-                )
+        # single-F.expr literal array — same py4j-chatter fix as split2
+        lit = F.expr(
+            "array(" + ",".join(
+                f"named_struct('vt',{t},'vpi',{pi},'vc',{c},"
+                f"'vd',{d},'vr',{r})"
                 for (t, pi, c, d, r) in variants
-            ]
+            ) + ")"
         )
         row_match = (
             (

@@ -95,11 +95,15 @@ HEADLINE = [
     # scale-safe ER variant replaces the excluded quadratic er1.
     "pipe6_train_ready",
     "er2_scale_safe_matches",
-    # er3_indel_complete_matches is registry-only: its wall-clock is
-    # dominated by a ~10 s plan/codegen overhead of the 3-level
-    # shifted-probe DAG (measured flat from a 150-row corpus to
-    # sf10), which would inflate the headline without measuring data
-    # cost; SCALE.md "er3" records its per-scale numbers.
+    # round-8 addition: er3 entered the headline after its ~10 s flat
+    # overhead was traced to py4j DataFrame-BUILD chatter (hundreds of
+    # literal structs built one Column call at a time) and fixed with
+    # generated-SQL twins of the lane arrays — cold at sf0.1 dropped
+    # 13.2 s -> 6.4 s, now data-dominated (SCALE.md "er3 build cost").
+    "er3_indel_complete_matches",
+    # er4_match_stats (the count-only governance form) stays out: the
+    # headline already times the same lane machinery twice via
+    # er2 + er3; er4's scale story is the sf100 spot record instead.
 ]
 
 
