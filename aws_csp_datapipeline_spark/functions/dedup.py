@@ -376,6 +376,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     n: int = 3,
     est_prefilter: float | str | None = "auto",
+    banding: str = "default",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
 
@@ -405,7 +406,20 @@ def minhash_lsh_pairs(
     equality to the exact pair set on a given corpus is a fixed fact
     checked by the oracle gate, not a per-run coin flip. Pass an
     explicit float for a manual cut, or ``None`` to disable (pure
-    exact verify on every banding candidate)."""
+    exact verify on every banding candidate).
+
+    ``banding``: ``"default"`` keeps the passed (k, bands);
+    ``"half-cost"`` overrides to (k=30, bands=10) — r=3 rows per
+    band, measured 2× cheaper at sf10 with zero pair loss on
+    boundary-SPARSE corpora (SCALE.md "d3 banding-r tradeoff"). The
+    boundary bound is weaker (P(candidate | J=threshold) drops from
+    1−8e-8 to 1−7.7e-4 at 0.8), so this is an explicit opt-in;
+    ``banding_recommendation`` over a verified pair set computes
+    whether a corpus's dup distribution makes the downgrade safe."""
+    if banding == "half-cost":
+        k, bands = 30, 10
+    elif banding != "default":
+        raise ValueError(f"banding must be 'default' or 'half-cost': {banding}")
     if est_prefilter == "auto":
         est_prefilter = max(0.0, threshold - 0.3)
     r = k // bands
@@ -494,6 +508,50 @@ def minhash_lsh_pairs(
     # (see that helper's docstring). Attached, not leaked.
     out._graft_caches = [sh] + ([sig] if est_prefilter is not None else [])
     return out
+
+
+def banding_recommendation(
+    pairs: DataFrame,
+    jaccard_col: str = "jaccard",
+    r: int = 3,
+    bands: int = 10,
+    miss_budget: float = 0.5,
+) -> DataFrame:
+    """Is the half-cost banding lane safe for THIS corpus? Takes a
+    VERIFIED near-dup pair set (e.g. ``minhash_lsh_pairs`` output,
+    whose r=2 recall at the threshold is 1−8e-8 — effectively ground
+    truth) and computes the EXPECTED number of true pairs the
+    (r, bands) downgrade would fail to band together:
+    E[misses] = Σ over pairs (1 − J^r)^bands — each true pair
+    becomes a candidate with probability 1−(1−J^r)^b, independent
+    per pair under the hash family. One aggregate row:
+    (n_pairs, n_boundary [J < 0.9, where the miss term is
+    non-negligible], expected_misses, recommended_banding).
+
+    The recommendation is 'half-cost' only when E[misses] <
+    ``miss_budget`` (default 0.5 — less than one expected lost pair
+    on the whole corpus); a boundary-DENSE corpus accumulates
+    per-pair miss mass and keeps 'default'. Governance workflow: run
+    once per corpus in the profiling pass (tools/corpus_report.py
+    has this as a section), then configure the recurring pipeline's
+    ``banding=`` accordingly."""
+    j = F.col(jaccard_col).cast("double")
+    miss = F.pow(F.lit(1.0) - F.pow(j, F.lit(float(r))), F.lit(float(bands)))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(j < 0.9, 1).otherwise(0)).cast("long").alias("n_boundary"),
+        F.round(F.sum(miss), 6).alias("expected_misses"),
+    ).select(
+        "n_pairs",
+        "n_boundary",
+        "expected_misses",
+        F.when(
+            F.coalesce(F.col("expected_misses"), F.lit(0.0)) < miss_budget,
+            F.lit("half-cost"),
+        )
+        .otherwise(F.lit("default"))
+        .alias("recommended_banding"),
+    )
 
 
 def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
