@@ -134,8 +134,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(FLOOR(p_retailprice) AS INT)               AS price_int,
            ROUND(p_retailprice / 10.0, 2)                  AS price_tenth,
            ABS(p_size - 25)                                AS dist25,
-           GREATEST(p_size, 10)                            AS floor10,
-           LEAST(p_size, 40)                               AS cap40
+           CAST(GREATEST(p_size, 10) AS INTEGER)           AS floor10,
+           CAST(LEAST(p_size, 40) AS INTEGER)              AS cap40
     FROM part
     """,
 )

@@ -551,7 +551,7 @@ def f15_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_orderkey & 255 AS low_byte,
            o_orderkey | 1 AS set_low,
            xor(o_orderkey, o_custkey) AS key_xor,
-           bit_count(CAST(o_orderkey AS BIGINT)) AS pop_count,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS pop_count,
            o_orderkey << 2 AS shl2,
            o_orderkey >> 3 AS shr3
     FROM orders WHERE o_orderkey < 4000

@@ -269,7 +269,7 @@ def f11_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            bool_and(o_totalprice > 1000)   AS all_over_1k,
            bool_or(o_totalprice > 450000)  AS any_over_450k,
-           count_if(o_orderstatus = 'F')   AS n_finished
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished
     FROM orders GROUP BY o_orderpriority
     """,
 )

@@ -58,7 +58,8 @@ def w12_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH binned AS (
       SELECT o_totalprice,
-             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS INTEGER) AS decile
       FROM orders
     )
     SELECT decile, COUNT(*) AS n,
@@ -148,8 +149,8 @@ def fun3_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.event_type, s.n,
            ROUND(s.lo_bound, 4) AS lo,
            ROUND(s.hi_bound, 4) AS hi,
-           SUM(CASE WHEN e.value < s.lo_bound OR e.value > s.hi_bound
-                    THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN e.value < s.lo_bound OR e.value > s.hi_bound
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM events e JOIN stats s USING (event_type)
     GROUP BY s.event_type, s.n, s.lo_bound, s.hi_bound
     """,
@@ -504,8 +505,8 @@ def w13_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT COALESCE(l_returnflag, '<all>') AS flag,
            COALESCE(l_linestatus, '<all>') AS status,
-           GROUPING(l_returnflag) AS g_flag,
-           GROUPING(l_linestatus) AS g_status,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -520,8 +521,8 @@ def g5_grouping_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # grouping() must be computed inside the rollup aggregate itself
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").alias("g_flag"),
-        F.grouping("l_linestatus").alias("g_status"),
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
         F.count(F.lit(1)).alias("n"),
     ).select(
         F.coalesce("l_returnflag", F.lit("<all>")).alias("flag"),

@@ -192,8 +192,8 @@ _REDUNDANCY_SQL = f"""
     ),
     grp AS (SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc)
     SELECT d.source, COUNT(*) AS n_docs,
-           SUM(CASE WHEN g.doc IS NOT NULL AND g.group_id <> d.doc_id
-                    THEN 1 ELSE 0 END) AS n_redundant,
+           CAST(SUM(CASE WHEN g.doc IS NOT NULL AND g.group_id <> d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
            ROUND(SUM(CASE WHEN g.doc IS NOT NULL AND g.group_id <> d.doc_id
                           THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
              AS redundancy_rate
@@ -270,12 +270,12 @@ def d9_duplicate_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_SQL = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     b AS (SELECT vec_id, v,
-            (CASE WHEN v[1] > 0 THEN 32 ELSE 0 END
-           + CASE WHEN v[2] > 0 THEN 16 ELSE 0 END
-           + CASE WHEN v[3] > 0 THEN 8 ELSE 0 END
-           + CASE WHEN v[4] > 0 THEN 4 ELSE 0 END
-           + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
-           + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END) AS bucket
+            CAST(CASE WHEN v[1] > 0 THEN 32 ELSE 0 END
+               + CASE WHEN v[2] > 0 THEN 16 ELSE 0 END
+               + CASE WHEN v[3] > 0 THEN 8 ELSE 0 END
+               + CASE WHEN v[4] > 0 THEN 4 ELSE 0 END
+               + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
+               + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
           FROM e)
     SELECT x.vec_id, x.bucket
     FROM b x
@@ -340,12 +340,12 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INC_SEMDEDUP_SQL = """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     b AS (SELECT vec_id, v,
-            (CASE WHEN v[1] > 0 THEN 32 ELSE 0 END
-           + CASE WHEN v[2] > 0 THEN 16 ELSE 0 END
-           + CASE WHEN v[3] > 0 THEN 8 ELSE 0 END
-           + CASE WHEN v[4] > 0 THEN 4 ELSE 0 END
-           + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
-           + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END) AS bucket
+            CAST(CASE WHEN v[1] > 0 THEN 32 ELSE 0 END
+               + CASE WHEN v[2] > 0 THEN 16 ELSE 0 END
+               + CASE WHEN v[3] > 0 THEN 8 ELSE 0 END
+               + CASE WHEN v[4] > 0 THEN 4 ELSE 0 END
+               + CASE WHEN v[5] > 0 THEN 2 ELSE 0 END
+               + CASE WHEN v[6] > 0 THEN 1 ELSE 0 END AS BIGINT) AS bucket
           FROM e),
     existing AS (SELECT * FROM b WHERE vec_id < 250),
     kept AS (

@@ -33,7 +33,7 @@ from aws_csp_datapipeline_spark.plans.registry import register
     )
     SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
            a.c_name AS name_a, b.c_name AS name_b,
-           levenshtein(a.c_name, b.c_name) AS dist
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
     FROM c a JOIN c b
       ON a.c_nationkey = b.c_nationkey
      AND a.c_mktsegment = b.c_mktsegment
@@ -146,7 +146,7 @@ _ER2_SQL = f"""
       SELECT DISTINCT na, nb,
              split_part(fk, chr(31), 1) AS bk_nation,
              split_part(fk, chr(31), 2) AS bk_segment,
-             levenshtein(na, nb) AS dist
+             CAST(levenshtein(na, nb) AS INTEGER) AS dist
       FROM npairs
       WHERE levenshtein(na, nb) <= 2
     ),
@@ -240,7 +240,7 @@ _ER3_SQL = """
     )
     SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
            a.c_name AS name_a, b.c_name AS name_b,
-           levenshtein(a.c_name, b.c_name) AS dist
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
     FROM c a JOIN c b
       ON a.c_nationkey = b.c_nationkey
      AND a.c_mktsegment = b.c_mktsegment

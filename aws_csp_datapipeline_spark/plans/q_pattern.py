@@ -66,7 +66,7 @@ def pm1_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.groupBy("user_id")
-        .agg(F.regexp_count(path, F.lit(FUNNEL)).alias("n_hits"))
+        .agg(F.regexp_count(path, F.lit(FUNNEL)).cast("long").alias("n_hits"))
         .filter(F.col("n_hits") > 0)
     )
 

@@ -243,7 +243,7 @@ def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
       GROUP BY 1, 2
     )
-    SELECT o_orderpriority, mon, SUM(n) AS n_orders,
+    SELECT o_orderpriority, mon, CAST(SUM(n) AS BIGINT) AS n_orders,
            ROUND(SUM(s), 2) AS total_price,
            ROUND(SUM(s) / SUM(n), 4) AS avg_price
     FROM parts GROUP BY o_orderpriority, mon
@@ -662,11 +662,11 @@ def dq12_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH lo AS (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY 1),
     rc AS (SELECT c_custkey AS key, COUNT(*) AS cnt FROM customer GROUP BY 1)
-    SELECT CAST(SUM(CAST(lo.cnt AS DECIMAL(38,0)) * rc.cnt) AS DECIMAL(38,0))
-             AS est_join_rows,
+    SELECT CAST(CAST(SUM(CAST(lo.cnt AS DECIMAL(38,0)) * rc.cnt)
+                     AS DECIMAL(38,0)) AS VARCHAR) AS est_join_rows,
            CAST(COUNT(*) AS BIGINT) AS matching_keys,
-           CAST(MAX(CAST(lo.cnt AS DECIMAL(38,0)) * rc.cnt) AS DECIMAL(38,0))
-             AS max_key_fanout
+           CAST(CAST(MAX(CAST(lo.cnt AS DECIMAL(38,0)) * rc.cnt)
+                     AS DECIMAL(38,0)) AS VARCHAR) AS max_key_fanout
     FROM lo JOIN rc USING (key)
     """,
 )
@@ -692,10 +692,15 @@ def dq13_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt_r")
     )
     prod = F.col("cnt_l").cast("decimal(38,0)") * F.col("cnt_r")
+    # the sum/max stay DECIMAL(38,0) internally (the whole point is
+    # out-ranging the int64 blow-up regime) but are emitted as STRINGS
+    # on BOTH sides: the driver's value hash is result-type sensitive
+    # and r8 proved DECIMAL(38,0) fails it even with identical values
+    # (CORRECTNESS_r08 dq13; see tools/type_parity.py)
     return lo.join(rc, "key").agg(
-        F.sum(prod).cast("decimal(38,0)").alias("est_join_rows"),
+        F.sum(prod).cast("decimal(38,0)").cast("string").alias("est_join_rows"),
         F.count(F.lit(1)).cast("long").alias("matching_keys"),
-        F.max(prod).cast("decimal(38,0)").alias("max_key_fanout"),
+        F.max(prod).cast("decimal(38,0)").cast("string").alias("max_key_fanout"),
     )
 
 

@@ -89,7 +89,7 @@ def s3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     u AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n)
-    SELECT vec_id, generate_subscripts(v, 1) AS dim,
+    SELECT vec_id, CAST(generate_subscripts(v, 1) AS INTEGER) AS dim,
            ROUND(unnest(v) / nrm, 4) + 0.0 AS val
     FROM u
     """,
@@ -111,10 +111,10 @@ def s6_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM n)
-    SELECT vec_id, generate_subscripts(v, 1) AS dim,
-           CASE WHEN mx = mn THEN 0
+    SELECT vec_id, CAST(generate_subscripts(v, 1) AS INTEGER) AS dim,
+           CAST(CASE WHEN mx = mn THEN 0
                 ELSE least(255, CAST(FLOOR((unnest(v) - mn) * 255.999 / (mx - mn)) AS INT))
-           END AS q
+           END AS INTEGER) AS q
     FROM m
     """,
 )
@@ -212,7 +212,7 @@ def s4_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT vec_id,
-           len(list_filter(v, x -> x > 0)) AS n_pos,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
            ROUND(list_aggregate(list_transform(v, x -> greatest(x, 0.0)), 'sum'),
                  4) + 0.0 AS sum_clipped,
            ROUND(list_max(list_transform(v, x -> abs(x))), 4) + 0.0 AS max_abs,
@@ -344,7 +344,7 @@ def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MIN(v), 6) AS min_v,
            ROUND(MAX(v), 6) AS max_v
     FROM (
-      SELECT generate_subscripts(embedding, 1) AS dim,
+      SELECT CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings
     ) GROUP BY dim

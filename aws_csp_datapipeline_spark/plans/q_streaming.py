@@ -568,7 +568,7 @@ def st10_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
            END AS modality,
            COUNT(*) AS n_items,
-           SUM(octet_length(encode(text))) AS total_bytes
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
     FROM documents GROUP BY 1
     """,
 )

@@ -195,7 +195,7 @@ def t7_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH names AS (SELECT DISTINCT p_name FROM part)
     SELECT a.p_name AS name_a, b.p_name AS name_b,
-           levenshtein(a.p_name, b.p_name) AS dist
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
     FROM names a JOIN names b ON a.p_name < b.p_name
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     """,
@@ -533,7 +533,8 @@ def x8_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     ex AS (
-      SELECT doc_id, generate_subscripts(sents, 1) - 1 AS sent_idx,
+      SELECT doc_id,
+             CAST(generate_subscripts(sents, 1) - 1 AS INTEGER) AS sent_idx,
              trim(unnest(sents)) AS sentence
       FROM s
     )

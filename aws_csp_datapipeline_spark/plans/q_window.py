@@ -121,7 +121,7 @@ def w4_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w5_rank_battery",
     """
     SELECT o_orderkey, o_orderpriority,
-           ntile(4)       OVER w AS quartile,
+           CAST(ntile(4)  OVER w AS INTEGER) AS quartile,
            ROUND(percent_rank() OVER w, 6) AS pct_rank,
            ROUND(cume_dist()    OVER w, 6) AS cdist,
            first_value(o_orderkey) OVER w AS first_key,
@@ -325,10 +325,10 @@ def w8_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w9_running_distinct",
     """
     SELECT event_id, user_id,
-           COUNT(DISTINCT event_type)
-             OVER (PARTITION BY user_id ORDER BY event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS n_types_seen
+           CAST(COUNT(DISTINCT event_type)
+                OVER (PARTITION BY user_id ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS INTEGER) AS n_types_seen
     FROM events
     """,
 )
@@ -409,7 +409,7 @@ def w10_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
       FROM pts
     )
-    SELECT event_type, MAX(conc) AS max_concurrent
+    SELECT event_type, CAST(MAX(conc) AS BIGINT) AS max_concurrent
     FROM run GROUP BY event_type
     """,
 )

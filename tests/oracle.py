@@ -52,11 +52,37 @@ def _normalize(rows, cols):
     return out
 
 
+def assert_type_parity(spark_df, rel) -> None:
+    """Hard-fail oracle/Spark result-TYPE divergence.
+
+    The external driver's value hash is result-type sensitive: round 8
+    hash-failed dq9/dq13/mm4 on HUGEINT / DECIMAL(38,0) oracle columns
+    with bit-identical values, while this module's Python-value compare
+    (Decimal('15000') == 15000) was blind to it. This closes that gap:
+    every column's canonical type must match, and the proven-fatal
+    types (int128, wide decimals) are rejected even when both sides
+    declare them (dq13 failed with DECIMAL(38,0) on BOTH sides)."""
+    from tools.type_parity import (
+        column_report,
+        duck_canonical_schema,
+        spark_canonical_schema,
+    )
+
+    mismatches = list(
+        column_report(duck_canonical_schema(rel), spark_canonical_schema(spark_df))
+    )
+    assert not mismatches, (
+        "result-type parity failure (driver hash is type-sensitive): "
+        + "; ".join(f"{c}: oracle={d} spark={s}" for c, d, s, _ in mismatches)
+    )
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> None:
     """Assert the Spark result and the DuckDB oracle result match."""
     con = duck_connection(sf_dir)
     try:
         rel = con.sql(sql)
+        assert_type_parity(spark_df, rel)
         exp_cols = list(rel.columns)
         exp_rows = rel.fetchall()
     finally:

@@ -78,7 +78,29 @@ def main() -> int:
             print(f"{name}: ERROR {type(exc).__name__}: {str(exc)[:200]}")
             continue
         if name in osql:
-            oracle = sorted(con.sql(osql[name]).fetchall(), key=str)
+            rel = con.sql(osql[name])
+            # result-TYPE parity first: the driver's hash is
+            # type-sensitive (r8: dq9/dq13/mm4 hash-failed on
+            # HUGEINT/DECIMAL(38,0) with identical values) and the
+            # Python tuple compare below cannot see it
+            from tools.type_parity import (
+                column_report,
+                duck_canonical_schema,
+                spark_canonical_schema,
+            )
+
+            tmis = list(
+                column_report(duck_canonical_schema(rel),
+                              spark_canonical_schema(df))
+            )
+            if tmis:
+                bad += 1
+                detail = "; ".join(
+                    f"{c}: oracle={d} spark={s}" for c, d, s, _ in tmis
+                )
+                print(f"{name}: TYPE-MISMATCH {detail}")
+                continue
+            oracle = sorted(rel.fetchall(), key=str)
             if rows != oracle:
                 bad += 1
                 print(f"{name}: MISMATCH spark={len(rows)} oracle={len(oracle)}")
