@@ -419,6 +419,8 @@ def minhash_lsh_pairs(
     if banding == "half-cost":
         k, bands = 30, 10
     elif banding != "default":
+        raise ValueError(f"banding must be 'default' or 'half-cost', got {banding!r}")
+    elif banding != "default":
         raise ValueError(f"banding must be 'default' or 'half-cost': {banding}")
     if est_prefilter == "auto":
         est_prefilter = max(0.0, threshold - 0.3)
@@ -531,10 +533,13 @@ def banding_recommendation(
     The recommendation is 'half-cost' only when E[misses] <
     ``miss_budget`` (default 0.5 — less than one expected lost pair
     on the whole corpus); a boundary-DENSE corpus accumulates
-    per-pair miss mass and keeps 'default'. Governance workflow: run
-    once per corpus in the profiling pass (tools/corpus_report.py
-    has this as a section), then configure the recurring pipeline's
-    ``banding=`` accordingly."""
+    per-pair miss mass and keeps 'default'
+    (tests/test_banding.py plants both corpus shapes). Governance
+    workflow: run once per corpus in the profiling pass
+    (tools/corpus_report.py "Near-dup banding" section), then
+    configure the recurring pipeline's ``banding=`` accordingly —
+    the d3/d5/d6/d11/tt12 plan entries all take a ``banding=``
+    keyword that threads here."""
     j = F.col(jaccard_col).cast("double")
     miss = F.pow(F.lit(1.0) - F.pow(j, F.lit(float(r))), F.lit(float(bands)))
     return pairs.agg(

@@ -616,9 +616,16 @@ def semdedup_flags(
             F.col("__dup").isNull().alias("kept"),
         )
 
-    recs = df.select(
+    recs_all = df.select(
         F.col(id_col).alias("__rid"), _as_double(F.col(vec_col)).alias("__vec")
-    ).withColumn(
+    )
+    # NULL embeddings bypass the collapse entirely: cosine with NULL is
+    # NULL (never a match, same as the single-phase drop rule), the
+    # equi-joins below are null-rejecting, and a NULL feature would
+    # poison the KMeans fit/transform — so they re-enter at the end as
+    # kept singletons, preserving the one-flag-row-per-record contract
+    null_recs = recs_all.filter(F.col("__vec").isNull())
+    recs = recs_all.filter(F.col("__vec").isNotNull()).withColumn(
         # zero-norm test via array_min/array_max (codegen-able native
         # collection expressions) — l2_norm's F.aggregate is a
         # higher-order function evaluated on the interpreted path,
@@ -653,13 +660,22 @@ def semdedup_flags(
     # expand: replica-heavy corpora broadcast the tiny rep_map (AQE
     # sizes it); distinct-heavy corpora pay one co-partitioned join —
     # the honest price of the collapse, bounded by one extra shuffle
-    return recs.join(
+    expanded = recs.join(
         rep_map,
         (F.col("__gk") == F.col("__mgk")) & (F.col("__vec") == F.col("__mvec")),
     ).select(
         F.col("__rid").alias(id_col),
         "bucket",
         (F.col("__repkept") & (F.col("__rid") == F.col("__rep"))).alias("kept"),
+    )
+    return expanded.unionByName(
+        null_recs.select(
+            F.col("__rid").alias(id_col),
+            # the sign-bit quantizer folds every NULL element to bit 0,
+            # so a NULL vector's single-phase bucket is 0
+            F.lit(0).cast("long").alias("bucket"),
+            F.lit(True).alias("kept"),
+        )
     )
 
 

@@ -71,12 +71,16 @@ def d2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("d3_minhash_lsh_pairs", _JACCARD_SQL)
-def d3_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d3_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, banding: str = "default"
+) -> DataFrame:
     """MinHash(32) + LSH(16 bands × 2) near-dup pairs with exact
     verification — the 100-TB path; see module docstring for why the
     exact-Jaccard SQL is a valid oracle here."""
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3)
+    return D.minhash_lsh_pairs(
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
+    )
 
 
 @register("d4_simhash_candidates", None)
@@ -106,14 +110,18 @@ _COMPONENTS_SQL = f"""
 
 
 @register("d6_neardup_groups", _COMPONENTS_SQL)
-def d6_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d6_neardup_groups(
+    spark: SparkSession, sf_dir: str, banding: str = "default"
+) -> DataFrame:
     """Near-dup clustering: connected components over the LSH pair
     set (iterative min-label propagation; value-checked against a
     recursive-CTE reachability oracle over the EXACT-Jaccard pairs —
     valid because d3 ≡ d2 on this corpus, see module docstring),
     yielding (doc, group_id) for keep-one-per-group dedup."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3)
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
+    )
     return D.neardup_groups(pairs)
 
 
@@ -150,7 +158,9 @@ _CANONICAL_SQL = f"""
 
 
 @register("d7_canonical_corpus", _CANONICAL_SQL)
-def d7_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d7_canonical_corpus(
+    spark: SparkSession, sf_dir: str, banding: str = "default"
+) -> DataFrame:
     """The deduplicated corpus itself: every document survives except
     non-canonical members of near-dup clusters (canonical = min
     doc_id per component, d6's group labels), each kept row carrying
@@ -165,7 +175,9 @@ def d7_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3)
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
+    )
     groups = D.neardup_groups(pairs)
     sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_members"))
     gs = groups.join(sizes, "group_id")
@@ -203,7 +215,9 @@ _REDUNDANCY_SQL = f"""
 
 
 @register("d8_redundancy_by_source", _REDUNDANCY_SQL)
-def d8_redundancy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d8_redundancy_by_source(
+    spark: SparkSession, sf_dir: str, banding: str = "default"
+) -> DataFrame:
     """Redundancy audit per ingestion source: what fraction of each
     source's documents are non-canonical near-dup copies (d6/d7's
     cluster labels rolled up by provenance) — the signal that
@@ -214,7 +228,9 @@ def d8_redundancy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3)
+    pairs = D.minhash_lsh_pairs(
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
+    )
     groups = D.neardup_groups(pairs)
     redundant = groups.filter(F.col("doc") != F.col("group_id")).select(
         F.col("doc").alias("doc_id"), F.lit(1).alias("__r")

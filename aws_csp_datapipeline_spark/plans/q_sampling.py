@@ -601,7 +601,9 @@ def _tt12_oracle() -> str:
 
 
 @register("tt12_cluster_aware_split", _tt12_oracle())
-def tt12_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tt12_cluster_aware_split(
+    spark: SparkSession, sf_dir: str, banding: str = "default"
+) -> DataFrame:
     """Leakage-proof train/test split: the split key is the NEAR-DUP
     CLUSTER id, not the document id, so two near-duplicate documents
     can never land on opposite sides of the split (the contamination
@@ -621,7 +623,7 @@ def tt12_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
     )
     groups = D.neardup_groups(pairs)
     labeled = d.select("doc_id").join(

@@ -717,3 +717,30 @@ def test_semdedup_ivf_cells_flags_are_valid_and_deterministic(spark, sf_smoke):
             if i < r["vec_id"] and cos(vec[i], vec[r["vec_id"]]) >= 0.45
         ]
         assert r["kept"] == (not mates), (r["vec_id"], r["kept"], mates[:3])
+
+
+def test_semdedup_ivf_path_preserves_null_vector_rows(spark):
+    """Beyond-cap contract edge: a record with a NULL embedding must
+    still get exactly one flag row with kept=True (cosine with NULL is
+    NULL -> never a match), not be silently dropped by the collapse's
+    null-rejecting equi-joins, and must not poison the KMeans fit."""
+    from pyspark.sql import Row
+
+    from aws_csp_datapipeline_spark.functions.similarity import semdedup_flags
+
+    rows = [Row(vec_id=i, embedding=[float(i % 7) - 3.0, 1.0, -1.0, 0.5])
+            for i in range(40)]
+    rows += [Row(vec_id=100, embedding=None), Row(vec_id=101, embedding=None)]
+    # two exact replicas so the collapse path actually collapses
+    rows += [Row(vec_id=200, embedding=[9.0, 9.0, 9.0, 9.0]),
+             Row(vec_id=201, embedding=[9.0, 9.0, 9.0, 9.0])]
+    df = spark.createDataFrame(rows)
+    out = semdedup_flags(df, "embedding", "vec_id",
+                         threshold=0.99, sign_bits=1, ivf_cells=2)
+    got = {r["vec_id"]: r for r in out.collect()}
+    assert len(got) == len(rows)  # one flag row per input record
+    for nid in (100, 101):
+        assert got[nid]["kept"] is True
+        assert got[nid]["bucket"] == 0
+    # the replica pair collapsed: lower id kept, higher dropped
+    assert got[200]["kept"] is True and got[201]["kept"] is False

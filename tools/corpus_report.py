@@ -117,6 +117,27 @@ def main() -> None:
         )
     )
 
+    # Near-dup banding: is the half-cost LSH lane (k=30, b=10, r=3 —
+    # ~2x cheaper banding join) safe for THIS corpus? Computed from
+    # the verified default-banding pair set (r=2 recall 1-8e-8 at the
+    # threshold ≈ ground truth); see functions/dedup.py
+    # banding_recommendation for the per-pair miss model.
+    from aws_csp_datapipeline_spark.functions.dedup import banding_recommendation
+
+    rec = banding_recommendation(q("d3_minhash_lsh_pairs")).collect()[0]
+    sections.append(
+        (
+            "Near-dup banding",
+            f"- verified near-dup pairs: **{rec['n_pairs']}** "
+            f"({rec['n_boundary']} boundary pairs with J < 0.9)\n"
+            f"- expected pairs LOST under half-cost banding: "
+            f"**{rec['expected_misses']}**\n"
+            f"- recommendation: **`banding='{rec['recommended_banding']}'`** "
+            f"(pass to the d3/d6/d7/d8/tt12 plan entries or "
+            f"`dedup.minhash_lsh_pairs`)\n",
+        )
+    )
+
     sections.append(
         (
             "Pre-flight diagnostics",
