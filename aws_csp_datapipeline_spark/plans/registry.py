@@ -60,18 +60,18 @@ def register(name: str, oracle: str | None = None):
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
 #
-# Round-9+ rotation queue (names still never driver-attested after
-# the r8 window below; keep the ~15 fixed core, swap the r8 tail for
+# Round-10+ rotation queue (names still never driver-attested after
+# the r9 window below; keep the ~15 fixed core, swap the r9 tail for
 # ~35 of these, spanning families): er1_blocked_matches,
-# ml1_loo_target_encoding, ap1/ap2/ap3 leftovers, pm2/pm3/pm5/pm7/pm8,
-# t4-t8/t10/t11/t13/t14/t16/t20-t23, x3-x5/x7/x8/x10/x11,
-# a10-a24 (scalar/sketch aggregate battery), h1/h2/h3,
-# g2/g3/g5, fun3, dq3/dq6/dq10/dq11/dq14, w4/w7/w8/w11/w12/w13,
+# ml1_loo_target_encoding, ap1/ap2, pm2/pm3/pm5/pm7/pm8,
+# x3-x5/x7/x8/x10/x11, h1/h2/h3, g2/g3/g5, fun3,
+# dq3/dq6/dq10/dq11/dq14, w4/w7/w8/w11/w12/w13,
 # tt2/tt4/tt5/tt9/tt10/tt11/tt12/tt13, s4/s7/s8/s9/s11/s13/s14/s15/s17,
-# d4/d5/d7/d8/d11/d12, gr2/gr3/gr5/gr6, inc1/inc2/inc3,
-# m3/m6/m11/m12, f1/f4/f10/f11, p9/p10, j1, q6/q11/q17/q18/q22,
-# pipe1/pipe2/pipe3, st4/st7/st8/st10, h2_equidepth_histogram,
-# mm4_modality_dispatch (rows-only leftovers: mm4 if not green in r8).
+# d4/d5/d7/d8/d11/d12, gr2/gr3/gr5/gr6, m3/m6/m11/m12,
+# f1/f4/f10/f11, p9/p10, j1, q6/q11/q17/q18/q22,
+# pipe1/pipe2/pipe3, st4/st7/st8/st10.
+# (The r8 hash-fails dq9/dq13/mm4 are RE-attested in r9 with their
+# result-type fixes — see tools/type_parity.py — not demoted.)
 _WINDOW: tuple[str, ...] = (
     # --- fixed core, shrunk 30 -> 15 per the r7 verdict (one name per
     # family keeps the longitudinal record; everything rotated out
@@ -91,50 +91,52 @@ _WINDOW: tuple[str, ...] = (
     "gr1_triangle_count",
     "dq1_column_profile",
     "pipe4_full_curation",
-    # --- round-8 rotation: 35 first-ever driver attestations ---
-    # Leading with er3 (its oracle is er1's UNLIMITED quadratic join —
-    # the strongest external completeness check in the repo) and the
-    # new er4 scale-honest match-stats; then the remaining rows-only
-    # multimodal/ANN/BPE/packing lanes (driver runs no_oracle entries
-    # as rows-only checks — proven by r7's s3/st9/mm2); then the
-    # never-attested function batteries, window/quality/funnel blocks,
-    # passage/semantic dedup, the UDAF surface, and q16.
-    "er3_indel_complete_matches",
-    "er4_match_stats",
-    "q16_not_in_subquery",
-    "f9_scalar_battery",
-    "f12_try_ops_battery",
-    "f13_string_battery",
-    "f14_datetime_battery",
-    "f15_conditional_battery",
-    "f16_bitwise_battery",
-    "f17_map_battery",
-    "f18_variant_extract",
-    "w6_moving_avg",
-    "w9_running_distinct",
-    "w15_rolling_zscore",
-    "dq5_quarantine_routing",
+    # --- r8 hash-fail RE-attestations (values were proven exact; the
+    # oracles' result TYPES were fixed this round — dq9/mm4 uncast
+    # SUM -> HUGEINT, dq13 DECIMAL(38,0) -> stringified both sides) ---
     "dq9_outlier_audit",
-    "dq12_skew_profile",
     "dq13_join_cardinality",
-    "dq17_monotonicity_audit",
-    "fun1_funnel",
-    "fun2_retention",
-    "fun4_reach_curve",
-    "d9_duplicate_passages",
-    "d10_semdedup",
-    "ap3_trimmed_mean_udaf",
-    # rows-only lanes (no_oracle; driver records execution + row count)
-    "mm1_media_features",
-    "mm3_resize_images",
     "mm4_modality_dispatch",
-    "mm5_audio_features",
-    "mm6_video_meta",
-    "mm7_image_dhash_groups",
-    "s5_ivf_ann_topk",
-    "t17_bpe_merges",
-    "t18_bpe_encode",
-    "pipe5_tokenized_packing",
+    # --- round-9 rotation: 32 first-ever driver attestations ---
+    # The three largest never-attested families, per the r8 verdict:
+    # the a10-a24 scalar/sketch aggregate battery (a15/a17/a20
+    # rows-only: approx sketches), the t-block text-analysis
+    # operators (t5 rows-only: engine-hash winnowing), and the
+    # inc1-inc3 incremental-maintenance lanes. a13/t8/t16/inc1/inc3
+    # carry this round's type-parity fixes, so their first
+    # attestation also validates the fix class externally.
+    "a10_median_percentile",
+    "a11_string_agg",
+    "a12_regression_stats",
+    "a13_bool_aggs",
+    "a14_pivot_sum",
+    "a15_approx_percentile",
+    "a16_mode_per_group",
+    "a17_hll_sketch_rollup",
+    "a18_generalized_means",
+    "a19_winsorized_mean",
+    "a20_cms_heavy_hitters",
+    "a21_weighted_median",
+    "a22_revenue_concentration",
+    "a23_multi_distinct",
+    "a24_mad_outliers",
+    "t4_fingerprint_stats",
+    "t5_winnow_fingerprints",
+    "t6_pii_scrub",
+    "t7_repetition_ratio",
+    "t8_levenshtein_pairs",
+    "t10_top_bigrams",
+    "t11_chunk_windows",
+    "t13_keywords_per_doc",
+    "t14_vocab_build",
+    "t16_sentence_udtf",
+    "t20_gopher_repetition_gate",
+    "t21_freq_of_freq",
+    "t22_vocab_growth",
+    "t23_readability",
+    "inc1_incremental_rollup",
+    "inc2_incremental_dedup",
+    "inc3_incremental_semdedup",
 )
 
 
