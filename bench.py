@@ -103,7 +103,8 @@ HEADLINE = [
     "er3_indel_complete_matches",
     # er4_match_stats (the count-only governance form) stays out: the
     # headline already times the same lane machinery twice via
-    # er2 + er3; er4's scale story is the sf100 spot record instead.
+    # er2 + er3; er4's scale story is the sf100 spot record
+    # (BENCH_sf100_r09.json + SCALE.md "sf100 expensive tail").
 ]
 
 
