@@ -367,6 +367,48 @@ def minhash_signatures(
     return _signature_from_shingles(_shingle_table(df, text_col, id_col, n), k)
 
 
+def _min_band_hits(
+    threshold: float, r: int, bands: int, miss_budget: float = 5e-5
+) -> int:
+    """Largest band-collision count m such that a TRUE pair at exactly
+    J = threshold still collides in >= m of the ``bands`` bands with
+    probability >= 1 - miss_budget (bands are independent Bernoulli
+    trials with p = J^r under the hash family).
+
+    Why this exists (measured, sf100): a corpus with a mid-J mass —
+    here the scaled corpus's cross-replica boilerplate overlap at
+    J ~= 0.26-0.30 (DuckDB-measured on .scratch/sf100 doc copies;
+    in the wild, any shared-boilerplate crawl) — turns
+    "collided in >= 1 band" into a quadratic candidate generator:
+    P(>=1 of 16 bands | J=0.28) ~= 0.73, so ~2.5B boilerplate pairs
+    became ~1.8B candidates whose SIGNATURE join (33 int64s per
+    side) would write hundreds of GB; the band join alone wrote
+    >60 GB of shuffle and killed the box. Requiring m=3 of 16
+    (threshold 0.8) costs P(miss | J=0.8) = 3.2e-5 — the same risk
+    class as the accepted est_prefilter bound (3.3e-5) and vanishing
+    as J -> 1 — and cuts the J=0.28 candidate mass ~6x before
+    anything wide is joined (P(>=3 hits | J=0.28) ~= 0.12). The
+    count comes from the SAME map-side-combined exchange that
+    already deduplicated multi-band pairs, so the filter is free.
+    The filter alone is NOT sufficient in the high-multiplicity
+    regime — see ``bucket_cap`` in ``minhash_lsh_pairs`` for the
+    stop-bucket companion that is."""
+    from math import comb
+
+    p = threshold**r
+    m = 1
+    # P(X < m) for X ~ Binom(bands, p); grow m while the miss stays
+    # inside the budget
+    while m < bands:
+        miss = sum(
+            comb(bands, i) * p**i * (1 - p) ** (bands - i) for i in range(m + 1)
+        )
+        if miss > miss_budget:
+            break
+        m += 1
+    return m
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -377,8 +419,41 @@ def minhash_lsh_pairs(
     n: int = 3,
     est_prefilter: float | str | None = "auto",
     banding: str = "default",
+    bucket_cap: int | str | None = "auto",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
+
+    ``bucket_cap``: stop-bucket gate for the high-multiplicity
+    boilerplate regime, OFF at every attested scale. ``"auto"``
+    (default) enables it only past 500k input docs (sf10's 500,000
+    exactly keeps its measured plan; sf100's 5M crosses), following
+    the d10 auto-quantizer precedent. When on (an int, auto = 64):
+
+    1. docs are first collapsed by IDENTICAL full signature (exact
+       duplicates share all k minhashes), one rep bands per group,
+       and member pairs are re-expanded into the verify stage — so
+       a document duplicated 10,000x contributes ONE banding row,
+       not a 10,000-deep bucket, and its C(n,2) true pairs still
+       emit (the verify join re-checks each expanded pair exactly);
+    2. any remaining (band, key) bucket with more than ``bucket_cap``
+       rep members is skipped for pair generation.
+
+    Why: measured at sf100 (SCALE.md "d3 at sf100"), a corpus whose
+    docs carry ~1000 mid-J (~0.28) boilerplate variants generates
+    its ENTIRE cross-variant collision mass at one value per band —
+    the shared-minimum hash, which by construction is the only value
+    two variants can agree on — i.e. in mega-buckets of ~170 of the
+    1000 variants. C(170,2) pairs x 5k contents x 16 bands ~= 1.1B
+    band-join rows wrote >60 GB of shuffle and killed a 61 GB-free
+    box, with or without the ``_min_band_hits`` filter. Capping
+    kills exactly those buckets. Recall contract: a TRUE pair is
+    lost only if EVERY band it collides in is over-cap; near-dup
+    pairs collide in ~10-16 bands of which only the shared-min
+    bucket (~17% per band) can be over-cap, so
+    P(loss | J=0.8) < 0.17^10 ~= 2e-8 — far inside the accepted
+    est_prefilter risk class. Degenerate corpora whose every bucket
+    is boilerplate should run exact dedup (d1) first, as every pipe*
+    pipeline here does.
 
     banding: k/bands rows per band; band key = xxhash64 of the band's
     minhashes → candidate pairs are an equi-join on (band, key).
@@ -420,8 +495,6 @@ def minhash_lsh_pairs(
         k, bands = 30, 10
     elif banding != "default":
         raise ValueError(f"banding must be 'default' or 'half-cost', got {banding!r}")
-    elif banding != "default":
-        raise ValueError(f"banding must be 'default' or 'half-cost': {banding}")
     if est_prefilter == "auto":
         est_prefilter = max(0.0, threshold - 0.3)
     r = k // bands
@@ -441,6 +514,25 @@ def minhash_lsh_pairs(
     sig = _minhash_array(sh, k)
     if est_prefilter is not None:
         sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    if bucket_cap == "auto":
+        # same gating shape as similarity.auto_semdedup_quantizer:
+        # every attested corpus (incl. sf10's exactly-500k docs)
+        # keeps its measured plan; the cap exists for the regime
+        # where the band join itself is the scale hazard
+        bucket_cap = 64 if df.count() > 500_000 else None
+    groups = None
+    if bucket_cap is not None:
+        # signature-identical collapse: exact duplicates (and k-way
+        # signature collisions, which the exact verify re-checks)
+        # band once per distinct signature — groupBy, not a window,
+        # for the map-side combine (the d10 collapse lesson)
+        groups = sig.groupBy("mhs").agg(
+            F.min("doc").alias("doc"),
+            F.collect_list("doc").alias("__members"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        band_src = groups
+    else:
+        band_src = sig
     band_cols = F.array(
         *[
             F.struct(
@@ -452,9 +544,22 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc", F.explode(band_cols).alias("bk")).select(
+    banded = band_src.select("doc", F.explode(band_cols).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+    if bucket_cap is not None:
+        # stop buckets: a (band, key) bucket larger than the cap is
+        # boilerplate-degenerate (see docstring) — skip pair
+        # generation from it. The window's (band, key) partitioning
+        # is the same key the self-join shuffles on.
+        from pyspark.sql.window import Window
+
+        wsz = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("__bsz", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("__bsz") <= F.lit(int(bucket_cap)))
+            .drop("__bsz")
+        )
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(
@@ -464,12 +569,17 @@ def minhash_lsh_pairs(
             & (F.col("x.doc") < F.col("y.doc")),
         )
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        # dedup multi-band pairs BEFORE the agreement join: true
-        # near-dups collide in ~all 16 bands, so the non-distinct
-        # stream is several times larger than the pair set and
-        # inflates the signature joins more than this one exchange
-        # costs (A/B at sf10: distinct-first 26 s vs filter-first 31 s)
-        .distinct()
+        # count band collisions per pair instead of a bare distinct():
+        # the SAME map-side-combined exchange that deduplicates
+        # multi-band pairs (A/B at sf10: distinct-first 26 s vs
+        # filter-first 31 s) now also yields the collision count, and
+        # requiring >= _min_band_hits collisions kills a mid-J
+        # boilerplate mass ~200x BEFORE the wide signature/shingle
+        # joins — the sf100 lesson in _min_band_hits's docstring
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") >= F.lit(_min_band_hits(threshold, r, bands)))
+        .select("doc_a", "doc_b")
     )
     if est_prefilter is not None:
         siga = sig.select(F.col("doc").alias("doc_a"), F.col("mhs").alias("mhs_a"))
@@ -489,6 +599,32 @@ def minhash_lsh_pairs(
             .filter(agree >= F.lit(int(est_prefilter * k)))
             .select("doc_a", "doc_b")
         )
+    if groups is not None:
+        # re-expand signature groups: every member pair of a matched
+        # rep pair, plus all within-group pairs (identical signatures
+        # ~always mean identical shingle sets; the exact verify below
+        # re-checks every expanded pair, so k-way signature
+        # collisions cannot leak a false pair)
+        ma = groups.select(F.col("doc").alias("doc_a"), F.col("__members").alias("__ma"))
+        mb = groups.select(F.col("doc").alias("doc_b"), F.col("__members").alias("__mb"))
+        cross = (
+            cand.join(ma, "doc_a")
+            .join(mb, "doc_b")
+            .select(F.explode("__ma").alias("__x"), "__mb")
+            .select("__x", F.explode("__mb").alias("__y"))
+            .select(
+                F.least("__x", "__y").alias("doc_a"),
+                F.greatest("__x", "__y").alias("doc_b"),
+            )
+        )
+        within = (
+            groups.filter(F.size("__members") > 1)
+            .select(F.explode("__members").alias("__x"), "__members")
+            .select("__x", F.explode("__members").alias("__y"))
+            .filter(F.col("__x") < F.col("__y"))
+            .select(F.col("__x").alias("doc_a"), F.col("__y").alias("doc_b"))
+        )
+        cand = cross.unionByName(within)
     # exact verification of candidates only
     sha = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     shb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -508,7 +644,11 @@ def minhash_lsh_pairs(
     # populates sh/sig and later actions reuse them; long-lived
     # sessions release them via ``release_caches(out)`` once done
     # (see that helper's docstring). Attached, not leaked.
-    out._graft_caches = [sh] + ([sig] if est_prefilter is not None else [])
+    out._graft_caches = (
+        [sh]
+        + ([sig] if est_prefilter is not None else [])
+        + ([groups] if groups is not None else [])
+    )
     return out
 
 
