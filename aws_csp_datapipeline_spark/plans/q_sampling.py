@@ -427,7 +427,20 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = d.select("doc_id", "source", "lang", "text").join(
         gated_keys, "doc_id"
     )
-    deduped = exact_dedup(gated, "text", "doc_id")
+    # token_count rides the scan-side projection and text is DROPPED
+    # before the cap window: the per-source row_number sort then moves
+    # narrow (id, source, lang, __q, __tok) rows, never document
+    # bodies — at 100 TB a mega-source would otherwise sort its whole
+    # corpus of bodies in one shuffle partition. Counting tokens on
+    # pre-cap survivors is a linear codegen'd projection; shuffling
+    # bodies is not.
+    deduped = exact_dedup(gated, "text", "doc_id").select(
+        "doc_id",
+        "source",
+        "lang",
+        "__q",
+        X.token_count(F.col("text")).alias("__tok"),
+    )
     w = Window.partitionBy("source").orderBy(F.desc("__q"), F.asc("doc_id"))
     capped = (
         deduped.withColumn("__rk", F.row_number().over(w))
@@ -436,7 +449,7 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = SMP.hash_split(capped, "doc_id", 0.75)
     return final.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(X.token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
     )
 
 
@@ -507,11 +520,18 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(D.hashed_word_shingles(F.col("text"), 5)).alias("g"),
     )
     train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    # plain count, not count_distinct: the shingle builder emits
+    # per-doc DISTINCT grams (array_distinct) and train_g is distinct,
+    # so the inner join leaves each (doc_id, g) with multiplicity 1 —
+    # count_distinct would re-shuffle every joined gram through a
+    # distinct-expansion aggregate, while count gets map-side partial
+    # aggregation (shuffle rows shrink from |matched grams| to
+    # |test docs per partition|)
     return (
         grams.filter(F.col("split") == "test")
         .join(train_g, "g")
         .groupBy("doc_id")
-        .agg(F.count_distinct("g").alias("n_shared_grams"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
     )
 
 
@@ -763,9 +783,12 @@ def pipe6_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(D.hashed_word_shingles(F.col("text"), 5)).alias("g"),
     )
     train_g = grams.filter(F.col("split") == "train").select("g").distinct()
+    # left_semi: existence is all the quarantine tag needs — the semi
+    # join emits each matched (doc_id, g) row once with no join-output
+    # columns, and the per-doc distinct then collapses map-side
     contaminated = (
         grams.filter(F.col("split") == "test")
-        .join(train_g, "g")
+        .join(train_g, "g", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("__dirty", F.lit(1))

@@ -120,7 +120,9 @@ def test_join_cardinality_estimate_is_exact(spark, sf_smoke):
     o = load_table(spark, sf_smoke, "orders")
     c = load_table(spark, sf_smoke, "customer")
     actual = o.join(c, o.o_custkey == c.c_custkey).count()
-    assert est["est_join_rows"] == actual
+    # est_join_rows is a stringified DECIMAL(38,0) since the r9
+    # type-parity fix (beyond-int64 exactness, hash-stable type)
+    assert int(est["est_join_rows"]) == actual
 
 
 def test_corpus_report_tool(tmp_path):
