@@ -78,7 +78,7 @@ def stratified_sample(
 
 
 def per_group_sample(
-    df: DataFrame, group_col: str, key_col: str, k: int
+    df: DataFrame, group_col: str, key_col: str, k: int, salt_buckets: int = 0
 ) -> DataFrame:
     """Deterministic k-per-group sample: rank rows inside each group
     by (md5(key), key) — a content-defined, engine-portable order —
@@ -90,16 +90,84 @@ def per_group_sample(
     groups (the 100-TB corpus case: group = language) cap the window
     input first with a generous ``stratified_sample`` prefilter
     (hash-threshold >> k/|group|), so only a sliver of each group
-    reaches the exact top-k window."""
+    reaches the exact top-k window — or pass ``salt_buckets`` to run
+    the ``per_group_topk`` salted two-phase form (identical result,
+    mega-group sort spread across buckets)."""
+    return per_group_topk(
+        df,
+        group_col,
+        [_bucket(F.col(key_col)).asc(), F.col(key_col).asc()],
+        k,
+        key_col=key_col,
+        salt_buckets=salt_buckets,
+        rank_col="__rn",
+    ).drop("__rn")
+
+
+def auto_salt_buckets(n_rows: int, threshold: int = 500_000, buckets: int = 32) -> int:
+    """Salting gate for ``per_group_topk``, following the repo's
+    auto-knob convention (``similarity.auto_sign_bits``,
+    ``dedup.minhash_lsh_pairs(bucket_cap='auto')``): OFF (0) at and
+    below ``threshold`` rows so every attested plan keeps its
+    measured single-window shape, 32-way salted beyond. Callers pass
+    the RAW source-table count (a metadata-only parquet count-star),
+    never the count of a derived frame — counting a derived input
+    would execute its whole subplan once just to pick a knob (the er3
+    plan-build-cost lesson, SCALE.md "er3 build cost")."""
+    return buckets if n_rows > threshold else 0
+
+
+def per_group_topk(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[Column],
+    k: int,
+    key_col: str,
+    salt_buckets: int = 0,
+    rank_col: str = "__rk",
+) -> DataFrame:
+    """Top-K rows per group under a TOTAL order, skew-proof at scale.
+
+    Single-phase (``salt_buckets=0``): one window over ``group_col``
+    — the right plan when no group dwarfs the rest, since the
+    per-group sort is spillable and AQE splits skewed groups only
+    BETWEEN groups, not within one. But a pathological mega-group
+    (one crawl domain holding half a 100 TB corpus) sorts entirely
+    inside one task.
+
+    Two-phase (``salt_buckets=B``): rows are salted with
+    ``pmod(xxhash64(key_col), B)`` — content-derived, so stable under
+    task retries and repartitioning, unlike ``spark_partition_id()``
+    — and phase 1 keeps each (group, salt) bucket's top k with the
+    mega-group's sort spread over B tasks. Phase 2 ranks the
+    ≤ k·B survivors per group exactly. Any row in a group's true
+    top k ranks ≤ k within its own salt bucket (a fortiori), so the
+    result is IDENTICAL to the single-phase window — proven pairwise
+    on a planted mega-source corpus in
+    ``tests/test_sampling_ops.py::test_per_group_topk_salted_equals_single_phase``.
+
+    Requires ``order_by`` to be a total order (include a unique
+    tie-break column, e.g. ``F.asc(key_col)``): under ties the two
+    phases may keep different representatives.
+
+    Returns ``df`` plus ``rank_col`` (1-based rank within group),
+    filtered to rank ≤ k. Gate with ``auto_salt_buckets`` on the raw
+    table count."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(
-        _bucket(F.col(key_col)), F.col(key_col)
-    )
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    if salt_buckets:
+        w1 = Window.partitionBy(group_col, "__salt").orderBy(*order_by)
+        df = (
+            df.withColumn(
+                "__salt", F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets))
+            )
+            .withColumn("__rk1", F.row_number().over(w1))
+            .filter(F.col("__rk1") <= k)
+            .drop("__rk1", "__salt")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
     )
 
 

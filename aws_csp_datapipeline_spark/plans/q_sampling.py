@@ -225,24 +225,28 @@ def tt10_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap (per-domain caps in crawl curation: no
     single feed may dominate the training mix): keep the K
     highest-quality docs per source, deterministic tie-break on
-    doc_id. One hash shuffle on ``source``; the window sort is
-    per-group and spillable, AQE splits skewed groups — and for a
-    pathological mega-domain the same contract can run as two-phase
-    top-K (per-partition heads, then per-key head) without changing
-    this query's result, since the output depends only on each
-    group's top K rows."""
+    doc_id. One hash shuffle on ``source`` at attested scales; past
+    500k docs ``per_group_topk`` switches to the salted two-phase
+    form (per-salt-bucket heads, then exact per-source head) so a
+    pathological mega-domain never sorts inside one task — result
+    identical, since the output depends only on each group's top K
+    rows under a total order (``functions/sampling.py``)."""
     from aws_csp_datapipeline_spark.functions.text import quality_score
 
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id", "source", quality_score(F.col("text")).alias("__q")
     )
-    w = Window.partitionBy("source").orderBy(F.desc("__q"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rk") <= 15)
-        .select("doc_id", "source", "rk")
+    capped = SMP.per_group_topk(
+        scored,
+        "source",
+        [F.desc("__q"), F.asc("doc_id")],
+        15,
+        key_col="doc_id",
+        salt_buckets=SMP.auto_salt_buckets(d.count()),
+        rank_col="rk",
     )
+    return capped.select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
 
 
 def _pipe1_sql() -> str:
@@ -441,10 +445,16 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__q",
         X.token_count(F.col("text")).alias("__tok"),
     )
-    w = Window.partitionBy("source").orderBy(F.desc("__q"), F.asc("doc_id"))
-    capped = (
-        deduped.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= 15)
+    # skew-proof cap: gate on the RAW documents count (metadata-only
+    # count-star) — counting `deduped` would execute the whole
+    # gate+dedup subplan once just to pick the knob
+    capped = SMP.per_group_topk(
+        deduped,
+        "source",
+        [F.desc("__q"), F.asc("doc_id")],
+        15,
+        key_col="doc_id",
+        salt_buckets=SMP.auto_salt_buckets(d.count()),
     )
     final = SMP.hash_split(capped, "doc_id", 0.75)
     return final.groupBy("split", "lang").agg(

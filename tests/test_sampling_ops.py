@@ -1,0 +1,103 @@
+"""Behavioral tests for ``functions/sampling.per_group_topk`` — the
+skew-proof two-phase per-group top-K.
+
+The load-bearing claim is EXACT equality: under a total order, the
+salted two-phase form returns the identical row set (and identical
+ranks) as the single-phase window, for any salt bucket count. The
+corpus is planted mega-source-skewed (one group holds ~90% of rows)
+because that is the regime the salted path exists for."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_csp_datapipeline_spark.functions import sampling as SMP
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """5,000 rows, 5 sources; source 's0' holds ~90% of them. Scores
+    are hash-derived (collision-rich across the int range is fine —
+    doc_id tie-breaks), ids dense and unique."""
+    n = 5_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("s0"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 4 + 1).cast("string")))
+        .alias("source"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(97))).alias("__q"),
+    )
+    return df.persist()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_per_group_topk_salted_equals_single_phase(skewed):
+    order = [F.desc("__q"), F.asc("doc_id")]
+    single = SMP.per_group_topk(
+        skewed, "source", order, 15, key_col="doc_id", salt_buckets=0
+    )
+    for buckets in (2, 7, 32):
+        salted = SMP.per_group_topk(
+            skewed, "source", order, 15, key_col="doc_id", salt_buckets=buckets
+        )
+        assert _rows(salted) == _rows(single), f"buckets={buckets}"
+
+
+def test_per_group_topk_k_exceeds_group(skewed):
+    """k larger than the smallest groups: every row of those groups
+    survives with a dense 1..n rank, in both forms."""
+    order = [F.desc("__q"), F.asc("doc_id")]
+    small_total = skewed.filter(F.col("source") != "s0").count()
+    for buckets in (0, 8):
+        out = SMP.per_group_topk(
+            skewed, "source", order, 10_000, key_col="doc_id", salt_buckets=buckets
+        )
+        assert out.filter(F.col("source") != "s0").count() == small_total
+        ranks = (
+            out.filter(F.col("source") == "s1")
+            .select("__rk")
+            .orderBy("__rk")
+            .collect()
+        )
+        assert [r["__rk"] for r in ranks] == list(range(1, len(ranks) + 1))
+
+
+def test_per_group_topk_salted_plan_splits_mega_group(skewed):
+    """The point of the salted form: phase 1 partitions by
+    (group, salt), so the physical plan carries a window keyed on the
+    salt column — the mega-group's sort is spread across buckets
+    instead of one task. The single-phase plan must NOT pay that
+    extra exchange."""
+    order = [F.desc("__q"), F.asc("doc_id")]
+    salted_plan = (
+        SMP.per_group_topk(
+            skewed, "source", order, 15, key_col="doc_id", salt_buckets=16
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    single_plan = (
+        SMP.per_group_topk(
+            skewed, "source", order, 15, key_col="doc_id", salt_buckets=0
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "__salt" in salted_plan and "__salt" not in single_plan
+    assert salted_plan.count("Window") == 2 * single_plan.count("Window")
+
+
+def test_auto_salt_buckets_gate():
+    """OFF at and below the attested-scale threshold (every attested
+    plan keeps its measured single-window shape), on beyond — the
+    same gating convention as dedup.bucket_cap / auto_sign_bits."""
+    assert SMP.auto_salt_buckets(5_000) == 0
+    assert SMP.auto_salt_buckets(500_000) == 0
+    assert SMP.auto_salt_buckets(500_001) == 32
+    assert SMP.auto_salt_buckets(5_000_000) == 32
