@@ -162,6 +162,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF (inverted-file) approximate k-NN: cluster the corpus into
     ``n_cells`` KMeans cells once, then each probe searches only its
@@ -197,11 +198,22 @@ def ivf_topk(
         )
     ).withColumn("features", array_to_vector("cv"))
     train = c
-    sample_target = max(10_000, 256 * n_cells)
+    # 64 vectors per centroid, 10 Lloyd iterations: a COARSE quantizer
+    # only routes probes to cells — n_probe absorbs center sloppiness
+    # (recall floor unchanged, tests/test_approx_quality.py). The
+    # previous 256/centroid × 20-iteration build was 8× the work for
+    # no measured recall gain and dominated s5 at sf100: 2M vectors →
+    # 1414 cells meant fitting k=1414 on a 362k sample, ~60 of the
+    # 75 s run (SCALE.md "sf100 ANN/ER/dedup extension"). 64/centroid
+    # stays well above the ~39/centroid underfit warning line FAISS
+    # documents for IVF training.
+    sample_target = max(10_000, 64 * n_cells)
     n_corpus = c.count()
     if n_corpus > sample_target:
         train = c.sample(fraction=sample_target / n_corpus, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", maxIter=max_iter
+    ).fit(train)
     assigned = model.transform(c).select(
         "neighbor_id", "cv", F.col("prediction").alias("cell")
     )

@@ -81,12 +81,32 @@ def _perturb_text(text: str, i: int) -> str:
     return " ".join(out)
 
 
-def _replica(tbl: pa.Table, name: str, i: int) -> pa.Table:
+def _replica(
+    tbl: pa.Table, name: str, i: int, distinct_names: bool = False
+) -> pa.Table:
     cols = {}
     for c in tbl.schema.names:
         arr = tbl[c]
         shift_of = SHIFT_COLS.get(name, {}).get(c)
-        if shift_of is not None and i > 0:
+        if (
+            distinct_names
+            and name == "customer"
+            and c == "c_name"
+            and i > 0
+        ):
+            # --distinct-names: regenerate the name from the SHIFTED
+            # key (Customer#%09d, the same rule the base data uses),
+            # so replica names stay unique and keep the digit-edit
+            # near-dup structure the ER queries match on. The default
+            # (verbatim copy, 1000 exact copies per name at sf100) is
+            # the duplicate-identity regime; this flag is the
+            # distinct-identity regime — both are real ER workloads
+            # and SCALE.md records them separately.
+            shifted = tbl["c_custkey"].to_numpy() + STRIDES["customer"] * i
+            cols[c] = pa.chunked_array(
+                [pa.array([f"Customer#{int(k):09d}" for k in shifted])]
+            )
+        elif shift_of is not None and i > 0:
             cols[c] = pa.chunked_array(
                 [pa.array(arr.to_numpy() + STRIDES[shift_of] * i, type=arr.type)]
             )
@@ -120,25 +140,36 @@ def _replica(tbl: pa.Table, name: str, i: int) -> pa.Table:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    distinct_names = "--distinct-names" in flags
+    only: set[str] | None = None
+    for f in flags:
+        if f.startswith("--tables="):
+            only = set(f.split("=", 1)[1].split(","))
+    replicas = int(argv[0]) if argv else 10
     out_dir = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        argv[1]
+        if len(argv) > 1
         else os.path.join(os.path.dirname(__file__), "..", ".scratch", "sf1")
     )
     out_dir = os.path.abspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     for name in ["region", "nation"]:
+        if only is not None and name not in only:
+            continue
         tbl = pq.read_table(f"{SRC}/{name}.parquet")
         pq.write_table(tbl, f"{out_dir}/{name}.parquet")
         print(name, tbl.num_rows)
     for name in STRIDES:
+        if only is not None and name not in only:
+            continue
         tbl = pq.read_table(f"{SRC}/{name}.parquet")
         tdir = f"{out_dir}/{name}.parquet"
         os.makedirs(tdir, exist_ok=True)
         total = 0
         for i in range(replicas):
-            rep = _replica(tbl, name, i)
+            rep = _replica(tbl, name, i, distinct_names=distinct_names)
             pq.write_table(rep, f"{tdir}/part-{i:03d}.parquet")
             total += rep.num_rows
         print(name, total)
