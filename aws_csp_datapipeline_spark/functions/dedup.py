@@ -284,6 +284,115 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.9, n: int = 3
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(A→B) = |A∩B| / |A|
+    over word n-gram shingles, reported as (doc_small, doc_big,
+    containment, jaccard) where doc_small is the side with fewer
+    shingles (tie → lower id). This is the failure mode a symmetric
+    Jaccard threshold structurally misses: a short document fully
+    embedded in a long one has containment 1.0 but Jaccard
+    |A|/|B| — arbitrarily far below any dedup cutoff as the length
+    ratio grows (the "quoted article inside an aggregator page" case).
+
+    Shape: the same inverted-index self-join as
+    ``ngram_jaccard_pairs`` (explode distinct shingles, equi-join on
+    shingle, count per pair), with the denominator swapped to
+    min(|A|, |B|). Same scale story too: exact and bucketed by
+    posting list, so it is the verification oracle and the
+    small/medium path; at 100 TB the candidate set comes from the
+    banded MinHash join (``minhash_lsh_pairs``) run with a LOW
+    Jaccard band threshold on the size-stratified corpus, and this
+    containment check is the exact verifier over those candidates.
+    """
+    sh = _shingle_table(df, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    ex = sh.select("doc", F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("common").cast("double")
+            / F.least("na", "nb").cast("double"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+    )
+    small_is_a = (F.col("na") < F.col("nb")) | (
+        (F.col("na") == F.col("nb")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return j.filter(F.col("containment") >= threshold).select(
+        F.when(small_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "doc_small"
+        ),
+        F.when(small_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "doc_big"
+        ),
+        F.round("containment", 4).alias("containment"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+def shingle_novelty_stats(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8, hashed: bool = False
+) -> DataFrame:
+    """Per-document novelty audit: what fraction of a document's
+    distinct word ``n``-gram shingles occur for the FIRST time in
+    this document (first = minimum id corpus-wide)? The
+    crawl-freshness / memorization signal: novelty ≈ 1 means new
+    text, ≈ 0 means the document restates earlier corpus content
+    even when no whole document or fixed tile matches (complements
+    ``exact_dedup`` and ``duplicate_passage_stats``, which need
+    verbatim whole-doc / aligned-tile repeats).
+
+    Returns (``id_col``, n_shingles, n_novel, novelty); documents
+    with fewer than ``n`` tokens drop (no shingles to audit).
+
+    Shape: one explode + one groupBy(shingle).agg(min(id)) — the
+    ownership table — then a join back and a per-doc count. With
+    ``hashed=True`` both shuffles carry 8-byte xxhash64 fingerprints
+    instead of n-word strings (identical counts short of 64-bit
+    collisions) — the 100-TB representation; the default keeps
+    verbatim strings so ANSI SQL restates it symbol for symbol.
+    """
+    sh = _shingle_table(df, text_col, id_col, n, hashed=hashed)
+    ex = sh.select("doc", F.explode("sh").alias("s"))
+    first = ex.groupBy("s").agg(F.min("doc").alias("first_doc"))
+    return (
+        ex.join(first, "s")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_shingles",
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 4
+            ).alias("novelty"),
+        )
+    )
+
+
 def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants for the universal-hash family
     h_j(x) = (a_j * x + b_j) mod 2^31, a_j odd."""

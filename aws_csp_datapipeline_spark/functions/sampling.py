@@ -205,3 +205,82 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .drop("__h")
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): per-document importance log-weights toward a target domain,
+    from hashed-unigram bag-of-words models. Each token hashes into
+    one of ``buckets`` buckets; the target distribution p_t is fit on
+    the rows where ``target`` is true, the proposal p_p on the whole
+    corpus (both add-one smoothed), and a document's weight is
+
+        mean over its token instances of  log p_t(b) - log p_p(b)
+
+    Sampling ∝ exp(weight · n_tokens) then tilts the corpus toward
+    the target domain. Returns (``id_col``, n_tokens,
+    dsir_logweight); empty documents drop.
+
+    Portability: the bucket is the first 6 hex chars of md5(token)
+    read as an integer, mod ``buckets`` — identical in every engine
+    (same convention as the md5 split/shuffle family here), so the
+    ANSI oracle restates it verbatim. xxhash64 would be cheaper but
+    engine-private; one md5 per token instance is the price of an
+    exactly-restatable oracle, and a production run can swap in
+    xxhash64 without changing any count.
+
+    Shape: ONE explode of the token stream feeds both model fits
+    (each a ``buckets``-row aggregate — map-side partial, constant
+    shuffle) and the scoring join, which broadcasts the two tiny
+    count tables back onto the stream; then one groupBy(doc). At
+    100 TB the model tables stay ``buckets`` rows no matter the
+    corpus, so the only data-sized costs are the explode and the
+    per-doc reduce — both embarrassingly parallel.
+    """
+    from aws_csp_datapipeline_spark.functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        target.alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("__w"),
+    ).filter(F.col("__w") != "")
+    b = (
+        F.conv(F.substring(F.md5(F.col("__w")), 1, 6), 16, 10).cast("long")
+        % buckets
+    )
+    tb = toks.select("__doc", "__tgt", b.alias("__b"))
+    prop = tb.groupBy("__b").agg(F.count(F.lit(1)).alias("__cp"))
+    tgt = (
+        tb.filter(F.col("__tgt"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+    )
+    totals = tb.agg(
+        F.count(F.lit(1)).alias("__tp"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__tt"),
+    )
+    term = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + 1.0)
+        / (F.col("__tt") + F.lit(float(buckets)))
+    ) - F.log((F.col("__cp") + 1.0) / (F.col("__tp") + F.lit(float(buckets))))
+    return (
+        tb.join(F.broadcast(prop), "__b")
+        .join(F.broadcast(tgt), "__b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(term) / F.count(F.lit(1)), 4).alias(
+                "dsir_logweight"
+            ),
+        )
+        .select(
+            F.col("__doc").alias(id_col), "n_tokens", "dsir_logweight"
+        )
+    )

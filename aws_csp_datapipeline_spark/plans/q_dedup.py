@@ -491,3 +491,89 @@ def d12_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est_i, 1).alias("est_intersection"),
         F.round(est_j, 4).alias("est_jaccard"),
     ).orderBy("source_a", "source_b")
+
+
+_CONTAINMENT_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    sz AS (SELECT doc_id, len(s) AS n FROM sh),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN x.n < y.n OR (x.n = y.n AND doc_a < doc_b)
+                THEN doc_a ELSE doc_b END AS doc_small,
+           CASE WHEN x.n < y.n OR (x.n = y.n AND doc_a < doc_b)
+                THEN doc_b ELSE doc_a END AS doc_big,
+           ROUND(CAST(c AS DOUBLE) / LEAST(x.n, y.n), 4)      AS containment,
+           ROUND(CAST(c AS DOUBLE) / (x.n + y.n - c), 4)      AS jaccard
+    FROM common
+    JOIN sz x ON common.doc_a = x.doc_id
+    JOIN sz y ON common.doc_b = y.doc_id
+    WHERE CAST(c AS DOUBLE) / LEAST(x.n, y.n) >= 0.9
+    """
+
+
+@register("d13_containment_pairs", _CONTAINMENT_SQL)
+def d13_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: (small, big) pairs where ≥90% of
+    the smaller document's 3-gram shingles appear in the bigger one —
+    the short-doc-inside-long-doc duplicates a symmetric Jaccard
+    cutoff structurally misses (J = |A|/|B| shrinks with the length
+    ratio even at containment 1.0). Exact inverted-index form; see
+    ``functions.dedup.containment_pairs`` for the banded-MinHash
+    candidate path this verifies at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_pairs(d, "text", "doc_id", threshold=0.9, n=3)
+
+
+_NOVELTY_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 7),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                 || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                 || ' ' || t[i+7])) AS s
+      FROM tok WHERE len(t) >= 8
+    ),
+    ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    fs AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g)
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN fs.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN fs.first_doc = ex.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS novelty
+    FROM ex JOIN fs ON ex.g = fs.g
+    GROUP BY ex.doc_id
+    """
+
+
+@register("t24_shingle_novelty", _NOVELTY_SQL)
+def t24_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-novelty / memorization audit: per document, the fraction
+    of its distinct 8-gram shingles whose corpus-wide first occurrence
+    (min doc_id) is this document. Lives beside d9 (aligned tiles) and
+    t22 (vocabulary types): overlapping shingles catch restated text
+    that neither whole-doc hashes nor fixed tiles align with. See
+    ``functions.dedup.shingle_novelty_stats`` (hashed=True is the
+    8-byte-fingerprint 100-TB shuffle shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.shingle_novelty_stats(d, "text", "doc_id", n=8)

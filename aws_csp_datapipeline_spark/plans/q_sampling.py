@@ -817,3 +817,47 @@ def pipe6_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("long").alias("total_tokens"),
     )
+
+
+_DSIR_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    tb AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5(w), 1, 6)) AS BIGINT) % 1024 AS b
+      FROM tok WHERE w <> ''
+    ),
+    prop AS (SELECT b, COUNT(*) AS cp FROM tb GROUP BY b),
+    tgt  AS (SELECT b, COUNT(*) AS ct FROM tb WHERE lang = 'en' GROUP BY b),
+    tot  AS (SELECT (SELECT COUNT(*) FROM tb)                   AS tp,
+                    (SELECT COUNT(*) FROM tb WHERE lang = 'en') AS tt)
+    SELECT tb.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(  ln((COALESCE(tgt.ct, 0) + 1.0) / (tot.tt + 1024.0))
+                     - ln((prop.cp + 1.0)             / (tot.tp + 1024.0)))
+                 / COUNT(*), 4) AS dsir_logweight
+    FROM tb
+    JOIN prop USING (b)
+    LEFT JOIN tgt USING (b)
+    CROSS JOIN tot
+    GROUP BY tb.doc_id
+    """
+
+
+@register("tt14_dsir_weights", _DSIR_SQL)
+def tt14_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    bag-of-words log-ratio of a target domain (here lang='en') over
+    the full-corpus proposal, averaged per document — the weight that
+    drives importance RESAMPLING toward the target mix, where tt9
+    only reweights whole sources and tt7 samples by a given weight.
+    Model tables are 1024 rows at any corpus size (broadcast back
+    onto the one exploded token stream); see
+    ``functions.sampling.dsir_logweights``."""
+    d = load_table(spark, sf_dir, "documents")
+    return SMP.dsir_logweights(
+        d, "text", "doc_id", target=F.col("lang") == "en", buckets=1024
+    )
