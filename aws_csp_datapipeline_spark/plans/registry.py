@@ -100,8 +100,10 @@ _WINDOW: tuple[str, ...] = (
     "mm4_modality_dispatch",
     # --- round-9 rotation: 32 first-ever driver attestations ---
     # The three largest never-attested families, per the r8 verdict:
-    # the a10-a24 scalar/sketch aggregate battery (a15/a17/a20
-    # rows-only: approx sketches), the t-block text-analysis
+    # the a10-a24 scalar/sketch aggregate battery (a17/a20
+    # rows-only: approx sketches; a15 oracle-paired within its
+    # documented ≤accuracy-rows exactness window), the t-block
+    # text-analysis
     # operators (t5 rows-only: engine-hash winnowing), and the
     # inc1-inc3 incremental-maintenance lanes. a13/t8/t16/inc1/inc3
     # carry this round's type-parity fixes, so their first
