@@ -693,3 +693,35 @@ def s17_pairwise_cosine_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register("s18_persisted_ivf_probe", None)
+def s18_persisted_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED form of s5's IVF index (rows-only:
+    index-dependent): build the cell-partitioned parquet index once
+    (`functions.ann_index.build_ivf_index`), then answer a probe by
+    scanning ONLY its n_probe nearest cell directories — the
+    written-once / partition-pruned-probes artifact that amortizes
+    index cost over every query at corpus scale (s5 re-derives the
+    index per session). Probing with n_probe = n_cells reproduces
+    brute force exactly (tests/test_ann_index.py pins that equality
+    plus the pruning itself via inputFiles()). The index lands in a
+    fresh temp dir per call so the query stays stateless for the
+    driver; a real deployment builds into a durable path and calls
+    only the probe."""
+    import tempfile
+
+    from aws_csp_datapipeline_spark.functions import ann_index as AI
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="spark_graft_ivf_")
+    meta = AI.build_ivf_index(
+        e, "embedding", "vec_id", idx, n_cells=S.auto_ivf_cells(e.count())
+    )
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return AI.probe_ivf_index(
+        spark, idx, qv, k=10, n_probe=min(4, meta["n_cells"]), exclude_id=0
+    )

@@ -70,7 +70,9 @@ def register(name: str, oracle: str | None = None):
 # d4/d5/d7/d8/d11/d12, gr2/gr3/gr5/gr6, m3/m6/m11/m12,
 # f1/f4/f10/f11, p9/p10, j1, q6/q11/q17/q18/q22,
 # pipe1/pipe2/pipe3, st4/st7/st8/st10, and the round-9 additions
-# d13_containment_pairs / t24_shingle_novelty / tt14_dsir_weights.
+# d13_containment_pairs / t24_shingle_novelty / tt14_dsir_weights /
+# s18_persisted_ivf_probe (rows-only; the persisted cell-partitioned
+# IVF index artifact — build once, probe via pruned cell dirs).
 # (The r8 hash-fails dq9/dq13/mm4 are RE-attested in r9 with their
 # result-type fixes — see tools/type_parity.py — not demoted.)
 _WINDOW: tuple[str, ...] = (
