@@ -194,6 +194,79 @@ def duplicate_passage_stats(
     )
 
 
+def scrub_duplicate_passages(
+    df: DataFrame, text_col: str, id_col: str, width: int = 10
+) -> DataFrame:
+    """The REMOVAL form of ``duplicate_passage_stats``: every
+    corpus-wide repeat of a ``width``-token span is deleted from the
+    text except its canonical first occurrence (min (doc, pos)), and
+    each touched document is rebuilt from its surviving tokens — the
+    exact-substring training-data scrub (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"), on
+    the same non-overlapping tiling d9 audits.
+
+    Returns (``id_col``, text, n_removed_spans). Untouched documents
+    (and docs shorter than ``width`` tokens) pass their text through
+    VERBATIM; touched documents are rebuilt from the normalized
+    token stream (lower/trim/single-space — the d2/d9 tokenization),
+    kept spans in order plus the sub-``width`` tail.
+
+    Shuffle shape: the occurrence table and the ownership aggregate
+    carry (doc, pos, span-fingerprint) — 8-byte xxhash64 spans, never
+    span strings (occurrence counts identical short of a 64-bit
+    collision; the DuckDB oracle states the string formulation). The
+    only wide rows are the per-doc removal lists (∝ duplicated spans
+    only), which join back to the bodies in one equi-join; bodies
+    never shuffle. At 100 TB the removal-list join is the
+    broadcast/bloom candidate, same as d1's keep-set."""
+    narrow = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
+    )
+    ex = narrow.select(
+        "doc",
+        F.posexplode(hashed_tiled_spans(F.col("__text"), width)).alias(
+            "pos", "span"
+        ),
+    )
+    own = ex.groupBy("span").agg(
+        F.min(F.struct("doc", "pos")).alias("__owner")
+    )
+    removed = (
+        ex.join(own, "span")
+        .filter(
+            (F.col("doc") != F.col("__owner.doc"))
+            | (F.col("pos") != F.col("__owner.pos"))
+        )
+        .groupBy("doc")
+        .agg(F.collect_set("pos").alias("__rm"))
+    )
+    out = df.join(
+        removed, df[id_col] == removed["doc"], "left"
+    ).select(
+        F.col(id_col),
+        F.when(F.col("__rm").isNull(), F.col(text_col))
+        .otherwise(
+            F.array_join(
+                F.filter(
+                    tokens(F.col(text_col)),
+                    lambda _t, i: ~F.array_contains(
+                        F.col("__rm"), (i / F.lit(width)).cast("int")
+                    ),
+                ),
+                " ",
+            )
+        )
+        .alias("text"),
+        # size(NULL) is -1 under the legacy default, not NULL — branch
+        # explicitly instead of coalescing
+        F.when(F.col("__rm").isNull(), F.lit(0))
+        .otherwise(F.size("__rm"))
+        .cast("int")
+        .alias("n_removed_spans"),
+    )
+    return out
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-id row per content fingerprint.
 

@@ -577,3 +577,61 @@ def t24_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte-fingerprint 100-TB shuffle shape)."""
     d = load_table(spark, sf_dir, "documents")
     return D.shingle_novelty_stats(d, "text", "doc_id", n=8)
+
+
+_SCRUB_SQL = r"""
+    WITH tok AS (
+      SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0, CAST(floor(len(t) / 10) AS INT) - 1))
+               AS pos
+      FROM tok WHERE len(t) >= 10
+    ),
+    spans AS (
+      SELECT doc_id, pos,
+             array_to_string(t[pos*10+1 : (pos+1)*10], ' ') AS span
+      FROM sp
+    ),
+    rn AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS r
+      FROM spans
+    ),
+    rm AS (
+      SELECT doc_id, list(pos) AS rml FROM rn WHERE r > 1 GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT s.doc_id, string_agg(s.span, ' ' ORDER BY s.pos) AS body
+      FROM spans s JOIN rn USING (doc_id, pos)
+      WHERE rn.r = 1
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN rm.rml IS NULL THEN d.text
+                ELSE trim(concat(COALESCE(k.body, ''), ' ',
+                     array_to_string(
+                       d.t[CAST(floor(len(d.t)/10) AS INT)*10+1 :], ' ')))
+           END AS text,
+           CAST(COALESCE(len(rm.rml), 0) AS INT) AS n_removed_spans
+    FROM tok d
+    LEFT JOIN rm USING (doc_id)
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+"""
+
+
+@register("d14_passage_scrubbed_corpus", _SCRUB_SQL)
+def d14_passage_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL form of d9: delete every corpus-wide repeat of a
+    10-token span except its canonical first occurrence
+    (min (doc, pos)) and rebuild the touched documents — the
+    exact-substring training-data scrub (Lee et al. 2022) the d9
+    audit motivates. Untouched docs pass through verbatim; touched
+    docs are rebuilt from the normalized token stream. See
+    ``functions.dedup.scrub_duplicate_passages`` for the
+    narrow-shuffle shape (8-byte span fingerprints; bodies never
+    shuffle; removal lists are the only wide rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.scrub_duplicate_passages(d, "text", "doc_id", width=10)

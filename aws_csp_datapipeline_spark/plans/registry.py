@@ -72,7 +72,9 @@ def register(name: str, oracle: str | None = None):
 # pipe1/pipe2/pipe3, st4/st7/st8/st10, and the round-9 additions
 # d13_containment_pairs / t24_shingle_novelty / tt14_dsir_weights /
 # s18_persisted_ivf_probe (rows-only; the persisted cell-partitioned
-# IVF index artifact — build once, probe via pruned cell dirs).
+# IVF index artifact — build once, probe via pruned cell dirs) /
+# d14_passage_scrubbed_corpus (oracle-paired; the exact-substring
+# passage REMOVAL form of d9).
 # (The r8 hash-fails dq9/dq13/mm4 are RE-attested in r9 with their
 # result-type fixes — see tools/type_parity.py — not demoted.)
 _WINDOW: tuple[str, ...] = (

@@ -168,3 +168,56 @@ def test_dsir_empty_docs_drop_and_counts(spark):
         df, "text", "doc_id", target=F.col("tgt"), buckets=64
     ).collect()
     assert [(r["doc_id"], r["n_tokens"]) for r in rows] == [(1, 3)]
+
+
+# ---------------------------------------------------------------------
+# scrub_duplicate_passages (d14)
+# ---------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def passage_corpus(spark):
+    """doc 1 owns the 10-token passage; doc 2 repeats it verbatim in
+    the middle of otherwise-unique text; doc 3 is untouched; doc 4 is
+    shorter than one span width."""
+    passage = " ".join(f"p{i}" for i in range(10))  # exactly one tile
+    d2_head = " ".join(f"a{i}" for i in range(10))
+    d2_tail = "tail1 tail2 tail3"
+    return _docs(
+        spark,
+        [
+            (1, passage),
+            (2, d2_head + " " + passage + " " + d2_tail),
+            (3, " ".join(f"u{i}" for i in range(20))),
+            (4, "too short for spans"),
+        ],
+    )
+
+
+def test_scrub_removes_repeat_keeps_canonical(passage_corpus):
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_spans"])
+        for r in D.scrub_duplicate_passages(
+            passage_corpus, "text", "doc_id"
+        ).collect()
+    }
+    passage = " ".join(f"p{i}" for i in range(10))
+    # canonical first occurrence (doc 1, pos 0) survives verbatim
+    assert out[1] == (passage, 0)
+    # doc 2's repeat is excised; its own tokens (head tile + sub-width
+    # tail) survive in order
+    assert out[2] == (
+        " ".join(f"a{i}" for i in range(10)) + " tail1 tail2 tail3",
+        1,
+    )
+    # untouched and sub-width docs pass through verbatim
+    assert out[3] == (" ".join(f"u{i}" for i in range(20)), 0)
+    assert out[4] == ("too short for spans", 0)
+
+
+def test_scrub_within_doc_repeat(spark):
+    """A doc repeating its own tile keeps only the first copy."""
+    tile = " ".join(f"q{i}" for i in range(10))
+    df = _docs(spark, [(7, tile + " " + tile + " " + tile)])
+    row = D.scrub_duplicate_passages(df, "text", "doc_id").collect()[0]
+    assert row["text"] == tile
+    assert row["n_removed_spans"] == 2
