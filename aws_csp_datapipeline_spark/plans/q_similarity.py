@@ -725,3 +725,31 @@ def s18_persisted_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return AI.probe_ivf_index(
         spark, idx, qv, k=10, n_probe=min(4, meta["n_cells"]), exclude_id=0
     )
+
+
+@register("s19_pq_adc_topk", None)
+def s19_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN (rows-only: codebook-dependent): embeddings
+    are product-quantized to m=8 per-subspace codes plus an exact
+    stored norm (~3% of the raw bytes), the query ADC-scores the
+    codes via driver-precomputed lookup tables (m element_at's per
+    row, JVM-side), and the shortlist alone is exact-reranked against
+    full vectors — the IVF-PQ read path's compression half
+    (`functions/pq.py`; recall/reconstruction floors in
+    tests/test_pq.py)."""
+    from aws_csp_datapipeline_spark.functions import pq as PQ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = PQ.train_pq_codebooks(e, "embedding", m=8, k=16)
+    enc = PQ.pq_encode(e, "embedding", books)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return PQ.pq_adc_topk(
+        enc.filter(F.col("vec_id") != 0),
+        books,
+        qv,
+        "vec_id",
+        k=10,
+        shortlist=50,
+        rerank_against=e.filter(F.col("vec_id") != 0),
+        vec_col="embedding",
+    )
