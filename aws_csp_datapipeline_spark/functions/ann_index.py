@@ -89,26 +89,20 @@ def _assign_with_centers(
     )
 
 
-def build_ivf_index(
+def _train_and_assign(
     corpus: DataFrame,
     vec_col: str,
     id_col: str,
-    index_dir: str,
-    n_cells: int | None = None,
-    seed: int = 42,
-    max_iter: int = 10,
-) -> dict:
-    """Build and persist the index; returns the metadata dict.
-
-    Quantizer build follows the measured `ivf_topk` rules: KMeans on a
-    seeded sample of ~64 vectors per centroid, 10 Lloyd iterations
-    (SCALE.md "sf100 ANN/ER/dedup extension" — 8× cheaper than the
-    256/20 build with no recall change), then one `model.transform`
-    pass over the full corpus. Rows with a NULL vector are excluded
-    (cosine against NULL can never match; same drop rule as
-    `semdedup_flags`' single-phase path). The write repartitions by
-    ``cell`` so each task emits only its own cells' files — no
-    task×cell small-file explosion."""
+    n_cells: int | None,
+    seed: int,
+    max_iter: int,
+):
+    """Shared coarse-quantizer build: KMeans on a seeded ~64/centroid
+    sample (the measured `ivf_topk` rules, SCALE.md "sf100 ANN/ER/
+    dedup extension"), one `model.transform` assignment pass. NULL
+    vectors are excluded (cosine against NULL can never match; same
+    drop rule as `semdedup_flags`' single-phase path). Returns
+    (assigned (id, vec, cell), centers, n_rows, n_cells)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -128,6 +122,28 @@ def build_ivf_index(
     assigned = model.transform(feat).select(
         "id", "vec", F.col("prediction").cast("int").alias("cell")
     )
+    centers = [
+        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    return assigned, centers, n_rows, cells
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_dir: str,
+    n_cells: int | None = None,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> dict:
+    """Build and persist the index; returns the metadata dict.
+
+    The write repartitions by ``cell`` so each task emits only its
+    own cells' files — no task×cell small-file explosion."""
+    assigned, centers, n_rows, cells = _train_and_assign(
+        corpus, vec_col, id_col, n_cells, seed, max_iter
+    )
     (
         assigned.repartition(F.col("cell"))
         .write.mode("overwrite")
@@ -135,9 +151,6 @@ def build_ivf_index(
         .parquet(os.path.join(index_dir, _CELLS))
     )
     spark = corpus.sparkSession
-    centers = [
-        (i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
-    ]
     spark.createDataFrame(centers, "cell int, ctr array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(os.path.join(index_dir, _CENTROIDS))
@@ -153,6 +166,114 @@ def build_ivf_index(
     with open(os.path.join(index_dir, _META), "w") as fh:
         json.dump(meta, fh)
     return meta
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    index_dir: str,
+    n_cells: int | None = None,
+    pq_m: int = 8,
+    pq_k: int = 256,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> dict:
+    """The FULL IVF-PQ index: cell-partitioned PQ CODES instead of raw
+    vectors — the artifact stores (id, codes, vnorm, cell), ~3% of the
+    raw bytes, plus the centroid table and the PQ codebooks (in
+    meta.json; m·k·(dim/m) floats, driver-sized by construction).
+    A probe prunes to n_probe cell directories, ADC-scores only codes,
+    and exact-reranks the shortlist against full vectors fetched for
+    finalists only (`probe_ivf_pq_index`). Storage and kernel-choice
+    measurements: SCALE.md "PQ at sf100"."""
+    from aws_csp_datapipeline_spark.functions import pq as PQ
+
+    assigned, centers, n_rows, cells = _train_and_assign(
+        corpus, vec_col, id_col, n_cells, seed, max_iter
+    )
+    books = PQ.train_pq_codebooks(
+        corpus, vec_col, m=pq_m, k=pq_k, seed=seed, max_iter=max_iter
+    )
+    encoded = PQ.pq_encode(assigned, "vec", books).select(
+        "id", "codes", "vnorm", "cell"
+    )
+    (
+        encoded.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(index_dir, _CELLS))
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(centers, "cell int, ctr array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, _CENTROIDS))
+    meta = {
+        "n_cells": cells,
+        "dim": len(centers[0][1]),
+        "n_rows": n_rows,
+        "seed": seed,
+        "vec_col": vec_col,
+        "id_col": id_col,
+        "pq_codebooks": books,
+    }
+    with open(os.path.join(index_dir, _META), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def probe_ivf_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    rerank_against: DataFrame | None = None,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF-PQ read path: prune to the n_probe nearest cell
+    directories (same structural pruning as `probe_ivf_index`),
+    ADC-score the codes there, and — when ``rerank_against`` (the
+    original (id_col, vec_col) corpus) is given — exact-rerank the
+    shortlist against full vectors. Without a rerank table the ADC
+    approximation itself is returned. Returns (id_col, cos_sim)."""
+    from aws_csp_datapipeline_spark.functions import pq as PQ
+
+    meta = read_meta(index_dir)
+    books = meta["pq_codebooks"]
+    centers = [
+        (r["cell"], list(r["ctr"])) for r in _centroids(spark, index_dir).collect()
+    ]
+    probe = [c for c, _ in _rank_cells_local(centers, query_vec)[:n_probe]]
+    cells_dir = os.path.join(index_dir, _CELLS)
+    paths = [
+        p
+        for c in probe
+        if os.path.isdir(p := os.path.join(cells_dir, f"cell={c}"))
+    ]
+    cand = spark.read.option("basePath", cells_dir).parquet(*paths)
+    if exclude_id is not None:
+        cand = cand.filter(F.col("id") != exclude_id)
+    rr = rerank_against
+    if rr is not None:
+        rr = rr.select(
+            F.col(meta["id_col"]).alias("id"),
+            F.col(meta["vec_col"]).alias("__rv"),
+        )
+        if exclude_id is not None:
+            rr = rr.filter(F.col("id") != exclude_id)
+    out = PQ.pq_adc_topk(
+        cand,
+        books,
+        query_vec,
+        "id",
+        k=k,
+        shortlist=shortlist,
+        rerank_against=rr,
+        vec_col="__rv" if rr is not None else None,
+    )
+    return out.withColumnRenamed("id", meta["id_col"])
 
 
 def read_meta(index_dir: str) -> dict:

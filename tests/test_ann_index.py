@@ -158,3 +158,76 @@ def _data_files(path):
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
     return out
+
+
+def test_ivf_pq_full_probe_rerank_equals_bruteforce(spark, sf_oracle, tmp_path):
+    """With every cell probed and a corpus-sized shortlist, the
+    IVF-PQ read path's exact rerank must reproduce brute force."""
+    from aws_csp_datapipeline_spark.functions import ann_index as AI
+
+    idx = str(tmp_path / "ivfpq")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    meta = AI.build_ivf_pq_index(
+        emb, "embedding", "vec_id", idx, n_cells=8, pq_m=8, pq_k=16
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    got = {
+        (r["vec_id"], r["cos_sim"])
+        for r in AI.probe_ivf_pq_index(
+            spark,
+            idx,
+            qv,
+            k=10,
+            n_probe=meta["n_cells"],
+            shortlist=meta["n_rows"],
+            rerank_against=emb,
+            exclude_id=0,
+        ).collect()
+    }
+    from aws_csp_datapipeline_spark.functions.similarity import cosine_topk
+
+    exact = {
+        (r["vec_id"], r["cos_sim"])
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qv, k=10
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_pq_pruned_probe_recall(spark, sf_oracle, tmp_path):
+    from aws_csp_datapipeline_spark.functions import ann_index as AI
+    from aws_csp_datapipeline_spark.functions.similarity import cosine_topk
+
+    idx = str(tmp_path / "ivfpq")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    AI.build_ivf_pq_index(
+        emb, "embedding", "vec_id", idx, n_cells=8, pq_m=8, pq_k=16
+    )
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    probe = AI.probe_ivf_pq_index(
+        spark, idx, qv, k=10, n_probe=4, shortlist=50,
+        rerank_against=emb, exclude_id=0,
+    )
+    exact = {
+        r["vec_id"]
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != 0), "embedding", "vec_id", qv, k=10
+        ).collect()
+    }
+    got = {r["vec_id"] for r in probe.collect()}
+    assert len(got & exact) / len(exact) >= 0.4  # double-approximate path
+    # pruning held: only codes inside probed cells were read
+    cells_touched = {
+        part
+        for f in probe.inputFiles()
+        for part in f.split(os.sep)
+        if part.startswith("cell=")
+    }
+    assert 0 < len(cells_touched) <= 4
