@@ -101,6 +101,10 @@ HEADLINE = [
     # generated-SQL twins of the lane arrays — cold at sf0.1 dropped
     # 13.2 s -> 6.4 s, now data-dominated (SCALE.md "er3 build cost").
     "er3_indel_complete_matches",
+    # round-9 addition: the passage REMOVAL operator (d14) joins its
+    # audit twin (d9) in the headline — 1.22 s vs d9's 1.04 s at
+    # sf0.1 on entry, the rebuild costing ~17% over the stats pass.
+    "d14_passage_scrubbed_corpus",
     # er4_match_stats (the count-only governance form) stays out: the
     # headline already times the same lane machinery twice via
     # er2 + er3; er4's scale story is the sf100 spot record
