@@ -971,9 +971,23 @@ def simhash_candidate_pairs(
     ``max_hamming + 1`` chunks (pigeonhole: any pair within the
     hamming budget shares at least one identical chunk), equi-join on
     (chunk-index, chunk), then filter by true hamming distance."""
+    sig = simhash64(df, text_col, id_col)
+    return hamming_candidate_pairs(sig, "doc", "simhash", max_hamming)
+
+
+def hamming_candidate_pairs(
+    sig: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pigeonhole-banded hamming join over ANY 64-bit fingerprint
+    column (SimHash text prints, image dHashes, …): band into
+    ``max_hamming + 1`` chunks — a pair within the hamming budget
+    must agree on at least one whole chunk — bucket-join on
+    (band, chunk), verify true hamming. Never all-pairs: candidate
+    volume is bounded by per-bucket populations exactly like d3's
+    LSH banding. Returns (doc_a, doc_b, hamming)."""
     nbands = max_hamming + 1
     width = 64 // nbands
-    sig = simhash64(df, text_col, id_col)
+    sig = sig.select(F.col(id_col).alias("doc"), F.col(hash_col).alias("simhash"))
     chunks = F.array(
         *[
             F.struct(

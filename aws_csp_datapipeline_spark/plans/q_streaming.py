@@ -611,3 +611,27 @@ def mm7_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_images"), F.asc("dhash"))
         .limit(100)
     )
+
+
+@register("mm8_image_neardup_pairs", None)
+def mm8_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual NEAR-dup image pairs (rows-only: hash-family
+    dependent): dHash per payload, then the pigeonhole-banded hamming
+    join (`functions.dedup.hamming_candidate_pairs` — the d4 SimHash
+    machinery pointed at the image fingerprint): a pair within the
+    hamming budget must agree on one whole 64/(h+1)-bit chunk, so
+    candidates come from bucket joins, never all-pairs. The image
+    twin of d3's near-dup lane the way mm7 is d1's exact twin
+    (planted real-PNG test: tests/test_multimodal_codec.py::
+    test_image_neardup_pairs_banded). Only (doc_id, 8-byte hash)
+    rows shuffle — pixels stay in the scan stage."""
+    from aws_csp_datapipeline_spark.functions.dedup import hamming_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    media = MM.to_media_column(d, "doc_id", "text")
+    hashes = MM.image_dhash(media, fake_decode=True)
+    return (
+        hamming_candidate_pairs(hashes, "doc_id", "dhash", max_hamming=6)
+        .orderBy("doc_a", "doc_b")
+        .limit(500)
+    )

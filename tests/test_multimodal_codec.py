@@ -429,3 +429,42 @@ def test_dhash_tiny_png_hashes_instead_of_failing(spark):
     }
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_image_neardup_pairs_banded(spark):
+    """The banded hamming join finds the one-pixel-edit pair and the
+    identical re-encode pair, and keeps the unrelated image out —
+    near-dup IMAGE dedup end to end on real PNGs."""
+    from aws_csp_datapipeline_spark.functions import multimodal as MM
+    from aws_csp_datapipeline_spark.functions.dedup import hamming_candidate_pairs
+    from aws_csp_datapipeline_spark.functions.png_codec import encode_png
+
+    w = h = 32
+    base = bytearray()
+    for y in range(h):
+        for x in range(w):
+            base.append((16 * (x // 4) + (8 if y >= 16 else 0)) & 0xFF)
+    edited = bytearray(base)
+    edited[5] = (edited[5] + 9) & 0xFF
+    noise = bytes(((x * 73 + 41) ** 2 + 7 * x) % 256 for x in range(w * h))
+    pngs = {
+        1: encode_png(bytes(base), w, h, 1),
+        2: encode_png(bytes(edited), w, h, 1),
+        3: encode_png(noise, w, h, 1),
+        4: encode_png(bytes(base), w, h, 1),
+    }
+    media = spark.createDataFrame(
+        [(k, bytearray(v), "image/png", len(v)) for k, v in pngs.items()],
+        "doc_id long, payload binary, mime string, n_bytes long",
+    )
+    hashes = MM.image_dhash(media, fake_decode=False)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_candidate_pairs(
+            hashes, "doc_id", "dhash", max_hamming=6
+        ).collect()
+    }
+    assert (1, 4) in pairs and pairs[(1, 4)] == 0  # identical re-encode
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6  # one-pixel edit
+    assert (2, 4) in pairs  # transitivity of the planted trio
+    assert not any(3 in p for p in pairs)  # unrelated image excluded
