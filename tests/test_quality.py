@@ -151,6 +151,8 @@ def test_corpus_report_tool(tmp_path):
         "Language mix",
         "Vocabulary health",
         "Duplication",
+        "Passage duplication",
+        "Near-dup banding",
         "Pre-flight diagnostics",
     ):
         assert section in text

@@ -117,6 +117,28 @@ def main() -> None:
         )
     )
 
+    # Passage duplication: the sub-document repeat mass (d9 audit)
+    # and what the d14 scrub would actually remove — the number a
+    # curation team weighs before running the removal pass.
+    scrub = q("d14_passage_scrubbed_corpus").agg(
+        F.sum("n_removed_spans").alias("spans_removed"),
+        F.sum((F.col("n_removed_spans") > 0).cast("int")).alias("docs_touched"),
+    ).collect()[0]
+    psg = q("d9_duplicate_passages").agg(
+        F.sum("n_spans").alias("n_spans"),
+        F.sum("n_dup_spans").alias("n_dup_spans"),
+    ).collect()[0]
+    sections.append(
+        (
+            "Passage duplication",
+            f"- 10-token spans audited: **{psg['n_spans']}**, in a "
+            f"duplicated pile: **{psg['n_dup_spans']}**\n"
+            f"- d14 scrub effect: **{scrub['spans_removed']}** span "
+            f"occurrences removed across **{scrub['docs_touched']}** "
+            f"documents (canonical first occurrences kept)\n",
+        )
+    )
+
     # Near-dup banding: is the half-cost LSH lane (k=30, b=10, r=3 —
     # ~2x cheaper banding join) safe for THIS corpus? Computed from
     # the verified default-banding pair set (r=2 recall 1-8e-8 at the
