@@ -998,3 +998,78 @@ def dq17_monotonicity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_users_affected"),
     )
+
+
+@register(
+    "dq18_ks_drift",
+    """
+    WITH d AS (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'c0'
+                  THEN 1 ELSE 0 END AS is_train,
+             CAST(n_chars AS BIGINT) // 50 AS v
+      FROM documents
+    ), counts AS (
+      SELECT v,
+             SUM(is_train) AS c1,
+             SUM(1 - is_train) AS c2
+      FROM d GROUP BY v
+    ), cum AS (
+      SELECT SUM(c1) OVER (ORDER BY v) AS cum1,
+             SUM(c2) OVER (ORDER BY v) AS cum2,
+             SUM(c1) OVER () AS n1,
+             SUM(c2) OVER () AS n2
+      FROM counts
+    )
+    SELECT ROUND(MAX(ABS(CAST(cum1 AS DOUBLE) / n1
+                         - CAST(cum2 AS DOUBLE) / n2)), 6) AS ks_d,
+           CAST(MAX(n1) AS BIGINT) AS n_train,
+           CAST(MAX(n2) AS BIGINT) AS n_test
+    FROM cum
+    """,
+)
+def dq18_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    train/test splits over the document-length distribution: the
+    max ECDF gap, the distribution-shape sibling of dq7's PSI (PSI
+    sees mass shifts per bucket; KS sees the worst cumulative gap,
+    catching location shifts PSI's coarse buckets dilute).
+
+    Exact on a 50-char quantized grid: the first groupBy collapses
+    the corpus to one row per occupied grid value, so the ECDF
+    window (a single unpartitioned ordered sum) runs over a
+    grid-sized relation — corpus-size-independent, the dq7/dq16
+    constant-tail shape — rather than sorting raw values."""
+    from pyspark.sql import Window
+
+    from aws_csp_datapipeline_spark.functions import sampling as SMP
+
+    docs = SMP.hash_split(load_table(spark, sf_dir, "documents"), "doc_id", 0.75)
+    d = docs.select(
+        (F.col("split") == "train").cast("int").alias("is_train"),
+        (F.col("n_chars").cast("long") / 50).cast("long").alias("v"),
+    )
+    counts = d.groupBy("v").agg(
+        F.sum("is_train").alias("c1"),
+        F.sum(F.lit(1) - F.col("is_train")).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = counts.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+        F.sum("c1").over(tot).alias("n1"),
+        F.sum("c2").over(tot).alias("n2"),
+    )
+    return cum.agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+        F.max("n1").cast("long").alias("n_train"),
+        F.max("n2").cast("long").alias("n_test"),
+    )

@@ -76,7 +76,8 @@ def register(name: str, oracle: str | None = None):
 # d14_passage_scrubbed_corpus (oracle-paired; the exact-substring
 # passage REMOVAL form of d9) / s19_pq_adc_topk (rows-only; product
 # quantization + ADC shortlist with exact rerank) /
-# mm8_image_neardup_pairs (rows-only; banded dHash hamming join).
+# mm8_image_neardup_pairs (rows-only; banded dHash hamming join) /
+# dq18_ks_drift (oracle-paired; two-sample KS on a quantized grid).
 # (The r8 hash-fails dq9/dq13/mm4 are RE-attested in r9 with their
 # result-type fixes — see tools/type_parity.py — not demoted.)
 _WINDOW: tuple[str, ...] = (
