@@ -387,6 +387,111 @@ def batch_probe_ivf_index(
     )
 
 
+def batch_probe_ivf_pq_index(
+    spark: SparkSession,
+    index_dir: str,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+    rerank_against: DataFrame | None = None,
+) -> DataFrame:
+    """ANN join of a probe TABLE against the persisted IVF-PQ index:
+    cells ranked per probe against the broadcast centroid table, PQ
+    codes fetched with one equi-join on ``cell``, ADC-scored per
+    (probe, candidate) via the codebook literal (JVM-side: the m×k
+    dot-product table is a probe-INDEPENDENT reformulation — each
+    subspace looks up the candidate's centroid and dots it against
+    the probe's subvector), then per-probe shortlist and optional
+    exact rerank. Returns (probe_id, neighbor_id, cos_sim)."""
+    from pyspark.sql import Window
+
+    from aws_csp_datapipeline_spark.functions import pq as PQ
+    from aws_csp_datapipeline_spark.functions.similarity import cosine
+
+    meta = read_meta(index_dir)
+    books = meta["pq_codebooks"]
+    m = len(books)
+    sub = len(books[0][0])
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), _as_double(F.col(vec_col)).alias("pv")
+    ).filter(F.col("pv").isNotNull())
+    ranked = p.crossJoin(
+        F.broadcast(
+            _centroids(spark, index_dir).select(
+                F.col("cell"), F.col("ctr").alias("__ctr")
+            )
+        )
+    ).withColumn("__cdist", _cell_rank_expr(F.col("pv")))
+    wc = Window.partitionBy("probe_id").orderBy("__cdist", "cell")
+    pcells = (
+        ranked.withColumn("__rc", F.row_number().over(wc))
+        .filter(F.col("__rc") <= n_probe)
+        .select("probe_id", "pv", "cell")
+    )
+    idx = spark.read.parquet(os.path.join(index_dir, _CELLS))
+    # ADC against a moving probe: decode the candidate's per-subspace
+    # centroid (a literal-array lookup) and dot it with the probe's
+    # subvector — identical arithmetic to the single-probe LUT form
+    adot = None
+    for j, book in enumerate(books):
+        cb = PQ._codebook_expr(book)
+        centroid_j = F.element_at(cb, F.element_at(F.col("codes"), j + 1) + 1)
+        term = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("pv"), j * sub + 1, sub),
+                centroid_j,
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        adot = term if adot is None else adot + term
+    pnorm = F.sqrt(
+        F.aggregate(F.col("pv"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = (
+        idx.join(F.broadcast(pcells), "cell")
+        .filter(F.col("probe_id") != F.col("id"))
+        .withColumn("adc_sim", adot / (pnorm * F.col("vnorm")))
+        .select("probe_id", F.col("id").alias("neighbor_id"), "adc_sim")
+    )
+    n_short = shortlist or (4 * k if rerank_against is not None else k)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_sim").desc(), "neighbor_id"
+    )
+    short = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max(n_short, k))
+        .drop("__rn")
+    )
+    if rerank_against is None:
+        return short.select(
+            "probe_id", "neighbor_id", F.round("adc_sim", 4).alias("cos_sim")
+        )
+    full = rerank_against.select(
+        F.col(meta["id_col"]).alias("neighbor_id"),
+        _as_double(F.col(meta["vec_col"])).alias("__v"),
+    )
+    rer = (
+        short.join(full, "neighbor_id")
+        .join(p, "probe_id")
+        .withColumn("cos_sim", F.round(cosine(F.col("pv"), F.col("__v")), 4))
+        .select("probe_id", "neighbor_id", "cos_sim")
+    )
+    wr = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    return (
+        rer.withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def append_to_index(
     delta: DataFrame, vec_col: str, id_col: str, index_dir: str
 ) -> int:

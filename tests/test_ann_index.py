@@ -231,3 +231,44 @@ def test_ivf_pq_pruned_probe_recall(spark, sf_oracle, tmp_path):
         if part.startswith("cell=")
     }
     assert 0 < len(cells_touched) <= 4
+
+
+def test_ivf_pq_batch_probe_full_equals_bruteforce(spark, sf_oracle, tmp_path):
+    """Batch IVF-PQ with every cell probed + corpus-wide shortlist +
+    exact rerank reproduces brute force for each probe."""
+    from aws_csp_datapipeline_spark.functions import ann_index as AI
+    from aws_csp_datapipeline_spark.functions.similarity import cosine_topk
+
+    idx = str(tmp_path / "ivfpq_batch")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    meta = AI.build_ivf_pq_index(
+        emb, "embedding", "vec_id", idx, n_cells=8, pq_m=8, pq_k=16
+    )
+    probes = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r["probe_id"], r["neighbor_id"], r["cos_sim"])
+        for r in AI.batch_probe_ivf_pq_index(
+            spark,
+            idx,
+            probes,
+            "embedding",
+            "vec_id",
+            k=5,
+            n_probe=meta["n_cells"],
+            shortlist=meta["n_rows"],
+            rerank_against=emb,
+        ).collect()
+    }
+    want = set()
+    for pid in range(3):
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == pid)
+            .select("embedding")
+            .first()[0]
+        ]
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != pid), "embedding", "vec_id", qv, k=5
+        ).collect():
+            want.add((pid, r["vec_id"], r["cos_sim"]))
+    assert got == want
