@@ -158,3 +158,80 @@ def kmv_pair_estimates(
     est_inter = F.when(m < k, shared.cast("double")).otherwise(rho * est_union)
     est_jacc = F.when(m < k, shared / m.cast("double")).otherwise(rho)
     return est_union, est_inter, est_jacc
+
+
+def bloom_build(
+    df: DataFrame, key: Column, n_bits: int = 1 << 20, k: int = 5
+) -> DataFrame:
+    """Bloom filter as a RELATION: (word_idx, word) rows — int64 words
+    of a ``n_bits`` bitset, each member setting ``k`` bits
+    (xxhash64(key, seed) per seed, codegen-side). Built with one
+    explode(k tags) + one bit_or aggregate, so it partial-aggregates
+    map-side like the CMS above and MERGES by UNION + re-bit_or.
+
+    Why relational instead of Spark's internal BloomFilter binary
+    (`bloom_filter_agg` is not in the public function registry —
+    verified UNRESOLVED_ROUTINE on this build): the word table is
+    queryable, mergeable, and persistable with plain SQL, and at
+    n_bits=2^27 it is ~2M rows / 16 MB — broadcastable. This is the
+    "ships as a broadcast/bloom filter instead of the equi-join"
+    restatement the d1/d9 docstrings promise for 100-TB membership:
+    the big side probes a broadcast word table instead of shuffling
+    its fingerprints into a join.
+
+    Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k; at m/n = 10
+    bits per member and k = 5 that is ~0.9%."""
+    tags = F.array(*[F.lit(i) for i in range(k)])
+    bit = F.pmod(F.xxhash64(F.col("__k"), F.col("__seed")), F.lit(n_bits))
+    return (
+        df.select(key.alias("__k"), F.explode(tags).alias("__seed"))
+        .select(
+            (bit / 64).cast("long").alias("word_idx"),
+            (bit % 64).cast("int").alias("__bit"),
+        )
+        # F.shiftleft only takes a literal shift in the Python API —
+        # the column-shift form goes through the SQL expression
+        .select("word_idx", F.expr("shiftleft(CAST(1 AS BIGINT), __bit)").alias("__w"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("__w").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    key: Column,
+    bloom: DataFrame,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Membership probe against a ``bloom_build`` word table: each row
+    derives its k (word_idx, bit) pairs, LEFT-joins the broadcast word
+    table, and is a member candidate iff ALL k bits are set. No
+    false negatives; false positives at the sized rate. The probe
+    side's own columns ride along untouched."""
+    cols = df.columns
+    tags = F.array(*[F.lit(i) for i in range(k)])
+    bit = F.pmod(F.xxhash64(key, F.col("__seed")), F.lit(n_bits))
+    probes = (
+        df.select(*cols, F.explode(tags).alias("__seed"))
+        .select(
+            *cols,
+            (bit / 64).cast("long").alias("word_idx"),
+            (bit % 64).cast("int").alias("__bit"),
+        )
+        .select(
+            *cols,
+            "word_idx",
+            F.expr("shiftleft(CAST(1 AS BIGINT), __bit)").alias("__b"),
+        )
+    )
+    joined = probes.join(F.broadcast(bloom), "word_idx", "left").withColumn(
+        "__hit",
+        (F.col("word").isNotNull())
+        & (F.col("word").bitwiseAND(F.col("__b")) == F.col("__b")),
+    )
+    return (
+        joined.groupBy(*cols)
+        .agg((F.sum(F.col("__hit").cast("int")) == k).alias(out_col))
+    )

@@ -255,3 +255,51 @@ def test_kmv_estimates_track_exact_overlap(spark, sf_oracle):
             est = ests.get(pair, 0.0)
             assert abs(est - n) <= max(3.0, tol * max(n, 10)), (k, pair, est, n)
     fp.unpersist()
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every member probes true (bloom guarantee); non-member false
+    positives stay near the sized ~0.9% rate (m/n=10 bits, k=5)."""
+    from aws_csp_datapipeline_spark.functions import sketches as SK
+
+    n = 5_000
+    members = spark.range(n).select(F.col("id").alias("key"))
+    bloom = SK.bloom_build(members, F.col("key"), n_bits=n * 10, k=5)
+
+    hits = SK.bloom_probe(
+        members, F.col("key"), bloom, n_bits=n * 10, k=5
+    )
+    assert hits.filter(~F.col("might_contain")).count() == 0
+
+    non = spark.range(1_000_000, 1_000_000 + 20_000).select(
+        F.col("id").alias("key")
+    )
+    fp = (
+        SK.bloom_probe(non, F.col("key"), bloom, n_bits=n * 10, k=5)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert fp / 20_000 < 0.03, fp  # sized ~0.9%, generous margin
+
+
+def test_bloom_merge_by_union(spark):
+    """Two half-corpus blooms re-aggregated equal the one-shot bloom —
+    the partial/merge property the 100-TB membership path needs."""
+    from aws_csp_datapipeline_spark.functions import sketches as SK
+
+    a = spark.range(0, 500).select(F.col("id").alias("key"))
+    b = spark.range(500, 1_000).select(F.col("id").alias("key"))
+    both = a.unionByName(b)
+    one_shot = {
+        (r["word_idx"], r["word"])
+        for r in SK.bloom_build(both, F.col("key"), n_bits=8192, k=5).collect()
+    }
+    merged = {
+        (r["word_idx"], r["word"])
+        for r in SK.bloom_build(a, F.col("key"), n_bits=8192, k=5)
+        .unionByName(SK.bloom_build(b, F.col("key"), n_bits=8192, k=5))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    }
+    assert one_shot == merged
