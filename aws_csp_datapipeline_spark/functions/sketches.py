@@ -235,3 +235,39 @@ def bloom_probe(
         joined.groupBy(*cols)
         .agg((F.sum(F.col("__hit").cast("int")) == k).alias(out_col))
     )
+
+
+def bloom_dense_words(bloom: DataFrame, n_bits: int) -> list[int]:
+    """Collect a ``bloom_build`` word table into the dense int64 word
+    list (driver-side). Size bound: n_bits/64 longs — 16k at 2^20
+    bits, 64k at 2^22; use the relational ``bloom_probe`` instead
+    when the filter is too big to ship as a literal."""
+    words = [0] * (n_bits // 64)
+    for r in bloom.collect():
+        words[int(r["word_idx"])] = int(r["word"])
+    return words
+
+
+def bloom_contains_expr(
+    words: list[int], key: Column, n_bits: int, k: int = 5
+) -> Column:
+    """ZERO-join membership test: the dense word list ships as ONE
+    literal array expression (generated SQL parsed JVM-side — the
+    er3 py4j-chatter lesson, SCALE.md "er3 build cost") and each row
+    checks its k bits with element_at lookups inline in the
+    projection. No shuffle, no join — the probe rides the scan. The
+    scale form of "ship the membership set into the probe scan":
+    big-big membership joins become a map-side filter plus one small
+    exact-confirm join on the survivors. Use the relational
+    ``bloom_probe`` when the filter outgrows a literal
+    (``bloom_dense_words`` documents the bound)."""
+    arr = F.expr("array(" + ",".join(f"{w}L" for w in words) + ")")
+    one = F.lit(1).cast("long")
+    cond = None
+    for i in range(k):
+        bit = F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits))
+        word = F.element_at(arr, (bit / 64).cast("int") + 1)
+        mask = F.call_function("shiftleft", one, (bit % 64).cast("int"))
+        hit = word.bitwiseAND(mask) != 0
+        cond = hit if cond is None else cond & hit
+    return cond

@@ -463,9 +463,7 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "tt8_ngram_decontaminate",
-    """
+_DECON_SQL = """
     WITH tok AS (
       SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
       FROM documents
@@ -495,8 +493,10 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN train_g t ON e.g = t.g
     WHERE s.split = 'test'
     GROUP BY e.doc_id
-    """,
-)
+    """
+
+
+@register("tt8_ngram_decontaminate", _DECON_SQL)
 def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: test-split documents sharing any
     word-5-gram with the train split, with the count of shared
@@ -861,3 +861,62 @@ def tt14_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.dsir_logweights(
         d, "text", "doc_id", target=F.col("lang") == "en", buckets=1024
     )
+
+
+@register("tt15_bloom_decontaminate", _DECON_SQL)
+def tt15_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tt8's decontamination through the bloom membership path: the
+    distinct train-gram set builds a bloom filter
+    (`sketches.bloom_build`), the dense word list ships INTO the
+    test-side projection as one literal array (`bloom_contains_expr`
+    — zero joins), and the FP survivors take the exact confirm join
+    that makes the output EXACTLY tt8's (same oracle, same hash
+    gate).
+
+    MEASURED honestly (SCALE.md "Bloom prefilter vs fingerprint
+    join"): at sf10 this lane is ~3× SLOWER than tt8's direct
+    8-byte-fingerprint join — the bloom build is an extra eager pass,
+    and the giant literal array knocks the probe off whole-stage
+    codegen. The regime where the bloom shape wins is a SMALL, FIXED
+    member set (a real eval benchmark: thousands of docs ⇒ a
+    kilobyte-scale filter probed by a 100-TB train scan with no
+    member-side shuffle at all); when the member set grows with the
+    corpus — as it does here, where 'train' is 75% of it — the
+    fingerprint equi-join is the right plan and tt8 keeps it. This
+    entry exists to keep the mechanism oracle-attested, not to
+    replace tt8."""
+    from aws_csp_datapipeline_spark.functions import dedup as D
+    from aws_csp_datapipeline_spark.functions import sketches as SK
+
+    n_bits, k = 1 << 20, 5
+    d = load_table(spark, sf_dir, "documents")
+    split = SMP.hash_split(d, "doc_id", 0.75)
+    grams = split.select(
+        "doc_id",
+        "split",
+        F.explode(D.hashed_word_shingles(F.col("text"), 5)).alias("g"),
+    )
+    # the bloom build is an EAGER pass (collect of ≤ n_bits/64 words),
+    # so without a persist the distinct train-gram derivation would
+    # run twice — once for the build, once for the confirm join.
+    # Narrow 8-byte rows, same persist policy as the d1 keep-set.
+    train_g = (
+        grams.filter(F.col("split") == "train")
+        .select("g")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bloom = SK.bloom_build(train_g, F.col("g"), n_bits=n_bits, k=k)
+    words = SK.bloom_dense_words(bloom, n_bits)
+    survivors = grams.filter(F.col("split") == "test").filter(
+        SK.bloom_contains_expr(words, F.col("g"), n_bits, k)
+    )
+    out = (
+        survivors.join(train_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+    # the dedup-module cache convention: the caller releases the
+    # persisted lane once the result is actioned (release_caches)
+    out._graft_caches = (train_g,)
+    return out

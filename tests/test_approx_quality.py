@@ -303,3 +303,31 @@ def test_bloom_merge_by_union(spark):
         .collect()
     }
     assert one_shot == merged
+
+
+def test_bloom_inline_expr_matches_relational_probe(spark):
+    """The zero-join literal-array probe agrees with the relational
+    probe on members AND non-members."""
+    from aws_csp_datapipeline_spark.functions import sketches as SK
+
+    n_bits = 1 << 14
+    members = spark.range(2_000).select(F.col("id").alias("key"))
+    bloom = SK.bloom_build(members, F.col("key"), n_bits=n_bits, k=5)
+    words = SK.bloom_dense_words(bloom, n_bits)
+
+    probe = spark.range(0, 6_000).select(F.col("id").alias("key"))
+    inline = {
+        r["key"]: r["m"]
+        for r in probe.select(
+            "key",
+            SK.bloom_contains_expr(words, F.col("key"), n_bits, 5).alias("m"),
+        ).collect()
+    }
+    rel = {
+        r["key"]: r["might_contain"]
+        for r in SK.bloom_probe(
+            probe, F.col("key"), bloom, n_bits=n_bits, k=5
+        ).collect()
+    }
+    assert inline == rel
+    assert all(inline[i] for i in range(2_000))  # no false negatives
