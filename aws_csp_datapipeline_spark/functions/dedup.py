@@ -167,7 +167,9 @@ def duplicate_passage_stats(
     the string formulation. At 100 TB the fingerprint widens to
     128-bit and the >1-occurrence span set (tiny relative to the
     corpus) additionally ships as a broadcast/bloom filter instead of
-    the equi-join."""
+    the equi-join — the ASYMMETRIC membership regime where the bloom
+    shape pays (`sketches.bloom_build`; SCALE.md "Bloom prefilter vs
+    fingerprint join" for the measured boundary)."""
     narrow = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
     )

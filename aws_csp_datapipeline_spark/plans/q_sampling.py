@@ -508,9 +508,11 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings — fixed 8-byte keys through the distinct and the join
     (A/B at sf1, warm: 2.6 s → 1.8 s, identical rows; counts differ
     only on a 64-bit collision, ~1e-7 corpus-wide). At 100 TB the
-    fingerprints widen to 128-bit and the distinct-train-gram set
-    additionally ships as a bloom filter into the probe scan before
-    the exact join confirms."""
+    fingerprints widen to 128-bit; a bloom prefilter does NOT help
+    here — measured at sf10 it is ~3× slower because the member set
+    (train grams) scales with the corpus (tt15 keeps the mechanism
+    attested; SCALE.md "Bloom prefilter vs fingerprint join" has the
+    A/B and the asymmetric regime where the bloom shape does win)."""
     from aws_csp_datapipeline_spark.functions import dedup as D
 
     d = load_table(spark, sf_dir, "documents")
