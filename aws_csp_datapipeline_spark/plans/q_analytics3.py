@@ -657,3 +657,53 @@ def ap3_trimmed_mean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return trimmed_mean_grouped_agg(d, "lang", "n_chars", trim_frac=0.1)
+
+
+@register(
+    "q23_copurchase_pairs",
+    """
+    WITH parts AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM parts a JOIN parts b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 50
+    """,
+)
+def q23_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: part pairs co-occurring in ≥2
+    orders, top-50 by support — the association-rule primitive
+    (recommendation candidates, co-occurrence stats) in its exact
+    self-join form.
+
+    Scale shape: the within-order self-join expands each order to
+    C(items, 2) pairs, but the basket key bounds the blow-up —
+    lineitem orders hold ≤7 items (≤21 pairs), and real baskets are
+    similarly capped upstream by a per-basket item limit, so the
+    expansion is a CONSTANT factor, never quadratic in the table (the
+    er1 fixed-block lesson in basket form). One distinct, one
+    equi-join co-partitioned on the SAME orderkey the distinct just
+    shuffled (no extra exchange), one count aggregate with map-side
+    combine, TakeOrdered for the top-50."""
+    li = load_table(spark, sf_dir, "lineitem")
+    parts = li.select("l_orderkey", "l_partkey").distinct()
+    a = parts.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = parts.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(50)
+    )

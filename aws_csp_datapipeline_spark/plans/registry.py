@@ -77,7 +77,9 @@ def register(name: str, oracle: str | None = None):
 # passage REMOVAL form of d9) / s19_pq_adc_topk (rows-only; product
 # quantization + ADC shortlist with exact rerank) /
 # mm8_image_neardup_pairs (rows-only; banded dHash hamming join) /
-# dq18_ks_drift (oracle-paired; two-sample KS on a quantized grid).
+# dq18_ks_drift (oracle-paired; two-sample KS on a quantized grid) /
+# tt15_bloom_decontaminate (oracle ≡ tt8; the bloom membership lane) /
+# q23_copurchase_pairs (oracle-paired; market-basket pair mining).
 # (The r8 hash-fails dq9/dq13/mm4 are RE-attested in r9 with their
 # result-type fixes — see tools/type_parity.py — not demoted.)
 _WINDOW: tuple[str, ...] = (
