@@ -681,26 +681,38 @@ def q23_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recommendation candidates, co-occurrence stats) in its exact
     self-join form.
 
-    Scale shape: the within-order self-join expands each order to
-    C(items, 2) pairs, but the basket key bounds the blow-up —
-    lineitem orders hold ≤7 items (≤21 pairs), and real baskets are
-    similarly capped upstream by a per-basket item limit, so the
-    expansion is a CONSTANT factor, never quadratic in the table (the
-    er1 fixed-block lesson in basket form). One distinct, one
-    equi-join co-partitioned on the SAME orderkey the distinct just
-    shuffled (no extra exchange), one count aggregate with map-side
-    combine, TakeOrdered for the top-50."""
+    Scale shape — JOIN-FREE: one groupBy(orderkey) collects each
+    basket's distinct item array (collect_set — the only scan and
+    first shuffle), pairs are generated INLINE from the sorted array
+    (flatten-of-transforms, ≤C(items,2) structs per basket — bounded
+    by the ≤7-item basket, so a constant factor, the er1 fixed-block
+    lesson in basket form), then one pair-keyed count aggregate with
+    map-side combine and a TakeOrdered. The naive self-join form
+    computes the distinct item table TWICE and needs a broadcast (or
+    an orderkey re-shuffle) that stops being available at corpus
+    scale — this shape replaces the join with per-basket array
+    expressions entirely (the oracle states the self-join
+    formulation)."""
     li = load_table(spark, sf_dir, "lineitem")
-    parts = li.select("l_orderkey", "l_partkey").distinct()
-    a = parts.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+        .filter(F.size("items") >= 2)
     )
-    b = parts.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    pairs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("items"), i + 2, F.size(F.col("items")) - i - 1
+                ),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.part_a"), F.col("p.part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
