@@ -556,3 +556,39 @@ def w15_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__n") >= 10) & (F.col("__sd") > 0))
         .drop("__n", "__sd")
     )
+
+
+@register(
+    "w16_moving_median",
+    """
+    SELECT o_orderkey,
+           ROUND(median(o_totalprice) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mov_median
+    FROM orders
+    """,
+)
+def w16_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median (trailing 5-row window per priority lane): the
+    robust smoother a mean-based rolling average can't give — one
+    outlier order no longer drags the trend line (pairs with w15's
+    rolling z-score, which flags the outliers this smooths past).
+    Spark's exact `percentile` evaluates as a window aggregate over
+    the bounded ROWS frame, so cost is frame-sized per row (5 values
+    sorted per output), not partition-sized; the frame ordering
+    (date, key) is total, so results are deterministic and
+    engine-portable (verified element-exact vs DuckDB's windowed
+    median)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    med = F.expr("percentile(o_totalprice, 0.5)")
+    return o.select(
+        "o_orderkey", F.round(med.over(w), 4).alias("mov_median")
+    )

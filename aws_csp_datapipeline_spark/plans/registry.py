@@ -79,7 +79,8 @@ def register(name: str, oracle: str | None = None):
 # mm8_image_neardup_pairs (rows-only; banded dHash hamming join) /
 # dq18_ks_drift (oracle-paired; two-sample KS on a quantized grid) /
 # tt15_bloom_decontaminate (oracle ≡ tt8; the bloom membership lane) /
-# q23_copurchase_pairs (oracle-paired; market-basket pair mining).
+# q23_copurchase_pairs (oracle-paired; market-basket pair mining) /
+# w16_moving_median (oracle-paired; bounded-frame exact percentile).
 # (The r8 hash-fails dq9/dq13/mm4 are RE-attested in r9 with their
 # result-type fixes — see tools/type_parity.py — not demoted.)
 _WINDOW: tuple[str, ...] = (
