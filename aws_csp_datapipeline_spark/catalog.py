@@ -127,6 +127,31 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """EXACT row count from the parquet FOOTER metadata (pyarrow,
+    driver-side) — zero Spark jobs. This is the statistic the
+    auto-quantizer knobs need (d10's cell count, s5's IVF cells,
+    pipe2/pipe4's salt buckets): reading it from file metadata keeps
+    the plan builders LAZY — a `df.count()` there launches a hidden
+    eager job per invocation (the r9 verdict's watch item 2).
+    Handles both single-file and directory-of-parts layouts; row
+    counts come from footer stats, so cost is one footer read per
+    file regardless of table size."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _tune_runtime(spark: SparkSession) -> None:
     """Size runtime-mutable knobs for a session the engine didn't
     build (the driver hands us a vanilla SparkSession). Only the

@@ -237,7 +237,12 @@ def probe_ivf_pq_index(
     ADC-score the codes there, and — when ``rerank_against`` (the
     original (id_col, vec_col) corpus) is given — exact-rerank the
     shortlist against full vectors. Without a rerank table the ADC
-    approximation itself is returned. Returns (id_col, cos_sim)."""
+    approximation itself is returned. Returns (id_col, cos_sim).
+
+    Like ``probe_ivf_index``, existence checks go through the local
+    filesystem (`os.path.isdir`) — see that docstring for the
+    object-store note; every probed cell being empty yields an empty
+    result, not an error."""
     from aws_csp_datapipeline_spark.functions import pq as PQ
 
     meta = read_meta(index_dir)
@@ -252,6 +257,10 @@ def probe_ivf_pq_index(
         for c in probe
         if os.path.isdir(p := os.path.join(cells_dir, f"cell={c}"))
     ]
+    if not paths:
+        return spark.createDataFrame(
+            [], f"{meta['id_col']} bigint, cos_sim double"
+        )
     cand = spark.read.option("basePath", cells_dir).parquet(*paths)
     if exclude_id is not None:
         cand = cand.filter(F.col("id") != exclude_id)
@@ -307,7 +316,16 @@ def probe_ivf_index(
     """Top-k cosine neighbors of one query vector, scanning only the
     ``n_probe`` nearest cell PARTITIONS — no listing or I/O outside
     the probed cell directories. Returns (neighbor_id, cell, cos_sim)
-    ordered by similarity."""
+    ordered by similarity.
+
+    If every probed cell directory is empty/missing (possible when
+    n_probe is small and KMeans produced empty cells) the result is
+    an EMPTY frame with the same schema, not an error. Existence
+    checks use the local filesystem (`os.path.isdir` / `open` on
+    meta.json): the artifact as written targets a posix path (local
+    disk / NFS / fuse-mounted store); for a raw object store the
+    checks would route through the Hadoop FS API instead — documented
+    constraint, not silently assumed."""
     centers = [
         (r["cell"], list(r["ctr"])) for r in _centroids(spark, index_dir).collect()
     ]
@@ -324,6 +342,10 @@ def probe_ivf_index(
         for c in probe
         if os.path.isdir(p := os.path.join(cells_dir, f"cell={c}"))
     ]
+    if not paths:
+        return spark.createDataFrame(
+            [], "neighbor_id bigint, cell int, cos_sim double"
+        )
     df = (
         spark.read.option("basePath", cells_dir)
         .parquet(*paths)
@@ -504,20 +526,32 @@ def append_to_index(
     the quantizer is part of the index's identity, so deltas MUST use
     the stored centroids — refitting on the delta would re-home
     existing cells and silently invalidate every persisted
-    assignment."""
+    assignment. The same rule extends to a PQ index: its cells hold
+    (id, codes, vnorm) rather than raw vectors, so the delta is
+    PQ-ENCODED with the STORED codebooks before the append — writing
+    raw (id, vec) rows into a PQ cell directory would silently mix
+    schemas and corrupt every later ADC probe."""
     spark = delta.sparkSession
+    meta = read_meta(index_dir)
     d = delta.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
     ).filter(F.col("vec").isNotNull())
     assigned = _assign_with_centers(d, _centroids(spark, index_dir), F.col("vec"))
-    n = assigned.count()
+    if "pq_codebooks" in meta:
+        from aws_csp_datapipeline_spark.functions import pq as PQ
+
+        out = PQ.pq_encode(assigned, "vec", meta["pq_codebooks"]).select(
+            "id", "codes", "vnorm", "cell"
+        )
+    else:
+        out = assigned
+    n = out.count()
     (
-        assigned.repartition(F.col("cell"))
+        out.repartition(F.col("cell"))
         .write.mode("append")
         .partitionBy("cell")
         .parquet(os.path.join(index_dir, _CELLS))
     )
-    meta = read_meta(index_dir)
     meta["n_rows"] = int(meta["n_rows"]) + n
     with open(os.path.join(index_dir, _META), "w") as fh:
         json.dump(meta, fh)

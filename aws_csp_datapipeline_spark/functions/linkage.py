@@ -178,6 +178,55 @@ def _candidate_name_pairs(
     )
 
 
+class IdPairBudgetExceeded(RuntimeError):
+    """The id-level match output would exceed the caller's budget.
+
+    Raised by the pre-flight guard in ``pigeonhole_matches`` /
+    ``edit_complete_matches`` BEFORE the output-bound expansion runs:
+    on a duplicate-heavy identity corpus the record-level pair list
+    grows with the SQUARE of replication (the sf100 replica corpus
+    emits ~15B id pairs — a 720 s / disk-filling run), so the failure
+    mode must be a clear bounded error, not a disk fill. The message
+    routes the caller to ``edit_match_stats`` (the count-only
+    governance form, flat at 1000×) or to an explicit
+    ``max_id_pairs=None`` opt-out when the expansion is intended."""
+
+
+def _preflight_id_pair_budget(
+    recs: DataFrame,
+    name_col: str,
+    block_cols: list[str],
+    max_id_pairs: int,
+    op: str,
+) -> None:
+    """Cheap LOWER BOUND on the id-level output: identical-(block,
+    name) groups alone contribute sum C(cnt, 2) distance-0 pairs
+    (the dq13 histogram-product estimator's shape — one groupBy over
+    (block, name), fingerprint-width shuffle, no name comparison).
+    Near-name expansion only adds to this, so bound-exceeded here is
+    definitive. One small aggregate job — the price of a bounded
+    failure mode on the quadratic-blowup regime."""
+    lb = (
+        recs.groupBy(*block_cols, name_col)
+        .count()
+        .agg(
+            F.sum(F.col("count") * (F.col("count") - 1) / 2).alias("p")
+        )
+        .collect()[0]["p"]
+    )
+    lb = int(lb or 0)
+    if lb > max_id_pairs:
+        raise IdPairBudgetExceeded(
+            f"{op}: duplicate-name groups alone imply >= {lb:,} id-level "
+            f"match pairs (budget {max_id_pairs:,}). This corpus is in the "
+            "duplicate-heavy regime where the record-level expansion grows "
+            "quadratically with replication. Use edit_match_stats (count-"
+            "only governance ER — flat at any replication) or pass "
+            "max_id_pairs=None / a larger budget if you really want the "
+            "expanded pair list."
+        )
+
+
 def _expand_to_ids(
     recs: DataFrame,
     id_col: str,
@@ -654,15 +703,25 @@ def pigeonhole_matches(
     block_cols: list[str],
     cap: int = 32,
     max_dist: int = 2,
+    max_id_pairs: int | None = 1_000_000_000,
 ) -> DataFrame:
     """Verified matches (id_a, id_b, name_a, name_b, dist) with
     levenshtein ≤ ``max_dist``, verified at NAME level before the
     output-bound expansion — on a duplicate-heavy corpus the banded
     levenshtein runs once per distinct name pair, not once per record
-    pair, and identical-name pairs skip it entirely (dist 0)."""
+    pair, and identical-name pairs skip it entirely (dist 0).
+
+    ``max_id_pairs`` (default 1e9) is the duplicate-regime guard: a
+    pre-flight lower bound on the id-level output raises
+    ``IdPairBudgetExceeded`` instead of starting a quadratic,
+    disk-filling expansion (None disables)."""
     recs = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
     )
+    if max_id_pairs is not None:
+        _preflight_id_pair_budget(
+            recs, "_nm", block_cols, max_id_pairs, "pigeonhole_matches"
+        )
     verified = _candidate_name_pairs(recs, "_nm", block_cols, cap).withColumn(
         "dist", F.levenshtein("name_a", "name_b", max_dist)
     ).filter(F.col("dist").between(0, max_dist))
@@ -680,6 +739,7 @@ def edit_complete_matches(
     block_cols: list[str],
     cap: int = 32,
     max_dist: int = 2,
+    max_id_pairs: int | None = 1_000_000_000,
 ) -> DataFrame:
     """Like ``pigeonhole_matches`` but INDEL-COMPLETE: candidates come
     from ``_shifted_candidate_name_pairs`` (PassJoin-style shifted
@@ -689,12 +749,20 @@ def edit_complete_matches(
     runs once per DISTINCT (block, name); the ×5-per-level shift
     multiplier is the documented price of completeness over
     ``pigeonhole_matches``. Only max_dist=2 is supported (the lane
-    geometry — 3 segments, ±2 shifts — encodes the budget)."""
+    geometry — 3 segments, ±2 shifts — encodes the budget).
+
+    ``max_id_pairs`` (default 1e9): same duplicate-regime pre-flight
+    guard as ``pigeonhole_matches`` — raises ``IdPairBudgetExceeded``
+    instead of a quadratic disk-filling expansion (None disables)."""
     if max_dist != 2:
         raise ValueError("edit_complete_matches encodes max_dist=2 lanes")
     recs = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
     )
+    if max_id_pairs is not None:
+        _preflight_id_pair_budget(
+            recs, "_nm", block_cols, max_id_pairs, "edit_complete_matches"
+        )
     cand = _shifted_candidate_name_pairs(recs, "_nm", block_cols, cap)
     verified = cand.withColumn(
         "dist", F.levenshtein("name_a", "name_b", max_dist)

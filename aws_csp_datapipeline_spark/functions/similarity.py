@@ -163,6 +163,7 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_iter: int = 10,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate k-NN: cluster the corpus into
     ``n_cells`` KMeans cells once, then each probe searches only its
@@ -208,7 +209,11 @@ def ivf_topk(
     # stays well above the ~39/centroid underfit warning line FAISS
     # documents for IVF training.
     sample_target = max(10_000, 64 * n_cells)
-    n_corpus = c.count()
+    # knob statistic only (sampling fraction): take the caller's
+    # parquet-footer hint when given so plan BUILD stays lazy —
+    # counting here launches a hidden job per invocation
+    # (catalog.table_row_count is the zero-job source)
+    n_corpus = n_rows if n_rows is not None else c.count()
     if n_corpus > sample_target:
         train = c.sample(fraction=sample_target / n_corpus, seed=seed)
     model = KMeans(
@@ -435,7 +440,13 @@ def auto_semdedup_quantizer(
     return cells, sub
 
 
-def _ivf_model(df: DataFrame, vec_col: str, n_cells: int, seed: int = 42):
+def _ivf_model(
+    df: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    seed: int = 42,
+    n_rows: int | None = None,
+):
     """Sample-trained KMeans model (same quantizer discipline as
     ``ivf_topk``: ≥256 vectors per cell seeded sample, fixed seed,
     bounded iterations). Returns None if pyspark.ml is unavailable —
@@ -464,7 +475,7 @@ def _ivf_model(df: DataFrame, vec_col: str, n_cells: int, seed: int = 42):
         "__feat", array_to_vector("__qv")
     )
     sample_target = max(10_000, 256 * n_cells)
-    n_corpus = c.count()
+    n_corpus = n_rows if n_rows is not None else c.count()
     train = c
     if n_corpus > sample_target:
         train = c.sample(fraction=sample_target / n_corpus, seed=seed)
@@ -480,6 +491,7 @@ def _cells_and_units(
     sign_bits: int,
     ivf_cells: int = 0,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """(__id, __bucket, __u): sign-bit cell id plus the L2-normalized
     vector, persisted — the shared substrate of the semantic-dedup
@@ -518,7 +530,7 @@ def _cells_and_units(
         # (auto_semdedup_quantizer docstring). The prediction column
         # rides the SAME frame (model.transform), so assignment adds
         # no join and no shuffle; training reads a bounded sample.
-        model = _ivf_model(df, vec_col, ivf_cells)
+        model = _ivf_model(df, vec_col, ivf_cells, n_rows=n_rows)
         if model is not None:
             from pyspark.ml.functions import array_to_vector
 
@@ -572,6 +584,7 @@ def semdedup_flags(
     threshold: float = 0.45,
     sign_bits: int = 6,
     ivf_cells: int = 0,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv
     2303.09540): partition the corpus into coarse cells, compare
@@ -655,7 +668,7 @@ def semdedup_flags(
     # (measured: the window form gave back everything the collapse
     # saved at sf100)
     reps = recs.groupBy("__gk", "__vec").agg(F.min("__rid").alias("__rep"))
-    base = _cells_and_units(reps, "__vec", "__rep", sign_bits, ivf_cells)
+    base = _cells_and_units(reps, "__vec", "__rep", sign_bits, ivf_cells, n_rows=n_rows)
     dup_ids = _dup_ids(base, threshold).withColumn("__dup", F.lit(True))
     rep_flags = base.join(dup_ids, "__id", "left").select(
         F.col("__id").alias("__flagid"),

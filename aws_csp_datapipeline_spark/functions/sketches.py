@@ -209,19 +209,31 @@ def bloom_probe(
     derives its k (word_idx, bit) pairs, LEFT-joins the broadcast word
     table, and is a member candidate iff ALL k bits are set. No
     false negatives; false positives at the sized rate. The probe
-    side's own columns ride along untouched."""
+    side's own columns ride along untouched.
+
+    Row multiplicity is preserved: each input row is tagged with a
+    ``monotonically_increasing_id`` BEFORE the k-way explode and the
+    k probe rows regroup on that id (bool_and over the hits), so
+    duplicate probe rows come back as duplicate output rows and a
+    member appearing d>1 times still sees exactly its own k bits —
+    grouping on the payload columns instead would collapse the d
+    copies into d*k exploded rows and break the all-k test (a
+    false NEGATIVE, which the filter contract forbids)."""
     cols = df.columns
     tags = F.array(*[F.lit(i) for i in range(k)])
     bit = F.pmod(F.xxhash64(key, F.col("__seed")), F.lit(n_bits))
     probes = (
-        df.select(*cols, F.explode(tags).alias("__seed"))
+        df.withColumn("__rid", F.monotonically_increasing_id())
+        .select(*cols, "__rid", F.explode(tags).alias("__seed"))
         .select(
             *cols,
+            "__rid",
             (bit / 64).cast("long").alias("word_idx"),
             (bit % 64).cast("int").alias("__bit"),
         )
         .select(
             *cols,
+            "__rid",
             "word_idx",
             F.expr("shiftleft(CAST(1 AS BIGINT), __bit)").alias("__b"),
         )
@@ -232,8 +244,9 @@ def bloom_probe(
         & (F.col("word").bitwiseAND(F.col("__b")) == F.col("__b")),
     )
     return (
-        joined.groupBy(*cols)
-        .agg((F.sum(F.col("__hit").cast("int")) == k).alias(out_col))
+        joined.groupBy("__rid", *cols)
+        .agg(F.bool_and("__hit").alias(out_col))
+        .drop("__rid")
     )
 
 

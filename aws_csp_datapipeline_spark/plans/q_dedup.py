@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.catalog import load_table, table_row_count
 from aws_csp_datapipeline_spark.functions import dedup as D
 from aws_csp_datapipeline_spark.functions import text as X
 from aws_csp_datapipeline_spark.plans.registry import register
@@ -340,8 +340,12 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # quantizer scales with the corpus: pure sign bits up to the
     # 14-bit cap (~1M vectors; bit-identical to every attested plan),
-    # KMeans-composed cells beyond it (auto_semdedup_quantizer)
-    ivf_cells, sign_bits = S.auto_semdedup_quantizer(e.count())
+    # KMeans-composed cells beyond it (auto_semdedup_quantizer).
+    # The knob statistic comes from the parquet FOOTER (zero Spark
+    # jobs) so building this plan stays lazy — an eager e.count()
+    # here was the r9 verdict's hidden-action watch item.
+    n = table_row_count(sf_dir, "embeddings")
+    ivf_cells, sign_bits = S.auto_semdedup_quantizer(n)
     flags = S.semdedup_flags(
         e,
         "embedding",
@@ -349,6 +353,7 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.45,
         sign_bits=sign_bits,
         ivf_cells=ivf_cells,
+        n_rows=n,
     )
     return flags.filter(F.col("kept")).select("vec_id", "bucket")
 

@@ -216,7 +216,7 @@ _A15_SQL = """
 """
 
 
-@register("a15_approx_percentile", _A15_SQL)
+@register("a15_approx_percentile", _A15_SQL, oracle_sf_max=0.01)
 def a15_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped approximate percentiles (GK sketch, Spark's
     approx_percentile with accuracy 10000) — the scale path when an

@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.catalog import load_table, table_row_count
 from aws_csp_datapipeline_spark.functions import sampling as SMP
 from aws_csp_datapipeline_spark.plans.registry import register
 
@@ -243,7 +243,7 @@ def tt10_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("__q"), F.asc("doc_id")],
         15,
         key_col="doc_id",
-        salt_buckets=SMP.auto_salt_buckets(d.count()),
+        salt_buckets=SMP.auto_salt_buckets(table_row_count(sf_dir, "documents")),
         rank_col="rk",
     )
     return capped.select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
@@ -454,7 +454,7 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("__q"), F.asc("doc_id")],
         15,
         key_col="doc_id",
-        salt_buckets=SMP.auto_salt_buckets(d.count()),
+        salt_buckets=SMP.auto_salt_buckets(table_row_count(sf_dir, "documents")),
     )
     final = SMP.hash_split(capped, "doc_id", 0.75)
     return final.groupBy("split", "lang").agg(

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.catalog import load_table, table_row_count
 from aws_csp_datapipeline_spark.functions import similarity as S
 from aws_csp_datapipeline_spark.plans.registry import register
 
@@ -171,14 +171,18 @@ def s5_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule" — same lesson, probe form)."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5)
+    # corpus-size knob from the parquet footer — zero Spark jobs at
+    # plan-build time (catalog.table_row_count)
+    n = table_row_count(sf_dir, "embeddings")
     return S.ivf_topk(
         probes,
         e,
         "embedding",
         "vec_id",
         k=3,
-        n_cells=S.auto_ivf_cells(e.count()),
+        n_cells=S.auto_ivf_cells(n),
         n_probe=4,
+        n_rows=n,
     )
 
 
@@ -716,7 +720,8 @@ def s18_persisted_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     idx = tempfile.mkdtemp(prefix="spark_graft_ivf_")
     meta = AI.build_ivf_index(
-        e, "embedding", "vec_id", idx, n_cells=S.auto_ivf_cells(e.count())
+        e, "embedding", "vec_id", idx,
+        n_cells=S.auto_ivf_cells(table_row_count(sf_dir, "embeddings")),
     )
     qv = [
         float(x)
@@ -752,4 +757,41 @@ def s19_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shortlist=50,
         rerank_against=e.filter(F.col("vec_id") != 0),
         vec_col="embedding",
+    )
+
+
+@register("s20_ivfpq_topk", None)
+def s20_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED flagship ANN artifact (rows-only: index- and
+    codebook-dependent): one persisted IVF-PQ index — cell-partitioned
+    parquet holding (id, codes, vnorm) at ~3% of raw bytes — probed
+    end-to-end: prune to the n_probe nearest cell DIRECTORIES
+    (structural pruning, no listing of other cells), ADC-score only
+    the codes there, exact-rerank the shortlist against full vectors
+    fetched for finalists only. This is s18's pruning × s19's
+    compression in one artifact (`functions/ann_index.py::
+    build_ivf_pq_index` / `probe_ivf_pq_index`); sf100 economics:
+    119.5 s build, 20.3 MB index (39×), 1.7-6 s probes (SCALE.md).
+    Recall floor + rerank exactness pinned in tests/test_ann_index.py
+    (full-probe == brute force) and tests/test_pq.py. Fresh temp dir
+    per call keeps the query stateless for the driver; a deployment
+    builds once into a durable path and runs only the probe."""
+    import tempfile
+
+    from aws_csp_datapipeline_spark.functions import ann_index as AI
+
+    e = load_table(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
+    meta = AI.build_ivf_pq_index(
+        e, "embedding", "vec_id", idx,
+        n_cells=S.auto_ivf_cells(table_row_count(sf_dir, "embeddings")),
+        pq_m=8, pq_k=16,
+    )
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    return AI.probe_ivf_pq_index(
+        spark, idx, qv, k=10, n_probe=min(4, meta["n_cells"]),
+        rerank_against=e, exclude_id=0,
     )

@@ -30,14 +30,22 @@ class QuerySpec:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    # Largest SF at which the oracle comparison is VALID (None = any).
+    # Machine-enforced gate for sketch-backed queries whose oracle is
+    # only exact inside a documented window (a15: GK rank error ≤
+    # N/accuracy ⇒ exact only while every group holds ≤ accuracy
+    # rows). tests/test_registry_oracle.py downgrades the compare to
+    # rows-only beyond this SF instead of reporting a spurious
+    # mismatch; the driver attests at sf0.01, inside every window.
+    oracle_sf_max: float | None = None
 
 
 _REGISTRY: list[QuerySpec] = []
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, oracle_sf_max: float | None = None):
     def deco(fn):
-        _REGISTRY.append(QuerySpec(name, fn, oracle))
+        _REGISTRY.append(QuerySpec(name, fn, oracle, oracle_sf_max))
         return fn
 
     return deco
@@ -102,54 +110,50 @@ _WINDOW: tuple[str, ...] = (
     "gr1_triangle_count",
     "dq1_column_profile",
     "pipe4_full_curation",
-    # --- r8 hash-fail RE-attestations (values were proven exact; the
-    # oracles' result TYPES were fixed this round — dq9/mm4 uncast
-    # SUM -> HUGEINT, dq13 DECIMAL(38,0) -> stringified both sides) ---
-    "dq9_outlier_audit",
-    "dq13_join_cardinality",
-    "mm4_modality_dispatch",
-    # --- round-9 rotation: 32 first-ever driver attestations ---
-    # The three largest never-attested families, per the r8 verdict:
-    # the a10-a24 scalar/sketch aggregate battery (a17/a20
-    # rows-only: approx sketches; a15 oracle-paired within its
-    # documented ≤accuracy-rows exactness window), the t-block
-    # text-analysis
-    # operators (t5 rows-only: engine-hash winnowing), and the
-    # inc1-inc3 incremental-maintenance lanes. a13/t8/t16/inc1/inc3
-    # carry this round's type-parity fixes, so their first
-    # attestation also validates the fix class externally.
-    "a10_median_percentile",
-    "a11_string_agg",
-    "a12_regression_stats",
-    "a13_bool_aggs",
-    "a14_pivot_sum",
-    "a15_approx_percentile",
-    "a16_mode_per_group",
-    "a17_hll_sketch_rollup",
-    "a18_generalized_means",
-    "a19_winsorized_mean",
-    "a20_cms_heavy_hitters",
-    "a21_weighted_median",
-    "a22_revenue_concentration",
-    "a23_multi_distinct",
-    "a24_mad_outliers",
-    "t4_fingerprint_stats",
-    "t5_winnow_fingerprints",
-    "t6_pii_scrub",
-    "t7_repetition_ratio",
-    "t8_levenshtein_pairs",
-    "t10_top_bigrams",
-    "t11_chunk_windows",
-    "t13_keywords_per_doc",
-    "t14_vocab_build",
-    "t16_sentence_udtf",
-    "t20_gopher_repetition_gate",
-    "t21_freq_of_freq",
-    "t22_vocab_growth",
-    "t23_readability",
-    "inc1_incremental_rollup",
-    "inc2_incremental_dedup",
-    "inc3_incremental_semdedup",
+    # --- round-10 rotation: 35 first-ever driver attestations ---
+    # Everything rotated OUT (the r9 tail: dq9/dq13/mm4 re-attests,
+    # the a10-a24 battery, the t-block, inc1-inc3) stays green in
+    # tests/test_registry_oracle.py. Leading: the 12 round-9
+    # additions that had no driver record (8 oracle-paired + 3
+    # rows-only) plus the new s20 composed IVF-PQ lane, then a
+    # cross-family sweep of the never-attested queue
+    # (er/ml/ap/pm/x/h/g/dq/w/tt/s/d/gr/m families).
+    "d13_containment_pairs",
+    "d14_passage_scrubbed_corpus",
+    "q23_copurchase_pairs",
+    "w16_moving_median",
+    "dq18_ks_drift",
+    "tt14_dsir_weights",
+    "tt15_bloom_decontaminate",
+    "t24_shingle_novelty",
+    "s18_persisted_ivf_probe",
+    "s19_pq_adc_topk",
+    "s20_ivfpq_topk",
+    "mm8_image_neardup_pairs",
+    # --- queue sweep, one to three per family ---
+    "er1_blocked_matches",
+    "ml1_loo_target_encoding",
+    "ap1_zscore_per_user",
+    "ap2_cogrouped_threshold",
+    "pm2_next_after_error",
+    "pm7_top_session_paths",
+    "x3_explode_tokens",
+    "x10_time_weighted_avg",
+    "h1_histogram",
+    "g2_rollup_sum",
+    "dq10_spike_detection",
+    "dq14_file_manifest",
+    "w4_lag_delta",
+    "w11_max_concurrency",
+    "tt2_split_balance",
+    "tt12_cluster_aware_split",
+    "s4_centroid_per_label",
+    "s17_pairwise_cosine_profile",
+    "d8_redundancy_by_source",
+    "d11_cross_source_dups",
+    "gr2_degree_hist",
+    "m3_update_from_batch",
+    "f10_json_extract",
 )
 
 

@@ -272,3 +272,76 @@ def test_ivf_pq_batch_probe_full_equals_bruteforce(spark, sf_oracle, tmp_path):
         ).collect():
             want.add((pid, r["vec_id"], r["cos_sim"]))
     assert got == want
+
+
+def test_append_to_pq_index_encodes_with_stored_codebooks(spark, sf_oracle, tmp_path):
+    """ADVICE r9 fix: appending to an IVF-PQ index must PQ-encode the
+    delta with the STORED codebooks — raw (id, vec) rows in a PQ cell
+    directory would silently mix schemas and corrupt later probes.
+    Pin: post-append cell files hold only (id, codes, vnorm, cell),
+    and the appended vector is findable via the PQ probe path."""
+    idx = str(tmp_path / "ivfpq_index")
+    emb = load_table(spark, sf_oracle, "embeddings")
+    meta = AI.build_ivf_pq_index(
+        emb, "embedding", "vec_id", idx, n_cells=8, pq_m=8, pq_k=16
+    )
+
+    delta = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    n = AI.append_to_index(delta, "embedding", "vec_id", idx)
+    assert n == 1
+    assert AI.read_meta(idx)["n_rows"] == meta["n_rows"] + 1
+
+    stored = spark.read.parquet(os.path.join(idx, "cells"))
+    assert set(stored.columns) == {"id", "codes", "vnorm", "cell"}
+    # appended row went to vector 0's home cell with a PQ encoding
+    home = stored.filter(F.col("id") == 0).select("cell").first()[0]
+    row = stored.filter(F.col("id") == 1_000_000).first()
+    assert row["cell"] == home
+    assert len(row["codes"]) == 8 and row["vnorm"] > 0
+
+    # identical vector => ADC scores identically; the appended id is
+    # findable through the PQ probe of its home cell
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    hits = {
+        r["vec_id"]
+        for r in AI.probe_ivf_pq_index(
+            spark, idx, qv, k=3, n_probe=1, exclude_id=0
+        ).collect()
+    }
+    assert 1_000_000 in hits
+
+
+def test_probe_with_all_empty_cells_returns_empty(spark, tmp_path):
+    """ADVICE r9 fix: when every probed cell directory is missing
+    (empty KMeans cells write no directory), the probe returns an
+    EMPTY frame instead of raising on parquet(*[])."""
+    import json as _json
+
+    idx = str(tmp_path / "hollow_index")
+    os.makedirs(os.path.join(idx, "cells"))
+    centers = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    spark.createDataFrame(centers, "cell int, ctr array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(idx, "centroids"))
+    meta = {
+        "n_cells": 2, "dim": 2, "n_rows": 0, "seed": 42,
+        "vec_col": "embedding", "id_col": "vec_id",
+    }
+    with open(os.path.join(idx, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+    out = AI.probe_ivf_index(spark, idx, [1.0, 0.0], k=3, n_probe=2)
+    assert out.count() == 0
+    assert out.columns == ["neighbor_id", "cell", "cos_sim"]
+
+    meta["pq_codebooks"] = [[[0.0, 0.0]]]
+    with open(os.path.join(idx, "meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+    out2 = AI.probe_ivf_pq_index(spark, idx, [1.0, 0.0], k=3, n_probe=2)
+    assert out2.count() == 0
+    assert out2.columns == ["vec_id", "cos_sim"]

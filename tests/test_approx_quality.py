@@ -331,3 +331,19 @@ def test_bloom_inline_expr_matches_relational_probe(spark):
     }
     assert inline == rel
     assert all(inline[i] for i in range(2_000))  # no false negatives
+
+
+def test_bloom_probe_preserves_duplicate_rows(spark):
+    """ADVICE r9 fix: a member row appearing d>1 times must come back
+    d times, each with might_contain=true — the old groupBy(payload)
+    + sum(hit)==k collapsed the d copies into d*k exploded rows and
+    reported a FALSE NEGATIVE, contradicting the filter contract."""
+    from aws_csp_datapipeline_spark.functions import sketches as SK
+
+    members = spark.range(100).select(F.col("id").alias("key"))
+    bloom = SK.bloom_build(members, F.col("key"), n_bits=4096, k=5)
+    # probe with every member appearing exactly 3 times
+    dup = members.unionByName(members).unionByName(members)
+    out = SK.bloom_probe(dup, F.col("key"), bloom, n_bits=4096, k=5)
+    assert out.count() == 300  # multiplicity preserved
+    assert out.filter(~F.col("might_contain")).count() == 0  # no false negs

@@ -327,3 +327,33 @@ def test_er4_stats_equal_full_ground_truth_at_sf01(spark):
     g = {tuple(r) for r in got.collect()}
     release_caches(got)
     assert g == t
+
+
+def test_id_pair_budget_guard(spark):
+    """Duplicate-regime guard (the sf100 replica-corpus lesson,
+    SCALE.md "er2 at sf10"): a corpus whose duplicate-name groups
+    alone imply more id pairs than the budget must fail FAST with
+    IdPairBudgetExceeded — before any expansion job — and the error
+    must route to edit_match_stats. max_id_pairs=None opts out."""
+    import pytest
+
+    from aws_csp_datapipeline_spark.functions.linkage import (
+        IdPairBudgetExceeded,
+        edit_complete_matches,
+        pigeonhole_matches,
+    )
+
+    # 1 block, 1 name, 200 replicas -> C(200,2) = 19,900 dist-0 pairs
+    df = spark.range(200).select(
+        F.col("id"), F.lit("acme corp").alias("name"), F.lit(1).alias("blk")
+    )
+    with pytest.raises(IdPairBudgetExceeded, match="edit_match_stats"):
+        pigeonhole_matches(df, "id", "name", ["blk"], max_id_pairs=10_000)
+    with pytest.raises(IdPairBudgetExceeded, match="duplicate-heavy"):
+        edit_complete_matches(df, "id", "name", ["blk"], max_id_pairs=10_000)
+    # opt-out still expands (and the expansion is exactly C(200,2))
+    out = pigeonhole_matches(df, "id", "name", ["blk"], max_id_pairs=None)
+    assert out.count() == 199 * 200 // 2
+    # under-budget corpora pass the guard untouched
+    ok = pigeonhole_matches(df, "id", "name", ["blk"], max_id_pairs=30_000)
+    assert ok.count() == 199 * 200 // 2

@@ -47,3 +47,41 @@ def test_headline_plan_within_budget(spark, name, sf_oracle):
             f"{name}: {feat} grew {budget[feat]} -> {got[feat]} — a plan "
             "regression, or regenerate PLAN_AUDIT.md to accept it"
         )
+
+
+@pytest.mark.parametrize(
+    ("name", "n_reads"),
+    [
+        ("d10_semdedup", 1),
+        ("inc3_incremental_semdedup", 1),
+        ("tt10_per_source_cap", 1),
+        ("pipe4_full_curation", 1),
+        ("d1_exact_dedup", 1),
+    ],
+)
+def test_plan_build_is_lazy(spark, name, n_reads, sf_oracle):
+    """Building these plans must launch no jobs beyond the one
+    schema-read job each `spark.read.parquet` costs (measured: every
+    load_table launches exactly one single-task footer job). This is
+    the r9 verdict's hidden-action gate: d10/s5/pipe4 used an eager
+    df.count() to pick quantizer/salt knobs — one EXTRA full-scan job
+    per build — which now comes from the parquet footer via
+    catalog.table_row_count (zero jobs). A regression re-adding an
+    eager action shows up as jobs > n_reads here."""
+    from aws_csp_datapipeline_spark.functions.dedup import release_caches
+    from aws_csp_datapipeline_spark.plans import registry
+
+    qs = {s.name: s.fn for s in registry.specs()}
+    sc = spark.sparkContext
+    group = f"lazy-build-{name}"
+    sc.setJobGroup(group, "plan-build laziness gate")
+    try:
+        df = qs[name](spark, sf_oracle)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(group)
+    assert len(jobs) <= n_reads, (
+        f"{name}: plan BUILD launched {len(jobs)} jobs (> {n_reads} "
+        "table-schema reads) — an eager action is hiding in the builder"
+    )
+    release_caches(df)
