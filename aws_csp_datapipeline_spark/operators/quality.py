@@ -23,6 +23,7 @@ Scale notes:
 from __future__ import annotations
 
 from collections.abc import Sequence
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -112,4 +113,121 @@ def duplicate_key_audit(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     return dups.agg(
         F.count(F.lit(1)).alias("n_dup_keys"),
         F.coalesce(F.max("m"), F.lit(1)).alias("max_multiplicity"),
+    )
+
+@dataclass(frozen=True)
+class FunctionalDependency:
+    """X → Y declaration: ``name`` labels the output row,
+    ``determinants`` is X (1+ columns), ``dependent`` is Y (single
+    column — the min/max combiner trick is single-dependent)."""
+
+    name: str
+    determinants: tuple[str, ...]
+    dependent: str
+
+
+def fd_violation_counts(
+    df: DataFrame, deps: list[FunctionalDependency]
+) -> DataFrame:
+    """Count violating determinant values for EVERY declared
+    dependency of one table in a SINGLE pass: (dependency,
+    violating_keys), one row per dependency.
+
+    How the single scan works — a manual, narrow Expand: each input
+    row explodes into k copies, copy j carrying ONLY dependency j's
+    (fd tag, stringified determinant tuple, stringified dependent).
+    One hash aggregate on (fd, keys) computes min/max of the
+    dependent; `min != max` detects "more than one distinct value"
+    exactly (for strings as for any type — min != max ⇔ ≥2 distinct),
+    with COUNT(DISTINCT)-compatible NULL semantics for free (min/max
+    skip NULLs; all-NULL ⇒ NULL ≠ NULL ⇒ NULL ⇒ not a violation).
+
+    Why not `groupingSets`: Spark's Expand for grouping sets carries
+    every dependent column into every copy and computes all k min/max
+    aggregate pairs per grouping set — shuffle rows 2k values wide
+    plus the padded determinant union. The explode form keeps each
+    copy exactly (tag, keys, dep) — the same per-row shuffle width as
+    k separate passes — while still reading the table once. Why not a
+    union of k per-FD projections: a self-union plans k separate
+    scans, which is precisely the cost being removed.
+
+    Scale shape: one scan of the union of referenced columns (column
+    pruning intact — only det∪dep columns are read), one shuffle of
+    k·N narrow rows with map-side partial aggregation, one tiny
+    per-fd count. Slot types stay NATIVE whenever the FDs agree on a
+    type family per position (integrals promote to long, the common
+    audit case — key→key dependencies): a first cut stringified every
+    slot for type uniformity and measured 5× SLOWER than the k-pass
+    form at sf0.1 (per-row string allocation + string-keyed hash
+    aggregation swamped the saved scans), so strings are only the
+    fallback for genuinely mixed-type slots. min/max is only ever
+    compared for EQUALITY (min != max ⇔ ≥2 distinct), so the cast
+    never changes the verdict — any injective per-column mapping
+    preserves it.
+
+    Measured (interleaved A/B, .scratch/ab_fd_r10.py, native slots):
+    see SCALE.md "dq19: shared-scan multi-FD audit".
+    """
+    k_max = max(len(d.determinants) for d in deps)
+    dtypes = dict(df.dtypes)
+    _INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+    def slot_type(cols: list[str]) -> str:
+        ts = {dtypes[c] for c in cols}
+        if len(ts) == 1:
+            return ts.pop()
+        if ts <= _INTEGRAL:
+            return "bigint"
+        return "string"  # mixed-type slot: injective fallback
+
+    key_types = [
+        slot_type(
+            [d.determinants[i] for d in deps if i < len(d.determinants)]
+        )
+        for i in range(k_max)
+    ]
+    dep_type = slot_type([d.dependent for d in deps])
+    # the per-row FD tag is a SMALL INT, not the name string — the tag
+    # rides every exploded/shuffled row, and a 20-30 byte string key
+    # (hashed per row, k·N times) is pure overhead when a byte works;
+    # names join back onto the k-row result at the end
+    copies = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("fd"),
+                *[
+                    (
+                        F.col(d.determinants[i]).cast(key_types[i])
+                        if i < len(d.determinants)
+                        else F.lit(None).cast(key_types[i])
+                    ).alias(f"k{i}")
+                    for i in range(k_max)
+                ],
+                F.col(d.dependent).cast(dep_type).alias("dep"),
+            )
+            for j, d in enumerate(deps)
+        ]
+    )
+    exploded = df.select(F.explode(copies).alias("c")).select("c.*")
+    key_cols = ["fd"] + [f"k{i}" for i in range(k_max)]
+    per_key = exploded.groupBy(*key_cols).agg(
+        F.min("dep").alias("lo"), F.max("dep").alias("hi")
+    )
+    violating = per_key.filter(F.col("lo") != F.col("hi"))
+    counts = violating.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("long").alias("violating_keys")
+    )
+    # dependencies with zero violations still get a row (the audit
+    # contract: absence of a row must never read as "not checked")
+    names = df.sparkSession.createDataFrame(
+        [(j, d.name) for j, d in enumerate(deps)], "fd int, dependency string"
+    )
+    return (
+        names.join(counts, "fd", "left")
+        .select(
+            "dependency",
+            F.coalesce("violating_keys", F.lit(0).cast("long")).alias(
+                "violating_keys"
+            ),
+        )
     )

@@ -1073,3 +1073,63 @@ def dq18_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n1").cast("long").alias("n_train"),
         F.max("n2").cast("long").alias("n_test"),
     )
+
+
+@register(
+    "dq19_fd_multi_audit",
+    """
+    WITH fd1 AS (
+      SELECT 'l_orderkey,l_linenumber->l_partkey' AS dependency,
+             CAST(COUNT(*) AS BIGINT) AS violating_keys
+      FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY l_orderkey, l_linenumber
+        HAVING COUNT(DISTINCT l_partkey) > 1
+      )
+    ),
+    fd2 AS (
+      SELECT 'l_orderkey,l_linenumber->l_suppkey' AS dependency,
+             CAST(COUNT(*) AS BIGINT) AS violating_keys
+      FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY l_orderkey, l_linenumber
+        HAVING COUNT(DISTINCT l_suppkey) > 1
+      )
+    ),
+    fd3 AS (
+      SELECT 'l_partkey->l_suppkey' AS dependency,
+             CAST(COUNT(*) AS BIGINT) AS violating_keys
+      FROM (
+        SELECT l_partkey FROM lineitem
+        GROUP BY l_partkey HAVING COUNT(DISTINCT l_suppkey) > 1
+      )
+    )
+    SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+    ORDER BY dependency
+    """,
+)
+def dq19_fd_multi_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARED-SCAN multi-FD audit: k declared dependencies of ONE
+    table verified in a single pass (`functions/quality.py::
+    fd_violation_counts`) — dq15's per-dependency form costs one full
+    scan per FD, and at sf100 the scan dominates the audit (SCALE.md
+    "dq15"), so k FDs of one table should cost one scan, one narrow
+    k·N-row shuffle with map-side combine, and a per-fd count. The
+    manual-Expand design (explode into per-FD (tag, keys, dep)
+    copies) keeps shuffle rows exactly as narrow as the separate
+    passes; the win is purely the k→1 scan collapse — measured in
+    the module docstring's interleaved A/B."""
+    from aws_csp_datapipeline_spark.operators.quality import (
+        FunctionalDependency as FD,
+        fd_violation_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    deps = [
+        FD("l_orderkey,l_linenumber->l_partkey",
+           ("l_orderkey", "l_linenumber"), "l_partkey"),
+        FD("l_orderkey,l_linenumber->l_suppkey",
+           ("l_orderkey", "l_linenumber"), "l_suppkey"),
+        FD("l_partkey->l_suppkey", ("l_partkey",), "l_suppkey"),
+    ]
+    return fd_violation_counts(li, deps).orderBy("dependency")

@@ -156,3 +156,56 @@ def test_corpus_report_tool(tmp_path):
         "Pre-flight diagnostics",
     ):
         assert section in text
+
+
+def test_fd_violation_counts_shared_scan(spark):
+    """One-pass multi-FD audit (dq19's operator): exact counts per
+    dependency, zero-violation FDs still emit a row, mixed-type slots
+    fall back to string injectively, and the table is scanned ONCE
+    (one FileScan in the physical plan vs one per FD in the k-pass
+    form)."""
+    from aws_csp_datapipeline_spark.operators.quality import (
+        FunctionalDependency as FD,
+        fd_violation_counts,
+    )
+
+    rows = [
+        # k -> v holds; k -> w violated for k=1; (k,g) -> v holds
+        (1, "a", 10, "x"),
+        (1, "a", 10, "y"),
+        (2, "b", 20, "z"),
+        (2, "b", 20, "z"),
+        (3, None, 30, None),   # NULL dependent: never a violation
+        (3, None, 30, None),
+    ]
+    df = spark.createDataFrame(rows, "k int, g string, v int, w string")
+    out = {
+        r["dependency"]: r["violating_keys"]
+        for r in fd_violation_counts(
+            df,
+            [
+                FD("k->v", ("k",), "v"),
+                FD("k->w", ("k",), "w"),
+                FD("k,g->v", ("k", "g"), "v"),
+                # mixed-type slot: det int vs string in position 0
+                FD("g->v", ("g",), "v"),
+            ],
+        ).collect()
+    }
+    assert out == {"k->v": 0, "k->w": 1, "k,g->v": 0, "g->v": 0}
+
+    plan = fd_violation_counts(df, [FD("k->v", ("k",), "v"),
+                                    FD("k->w", ("k",), "w")])
+    # shared scan: the input relation appears once in the plan
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("LocalTableScan") + phys.count("Scan ") <= 2
+
+
+def test_dq19_single_lineitem_scan(spark, sf_oracle):
+    """The registered dq19 plan reads lineitem ONCE (dq15's per-FD
+    form scans it once per dependency)."""
+    from aws_csp_datapipeline_spark.plans.registry import queries
+
+    df = queries()["dq19_fd_multi_audit"](spark, sf_oracle)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("lineitem.parquet") <= 1 or phys.count("Scan parquet") == 1
