@@ -492,6 +492,7 @@ def _cells_and_units(
     ivf_cells: int = 0,
     seed: int = 42,
     n_rows: int | None = None,
+    model=None,
 ) -> DataFrame:
     """(__id, __bucket, __u): sign-bit cell id plus the L2-normalized
     vector, persisted — the shared substrate of the semantic-dedup
@@ -530,7 +531,10 @@ def _cells_and_units(
         # (auto_semdedup_quantizer docstring). The prediction column
         # rides the SAME frame (model.transform), so assignment adds
         # no join and no shuffle; training reads a bounded sample.
-        model = _ivf_model(df, vec_col, ivf_cells, n_rows=n_rows)
+        # Callers that need the trained centers afterwards (the
+        # persisted-state artifact) pass a pre-trained ``model``.
+        if model is None:
+            model = _ivf_model(df, vec_col, ivf_cells, n_rows=n_rows)
         if model is not None:
             from pyspark.ml.functions import array_to_vector
 

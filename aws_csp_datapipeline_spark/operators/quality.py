@@ -165,8 +165,14 @@ def fd_violation_counts(
     never changes the verdict — any injective per-column mapping
     preserves it.
 
-    Measured (interleaved A/B, .scratch/ab_fd_r10.py, native slots):
-    see SCALE.md "dq19: shared-scan multi-FD audit".
+    Measured (interleaved A/B, .scratch/ab_fd_r10.py +
+    .scratch/sf100_r10.py, native slots): an HONEST NEGATIVE at local
+    scale — k-pass med 1.62 s vs shared 2.78 s at sf0.1, and a wash
+    inside host noise at sf100 (145/209 vs 175/201 min/med) — because
+    page-cached decode is CPU-cheap relative to the ×k explode
+    through the aggregate. The shared scan's winning regime is scans
+    whose bytes-read dominate (cold object-store reads, wide tables)
+    plus the k-jobs→1 scheduling collapse; see SCALE.md "dq19".
     """
     k_max = max(len(d.determinants) for d in deps)
     dtypes = dict(df.dtypes)

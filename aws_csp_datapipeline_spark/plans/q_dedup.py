@@ -640,3 +640,35 @@ def d14_passage_scrubbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; removal lists are the only wide rows)."""
     d = load_table(spark, sf_dir, "documents")
     return D.scrub_duplicate_passages(d, "text", "doc_id", width=10)
+
+
+@register("inc4_semdedup_state", _INC_SEMDEDUP_SQL)
+def inc4_semdedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inc3's day-over-day lane as a PERSISTED ARTIFACT
+    (`functions/semdedup_state.py`): the kept state is built once and
+    written bucket-sorted with its full quantizer identity (threshold,
+    sign bits, and — past the sign-bit cap — the KMeans centers) in
+    meta.json, then the batch is admitted by a fresh read of the
+    artifact using the FROZEN persisted quantizer. Same oracle as
+    inc3 (the decisions are identical by construction —
+    tests/test_semdedup_state.py pins build ≡ semdedup_kept_state and
+    admit ≡ semdedup_incremental); what this lane adds is the
+    artifact lifecycle: no in-session state handoff, centers
+    persisted beside the state so the incremental path survives past
+    the sign-bit cap, append=True for tomorrow's batch. Temp dir per
+    call keeps the query stateless for the driver."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_csp_datapipeline_spark.functions import semdedup_state as SS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sd = tempfile.mkdtemp(prefix="spark_graft_semdedup_state_")
+    SS.build_semdedup_state(
+        e.filter(F.col("vec_id") < 250), "embedding", "vec_id", sd,
+        threshold=0.45, sign_bits=6, ivf_cells=0,
+    )
+    return SS.incremental_from_state(
+        spark, sd, e.filter(F.col("vec_id") >= 250)
+    )

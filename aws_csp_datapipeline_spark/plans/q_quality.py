@@ -1117,8 +1117,12 @@ def dq19_fd_multi_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·N-row shuffle with map-side combine, and a per-fd count. The
     manual-Expand design (explode into per-FD (tag, keys, dep)
     copies) keeps shuffle rows exactly as narrow as the separate
-    passes; the win is purely the k→1 scan collapse — measured in
-    the module docstring's interleaved A/B."""
+    passes; the trade is purely the k→1 scan collapse. Measured
+    honestly (SCALE.md "dq19"): on PAGE-CACHED local parquet the
+    k-pass form wins (decode is CPU-cheap; the explode pushes ×k rows
+    through one aggregate) — the shared scan's regime is cold /
+    object-store reads where bytes-read dominates, which is the
+    100-TB deployment shape this lane exists for."""
     from aws_csp_datapipeline_spark.operators.quality import (
         FunctionalDependency as FD,
         fd_violation_counts,

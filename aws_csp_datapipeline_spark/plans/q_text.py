@@ -715,3 +715,94 @@ def t23_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch"),
         )
     )
+
+
+@register(
+    "t25_lm_perplexity",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(list_zip(ts[:-2], ts[2:]),
+                                   z -> z[1] || ' ' || z[2])) AS bigram
+      FROM toks WHERE len(ts) >= 2
+    ),
+    bgc AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+    heads AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1
+      FROM bgc GROUP BY 1
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(ts) AS tok FROM toks)
+    ),
+    probs AS (
+      SELECT b.bigram,
+             (b.c12 + 0.5) / (h.c1 + 0.5 * v.vocab) AS p
+      FROM bgc b JOIN heads h ON split_part(b.bigram, ' ', 1) = h.w1
+      CROSS JOIN v
+    )
+    SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(POW(2.0, -AVG(log2(p.p))), 4) AS ppl
+    FROM bg JOIN probs p USING (bigram)
+    GROUP BY bg.doc_id
+    """,
+)
+def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality gate (Wenzek et al. 2019,
+    arXiv 1911.00359): score every document by the perplexity of an
+    add-k-smoothed BIGRAM language model — low-perplexity text is
+    fluent/common, high-perplexity is noise or boilerplate-mangled;
+    CCNet buckets the corpus by exactly this statistic. Here the
+    model trains on the scored corpus itself (self-perplexity, the
+    registry's one-table form); a deployment trains `bgc/heads/vocab`
+    on a REFERENCE corpus once, persists the three small relations,
+    and scores any target corpus against them.
+
+    P(w2|w1) = (c(w1 w2) + 0.5) / (c(w1·) + 0.5·|V|);
+    doc cross-entropy H = −avg log2 P over its bigrams; ppl = 2^H.
+
+    Scale shape: bigrams come join-free from the shifted-zip array
+    (`text.bigrams` — no (doc, pos+1) self-join); the model is two
+    grouped counts over the bigram relation (map-side combined,
+    shuffle bounded by |distinct bigrams|); vocab is one
+    count_distinct broadcast as a scalar; scoring is one equi-join of
+    doc-bigrams to the prob table keyed by bigram (the only
+    corpus-width shuffle) and one per-doc aggregate. Nothing is
+    quadratic; document BODIES never shuffle — only bigram strings."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
+    )
+    bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    heads = (
+        bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = d.select(
+        F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("vocab"))
+    probs = (
+        bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(heads, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            (
+                (F.col("c12") + F.lit(0.5))
+                / (F.col("c1") + F.lit(0.5) * F.col("vocab"))
+            ).alias("p"),
+        )
+    )
+    return (
+        bg.join(probs, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.pow(F.lit(2.0), -F.avg(F.log2("p"))), 4).alias("ppl"),
+        )
+    )

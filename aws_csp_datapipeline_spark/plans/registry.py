@@ -68,29 +68,20 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
 #
-# Round-10+ rotation queue (names still never driver-attested after
-# the r9 window below; keep the ~15 fixed core, swap the r9 tail for
-# ~35 of these, spanning families): er1_blocked_matches,
-# ml1_loo_target_encoding, ap1/ap2, pm2/pm3/pm5/pm7/pm8,
-# x3-x5/x7/x8/x10/x11, h1/h2/h3, g2/g3/g5, fun3,
-# dq3/dq6/dq10/dq11/dq14, w4/w7/w8/w11/w12/w13,
-# tt2/tt4/tt5/tt9/tt10/tt11/tt12/tt13, s4/s7/s8/s9/s11/s13/s14/s15/s17,
-# d4/d5/d7/d8/d11/d12, gr2/gr3/gr5/gr6, m3/m6/m11/m12,
-# f1/f4/f10/f11, p9/p10, j1, q6/q11/q17/q18/q22,
-# pipe1/pipe2/pipe3, st4/st7/st8/st10, and the round-9 additions
-# d13_containment_pairs / t24_shingle_novelty / tt14_dsir_weights /
-# s18_persisted_ivf_probe (rows-only; the persisted cell-partitioned
-# IVF index artifact — build once, probe via pruned cell dirs) /
-# d14_passage_scrubbed_corpus (oracle-paired; the exact-substring
-# passage REMOVAL form of d9) / s19_pq_adc_topk (rows-only; product
-# quantization + ADC shortlist with exact rerank) /
-# mm8_image_neardup_pairs (rows-only; banded dHash hamming join) /
-# dq18_ks_drift (oracle-paired; two-sample KS on a quantized grid) /
-# tt15_bloom_decontaminate (oracle ≡ tt8; the bloom membership lane) /
-# q23_copurchase_pairs (oracle-paired; market-basket pair mining) /
-# w16_moving_median (oracle-paired; bounded-frame exact percentile).
-# (The r8 hash-fails dq9/dq13/mm4 are RE-attested in r9 with their
-# result-type fixes — see tools/type_parity.py — not demoted.)
+# Round-11+ rotation queue — 63 names with no driver record after the
+# r10 window below runs (keep the 15 fixed core, swap the r10 tail for
+# ~35 of these, spanning families): the full q-silhouette block
+# (q6/q11/q17/q18/q22), the base ops f1/f4/f11/p9_exists_flag/p10/j1,
+# pattern mining pm3/pm5/pm8, range/as-of x4/x5/x7/x8/x11,
+# histograms h2/h3, grouping g3/g5, fun3_benford_audit, quality
+# dq3/dq6/dq11 + the new dq19_fd_multi_audit (oracle-paired shared-
+# scan multi-FD audit) and inc4_semdedup_state (oracle ≡ inc3; the
+# persisted frozen-quantizer state artifact), windows w7/w8/w12/w13, curation
+# tt4/tt5/tt9/tt10/tt11/tt13 + pipe1/pipe2/pipe3, similarity
+# s7/s8/s9/s11/s13/s14/s15, dedup d4/d5/d7/d12, graph gr3/gr5/gr6,
+# mutations m6_guarded_update/m6_guarded_rejected/m11/m12, streaming
+# st4/st7/st8/st10 (rows-only stream lanes). At ~35/round the queue
+# clears in 2 rounds.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core, shrunk 30 -> 15 per the r7 verdict (one name per
     # family keeps the longitudinal record; everything rotated out

@@ -744,3 +744,30 @@ def test_semdedup_ivf_path_preserves_null_vector_rows(spark):
         assert got[nid]["bucket"] == 0
     # the replica pair collapsed: lower id kept, higher dropped
     assert got[200]["kept"] is True and got[201]["kept"] is False
+
+
+def test_lm_perplexity_orders_fluent_below_noise(spark):
+    """t25's model contract on a planted corpus: documents made of
+    the corpus's dominant bigrams score LOWER perplexity than a
+    document of bigrams seen nowhere else (smoothing floor), and
+    n_bigrams = token count - 1."""
+    from aws_csp_datapipeline_spark.plans.registry import queries
+    import tempfile, os
+
+    rows = [(i, "the cat sat on the mat", "src") for i in range(20)]
+    rows.append((100, "zq xv qj kw zq xv", "src"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sf_dir = tempfile.mkdtemp(prefix="t25_corpus_")
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in queries()["t25_lm_perplexity"](spark, sf_dir).collect()
+    }
+    assert out[0][0] == 5  # 6 tokens -> 5 bigrams
+    assert out[100][0] == 5
+    fluent_ppl = out[0][1]
+    noise_ppl = out[100][1]
+    assert fluent_ppl < noise_ppl
+    # all 20 fluent copies score identically (same bigrams)
+    assert len({out[i][1] for i in range(20)}) == 1
