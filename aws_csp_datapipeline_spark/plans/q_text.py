@@ -773,10 +773,19 @@ def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-bigrams to the prob table keyed by bigram (the only
     corpus-width shuffle) and one per-doc aggregate. Nothing is
     quadratic; document BODIES never shuffle — only bigram strings."""
+    from pyspark.storagelevel import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
+    # the bigram relation is the substrate of BOTH the model (bgc →
+    # heads → probs) and the scoring side — persist it so document
+    # bodies are read once for all bigram consumers (un-persisted,
+    # Catalyst re-scans the corpus per consumer: 4 scans measured in
+    # PLAN_AUDIT; with the cache it is the bigram TABLE, orders
+    # smaller than the bodies, that feeds every reuse). Caches attach
+    # to the result per the release_caches contract.
     bg = d.select(
         "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
     heads = (
         bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
@@ -798,7 +807,7 @@ def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
     )
-    return (
+    out = (
         bg.join(probs, "bigram")
         .groupBy("doc_id")
         .agg(
@@ -806,3 +815,5 @@ def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.pow(F.lit(2.0), -F.avg(F.log2("p"))), 4).alias("ppl"),
         )
     )
+    out._graft_caches = (bg,)
+    return out

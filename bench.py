@@ -105,6 +105,12 @@ HEADLINE = [
     # audit twin (d9) in the headline — 1.22 s vs d9's 1.04 s at
     # sf0.1 on entry, the rebuild costing ~17% over the stats pass.
     "d14_passage_scrubbed_corpus",
+    # round-10 additions: the CCNet-style LM-perplexity gate (two
+    # grouped counts + one bigram-keyed scoring join) and the
+    # shared-scan multi-FD audit (kept on its shared-scan form with
+    # the honest local-scale negative recorded — SCALE.md "dq19").
+    "t25_lm_perplexity",
+    "dq19_fd_multi_audit",
     # er4_match_stats (the count-only governance form) stays out: the
     # headline already times the same lane machinery twice via
     # er2 + er3; er4's scale story is the sf100 spot record
