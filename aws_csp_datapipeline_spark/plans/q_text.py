@@ -817,3 +817,122 @@ def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._graft_caches = (bg,)
     return out
+
+
+@register(
+    "t26_ccnet_buckets",
+    r"""
+    WITH ref AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      FROM documents WHERE source = 'src0'
+    ),
+    rbg AS (
+      SELECT unnest(list_transform(list_zip(ts[:-2], ts[2:]),
+                                   z -> z[1] || ' ' || z[2])) AS bigram
+      FROM ref WHERE len(ts) >= 2
+    ),
+    bgc AS (SELECT bigram, COUNT(*) AS c12 FROM rbg GROUP BY bigram),
+    heads AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1
+      FROM bgc GROUP BY 1
+    ),
+    v AS (
+      SELECT COUNT(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(ts) AS tok FROM ref)
+    ),
+    tgt AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      FROM documents WHERE source <> 'src0'
+    ),
+    tbg AS (
+      SELECT doc_id,
+             unnest(list_transform(list_zip(ts[:-2], ts[2:]),
+                                   z -> z[1] || ' ' || z[2])) AS bigram
+      FROM tgt WHERE len(ts) >= 2
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             (COALESCE(b.c12, 0) + 0.5)
+               / (COALESCE(h.c1, 0) + 0.5 * v.vocab) AS p
+      FROM tbg t
+      LEFT JOIN bgc b USING (bigram)
+      LEFT JOIN heads h ON split_part(t.bigram, ' ', 1) = h.w1
+      CROSS JOIN v
+    ),
+    docs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(POW(2.0, -AVG(log2(p))), 4) AS ppl
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, ppl,
+           CASE NTILE(3) OVER (ORDER BY ppl, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM docs
+    """,
+)
+def t26_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL CCNet shape (Wenzek et al. 2019): train the bigram LM
+    on a REFERENCE corpus (source 'src0' here; Wikipedia in the
+    paper), score every OTHER document against it, and split the
+    scored corpus into head/middle/tail perplexity terciles — the
+    buckets CCNet publishes and downstream recipes sample from
+    (head = most reference-like). t25 is the one-corpus form; this
+    lane adds the two-corpus evaluation with proper OUT-OF-VOCABULARY
+    handling: a target bigram the reference never saw still gets its
+    add-k floor (c12+0.5)/(c1+0.5·V) via LEFT joins with COALESCE(0)
+    — an inner join would silently DROP unseen bigrams and score
+    noise as fluent.
+
+    Scale shape: the model is built from the (small) reference corpus
+    and its three relations join the target bigram stream keyed by
+    bigram/head — broadcast-sized when the reference is bounded (the
+    CCNet deployment: a fixed wiki LM scoring an unbounded crawl).
+    The tercile split is one window over the per-doc result (rows =
+    |docs|, orders smaller than the bigram stream). ntile ties break
+    on doc_id so the bucketing is deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    tgt = d.filter(F.col("source") != "src0")
+    rbg = ref.select(F.explode(X.bigrams(F.col("text"))).alias("bigram"))
+    bgc = rbg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    heads = (
+        bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    vocab = ref.select(
+        F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("vocab"))
+    tbg = tgt.select(
+        "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
+    ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    scored = (
+        tbg.join(F.broadcast(bgc), "bigram", "left")
+        .join(F.broadcast(heads), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(0.5))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(0.5) * F.col("vocab"))
+            ).alias("p"),
+        )
+    )
+    docs = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.pow(F.lit(2.0), -F.avg(F.log2("p"))), 4).alias("ppl"),
+    )
+    w = Window.orderBy("ppl", "doc_id")
+    tile = F.ntile(3).over(w)
+    return docs.select(
+        "doc_id",
+        "n_bigrams",
+        "ppl",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

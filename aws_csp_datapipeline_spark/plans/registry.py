@@ -76,7 +76,10 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # histograms h2/h3, grouping g3/g5, fun3_benford_audit, quality
 # dq3/dq6/dq11 + the new dq19_fd_multi_audit (oracle-paired shared-
 # scan multi-FD audit) and inc4_semdedup_state (oracle ≡ inc3; the
-# persisted frozen-quantizer state artifact), windows w7/w8/w12/w13, curation
+# persisted frozen-quantizer state artifact), plus
+# t25_lm_perplexity / t26_ccnet_buckets (oracle-paired CCNet
+# perplexity gate + two-corpus bucket form) and s20_ivfpq_topk's
+# queue-mates, windows w7/w8/w12/w13, curation
 # tt4/tt5/tt9/tt10/tt11/tt13 + pipe1/pipe2/pipe3, similarity
 # s7/s8/s9/s11/s13/s14/s15, dedup d4/d5/d7/d12, graph gr3/gr5/gr6,
 # mutations m6_guarded_update/m6_guarded_rejected/m11/m12, streaming

@@ -771,3 +771,28 @@ def test_lm_perplexity_orders_fluent_below_noise(spark):
     assert fluent_ppl < noise_ppl
     # all 20 fluent copies score identically (same bigrams)
     assert len({out[i][1] for i in range(20)}) == 1
+
+
+def test_ccnet_buckets_oov_floor_and_terciles(spark):
+    """t26's out-of-vocabulary contract on a planted corpus: a target
+    document made of reference bigrams lands in 'head', one with
+    bigrams the reference never saw lands in 'tail' (its probability
+    is the smoothing floor, never dropped by the join), and the
+    terciles partition all scored docs."""
+    from aws_csp_datapipeline_spark.plans.registry import queries
+    import tempfile, os
+
+    rows = [(i, "the cat sat on the mat", "src0") for i in range(10)]
+    rows += [(100, "the cat sat on the mat", "srcX"),
+             (101, "qq ww ee rr tt yy", "srcX"),
+             (102, "the cat sat qq ww ee", "srcX")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sf_dir = tempfile.mkdtemp(prefix="t26_corpus_")
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    out = {r["doc_id"]: r for r in queries()["t26_ccnet_buckets"](spark, sf_dir).collect()}
+    assert set(out) == {100, 101, 102}  # reference docs are not scored
+    assert out[100]["bucket"] == "head"    # pure reference bigrams
+    assert out[101]["bucket"] == "tail"    # pure OOV -> floor ppl
+    assert out[100]["ppl"] < out[102]["ppl"] < out[101]["ppl"]
+    assert out[101]["n_bigrams"] == 5      # OOV bigrams are NOT dropped
