@@ -925,9 +925,41 @@ def t26_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.pow(F.lit(2.0), -F.avg(F.log2("p"))), 4).alias("ppl"),
     )
-    w = Window.orderBy("ppl", "doc_id")
-    tile = F.ntile(3).over(w)
-    return docs.select(
+    # Exact NTILE(3) WITHOUT a global single-partition window (the
+    # naive Window.orderBy("ppl","doc_id") funnels every scored doc
+    # through ONE task — the anti-pattern this repo bans at 100-TB doc
+    # counts). Two-phase global rank instead, bit-identical to
+    # NTILE(3) OVER (ORDER BY ppl, doc_id):
+    #   rank(doc) = (#docs with strictly smaller ppl)       [cumulative
+    #               + (row_number among equal-ppl, by doc_id)  counts]
+    # The per-value row_number window partitions by ppl (parallel);
+    # the cumulative-count window runs over DISTINCT ppl values only —
+    # a frame orders of magnitude smaller than the corpus — and the
+    # NTILE bucket is then a closed-form expression of (rank, n):
+    # the first n%3 tiles hold ceil(n/3) rows, the rest floor(n/3).
+    wv = Window.partitionBy("ppl").orderBy("doc_id")
+    ranked = docs.withColumn("__rv", F.row_number().over(wv))
+    vc = docs.groupBy("ppl").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = Window.orderBy("ppl").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = vc.select(
+        "ppl", F.coalesce(F.sum("__c").over(wcum), F.lit(0)).alias("__before")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("__n"))
+    r = (F.col("__before") + F.col("__rv")).alias("__r")
+    joined = (
+        ranked.join(offsets, "ppl")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "n_bigrams", "ppl", r, "__n")
+    )
+    q = F.floor(F.col("__n") / 3)
+    rem = F.col("__n") % 3
+    in_big = F.col("__r") <= rem * (q + 1)
+    tile = F.when(in_big, F.ceil(F.col("__r") / (q + 1))).otherwise(
+        rem + F.ceil((F.col("__r") - rem * (q + 1)) / q)
+    )
+    return joined.select(
         "doc_id",
         "n_bigrams",
         "ppl",

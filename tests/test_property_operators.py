@@ -796,3 +796,41 @@ def test_ccnet_buckets_oov_floor_and_terciles(spark):
     assert out[101]["bucket"] == "tail"    # pure OOV -> floor ppl
     assert out[100]["ppl"] < out[102]["ppl"] < out[101]["ppl"]
     assert out[101]["n_bigrams"] == 5      # OOV bigrams are NOT dropped
+
+
+def test_ccnet_buckets_tile_formula_on_heavy_ties(spark):
+    """The two-phase distributed NTILE in t26 must match DuckDB's
+    NTILE exactly when one ppl value straddles tercile boundaries:
+    9 identical-text target docs (one tie group) split 3/3/3 across
+    head/middle/tail by doc_id — the intra-value row_number and the
+    closed-form bucket expression carry the whole assignment."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from aws_csp_datapipeline_spark.plans.registry import oracle_sql, queries
+
+    rows = [(i, "the cat sat on the mat", "src0") for i in range(5)]
+    rows += [(100 + j, "the cat sat on the mat", "srcX") for j in range(9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sf_dir = tempfile.mkdtemp(prefix="t26_ties_")
+    df.write.mode("overwrite").parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in queries()["t26_ccnet_buckets"](spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'documents.parquet')}/*.parquet')"
+    )
+    want = {
+        r[0]: r[3]
+        for r in con.execute(oracle_sql()["t26_ccnet_buckets"]).fetchall()
+    }
+    assert got == want
+    assert [got[100 + j] for j in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
