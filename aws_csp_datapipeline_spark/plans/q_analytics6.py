@@ -72,15 +72,20 @@ def w12_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 def h2_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (decile) histogram of order value: exact ntile with
     a key tie-break so bin assignment is fully deterministic, then
-    per-bin count/bounds/mean. The exact form needs a global sort
-    (ntile is a single total order — this is the correctness
-    reference); the 100-TB path swaps the ntile for
-    approx-percentile cut points (a15_approx_percentile) joined back
-    as bin edges, which keeps the scan narrow and shuffle-free. Ten
-    output rows either way."""
+    per-bin count/bounds/mean. The EXACT ntile no longer needs a
+    single-partition sort: `functions/rank.exact_ntile`
+    (range-partitioned global rank + closed-form bucket) is
+    bit-identical to the window NTILE with the fact table moving
+    through parallel range exchanges only; the cheaper-still 100-TB
+    alternative remains approx-percentile cut points
+    (a15_approx_percentile) joined back as bin edges. Ten output
+    rows either way."""
+    from aws_csp_datapipeline_spark.functions.rank import exact_ntile
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    binned = o.withColumn("decile", F.ntile(10).over(w))
+    binned = exact_ntile(
+        o, 10, [F.asc("o_totalprice"), F.asc("o_orderkey")], out="decile"
+    )
     return binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.min("o_totalprice"), 2).alias("lo"),
@@ -441,16 +446,22 @@ def a22_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row each in a partial-aggregated shuffle; the ranking orders
     ROUNDED revenue with a key tie-break (engine-portable order, same
     trick as s10's fused rankings) and the shares fold to one row.
-    At fact scale the rank is a top-k heap, not a global sort."""
+    At fact scale the rank IS a top-k heap here — the top-100 set is
+    selected with orderBy+limit (TakeOrderedAndProject: per-partition
+    heaps, no global sort, no window), and only two scalar aggregates
+    meet in a broadcast join."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    w = Window.orderBy(F.desc(F.round("rev", 2)), F.asc("o_custkey"))
-    ranked = per_cust.select("rev", F.row_number().over(w).alias("r"))
-    top = F.when(F.col("r") <= 100, F.col("rev")).otherwise(F.lit(0.0))
-    return ranked.agg(
-        F.round(F.sum(top), 2).alias("top100_rev"),
-        F.round(F.sum("rev"), 2).alias("total_rev"),
-        F.round(F.sum(top) / F.sum("rev"), 6).alias("top100_share"),
+    top100 = (
+        per_cust.orderBy(F.desc(F.round("rev", 2)), F.asc("o_custkey"))
+        .limit(100)
+        .agg(F.sum("rev").alias("__top"))
+    )
+    total = per_cust.agg(F.sum("rev").alias("__tot"))
+    return total.crossJoin(F.broadcast(top100)).select(
+        F.round(F.col("__top"), 2).alias("top100_rev"),
+        F.round(F.col("__tot"), 2).alias("total_rev"),
+        F.round(F.col("__top") / F.col("__tot"), 6).alias("top100_share"),
     )
 
 
@@ -479,16 +490,20 @@ def w13_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a key tie-break (engine-portable); the rank-weighted sum is
     scale-normalized by n·Σx, so summation-order drift cancels to
     ~1e-15 relative before the 6-dp round. Customers reduce to one
-    row each before any window; at scale the rank is a
-    sort-partitioned prefix computation, not a single partition (the
-    COUNT() OVER () becomes a broadcast scalar)."""
+    row each before any window; the rank is the DISTRIBUTED
+    range-partitioned prefix computation (`functions/rank.
+    global_row_number` — every customer's rank feeds the
+    rank-weighted sum, so no top-k substitute exists), and the
+    COUNT() OVER () is a broadcast scalar, never a whole-frame
+    window."""
+    from aws_csp_datapipeline_spark.functions.rank import global_row_number
+
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    wr = Window.orderBy(F.asc(F.round("rev", 2)), F.asc("o_custkey"))
-    ranked = per_cust.select(
-        "rev",
-        F.row_number().over(wr).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ranked = global_row_number(
+        per_cust, [F.asc(F.round("rev", 2)), F.asc("o_custkey")], out="i"
+    ).crossJoin(
+        F.broadcast(per_cust.agg(F.count(F.lit(1)).alias("n")))
     )
     return ranked.agg(
         F.round(

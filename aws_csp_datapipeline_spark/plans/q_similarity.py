@@ -299,33 +299,30 @@ def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical ranking fused with cosine
     vector ranking by reciprocal-rank fusion (k=60) — the standard
     two-tower retrieval merge. Both rankings rank on ROUNDED scores
-    with an id tie-break so the order is engine-portable; each
-    ranking's window is global but its input is already reduced
-    (BM25: only matching docs; vector: top scores), and at corpus
-    scale the fusion runs over per-query candidate lists (hundreds of
-    rows), not the corpus."""
-    from pyspark.sql import Window
-
+    with an id tie-break so the order is engine-portable; every
+    matched doc's rank feeds the reciprocal-rank sum (no top-k
+    substitute exists), so both ranks come from the DISTRIBUTED
+    range-partitioned rank (`functions/rank.global_row_number`)
+    instead of a single-partition window — the fusion inputs can be
+    whole-corpus score lists without funnelling any row through one
+    task."""
+    from aws_csp_datapipeline_spark.functions.rank import global_row_number
     from aws_csp_datapipeline_spark.functions.text import bm25_scores
     from aws_csp_datapipeline_spark.functions.similarity import cosine_scores
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    lex = bm25_scores(d, ["table", "merge", "window"]).select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc(F.round("score", 6)), F.asc("doc_id")))
-        .alias("r_lex"),
-    )
+    lex = global_row_number(
+        bm25_scores(d, ["table", "merge", "window"]),
+        [F.desc(F.round("score", 6)), F.asc("doc_id")],
+        out="r_lex",
+    ).select("doc_id", "r_lex")
     q = S.query_vector(e, "vec_id", "embedding", 0)
-    vec = cosine_scores(
-        e.filter(F.col("vec_id") != 0), "embedding", "vec_id", q
-    ).select(
-        F.col("vec_id").alias("doc_id"),
-        F.row_number()
-        .over(Window.orderBy(F.desc(F.round("cos_sim", 6)), F.asc("vec_id")))
-        .alias("r_vec"),
-    )
+    vec = global_row_number(
+        cosine_scores(e.filter(F.col("vec_id") != 0), "embedding", "vec_id", q),
+        [F.desc(F.round("cos_sim", 6)), F.asc("vec_id")],
+        out="r_vec",
+    ).select(F.col("vec_id").alias("doc_id"), "r_vec")
     return (
         lex.join(vec, "doc_id")
         .select(
@@ -515,22 +512,27 @@ def s14_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4x cheaper first-stage index. Fully deterministic (both
     rankings order by 6-dp-rounded cosine with id tie-breaks), so it
     oracle-pairs, unlike the hash-dependent LSH/IVF gates. Both
-    rankings are corpus scans + top-k; at scale each becomes
-    TakeOrderedAndProject per shard with a k-list merge."""
-    from pyspark.sql import Window
-
+    rankings are corpus scans + top-k, and the top-10 sets are
+    selected with orderBy+limit — TakeOrderedAndProject
+    (per-partition heaps + k-list merge), never a corpus-wide rank
+    window: only MEMBERSHIP in the top 10 matters here, so the
+    global row_number the previous form computed for every corpus
+    row was pure waste."""
     e = load_table(spark, sf_dir, "embeddings")
     qfull = S.query_vector(e, "vec_id", "embedding", 0)
     corpus = e.filter(F.col("vec_id") != 0)
     full_scores = S.cosine_scores(corpus, "embedding", "vec_id", qfull)
     trunc_corpus = corpus.withColumn("emb16", F.slice("embedding", 1, 16))
     trunc_scores = S.cosine_scores(trunc_corpus, "emb16", "vec_id", qfull[:16])
-    wf = Window.orderBy(F.desc(F.round("cos_sim", 6)), F.asc("vec_id"))
-    f10 = full_scores.select("vec_id", F.row_number().over(wf).alias("r")).filter(
-        F.col("r") <= 10
+    f10 = (
+        full_scores.orderBy(F.desc(F.round("cos_sim", 6)), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
     )
-    t10 = trunc_scores.select("vec_id", F.row_number().over(wf).alias("r")).filter(
-        F.col("r") <= 10
+    t10 = (
+        trunc_scores.orderBy(F.desc(F.round("cos_sim", 6)), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
     )
     return f10.join(t10, "vec_id").agg(
         F.count(F.lit(1)).alias("n_overlap"),

@@ -329,10 +329,14 @@ def t14_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 20)
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    return counts.withColumn(
-        "token_id", F.row_number().over(w).cast("long")
-    )
+    # full-vocabulary rank without a single-partition sort: the
+    # distributed range-partitioned rank (functions/rank.py) — every
+    # token's id contributes, so a top-k heap can't substitute
+    from aws_csp_datapipeline_spark.functions.rank import global_row_number
+
+    return global_row_number(
+        counts, [F.desc("freq"), F.asc("token")], out="__rn"
+    ).withColumn("token_id", F.col("__rn").cast("long")).drop("__rn")
 
 
 # t15's full SQL, exposed so downstream curation queries (t19) can
@@ -925,41 +929,20 @@ def t26_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.pow(F.lit(2.0), -F.avg(F.log2("p"))), 4).alias("ppl"),
     )
-    # Exact NTILE(3) WITHOUT a global single-partition window (the
-    # naive Window.orderBy("ppl","doc_id") funnels every scored doc
-    # through ONE task — the anti-pattern this repo bans at 100-TB doc
-    # counts). Two-phase global rank instead, bit-identical to
-    # NTILE(3) OVER (ORDER BY ppl, doc_id):
-    #   rank(doc) = (#docs with strictly smaller ppl)       [cumulative
-    #               + (row_number among equal-ppl, by doc_id)  counts]
-    # The per-value row_number window partitions by ppl (parallel);
-    # the cumulative-count window runs over DISTINCT ppl values only —
-    # a frame orders of magnitude smaller than the corpus — and the
-    # NTILE bucket is then a closed-form expression of (rank, n):
-    # the first n%3 tiles hold ceil(n/3) rows, the rest floor(n/3).
-    wv = Window.partitionBy("ppl").orderBy("doc_id")
-    ranked = docs.withColumn("__rv", F.row_number().over(wv))
-    vc = docs.groupBy("ppl").agg(F.count(F.lit(1)).alias("__c"))
-    wcum = Window.orderBy("ppl").rowsBetween(
-        Window.unboundedPreceding, -1
+    # Exact NTILE(3) WITHOUT a global single-partition window:
+    # `functions/rank.exact_ntile` (range-partitioned global rank +
+    # closed-form bucket, bit-identical to NTILE(3) OVER (ORDER BY
+    # ppl, doc_id) — the heavy-ties test below and the DuckDB oracle
+    # pin it). The naive Window.orderBy("ppl","doc_id") funnels every
+    # scored doc through ONE task — the anti-pattern this repo bans
+    # at 100-TB doc counts.
+    from aws_csp_datapipeline_spark.functions.rank import exact_ntile
+
+    tiled = exact_ntile(
+        docs, 3, [F.asc("ppl"), F.asc("doc_id")], out="__tile"
     )
-    offsets = vc.select(
-        "ppl", F.coalesce(F.sum("__c").over(wcum), F.lit(0)).alias("__before")
-    )
-    n = docs.agg(F.count(F.lit(1)).alias("__n"))
-    r = (F.col("__before") + F.col("__rv")).alias("__r")
-    joined = (
-        ranked.join(offsets, "ppl")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id", "n_bigrams", "ppl", r, "__n")
-    )
-    q = F.floor(F.col("__n") / 3)
-    rem = F.col("__n") % 3
-    in_big = F.col("__r") <= rem * (q + 1)
-    tile = F.when(in_big, F.ceil(F.col("__r") / (q + 1))).otherwise(
-        rem + F.ceil((F.col("__r") - rem * (q + 1)) / q)
-    )
-    return joined.select(
+    tile = F.col("__tile")
+    out = tiled.select(
         "doc_id",
         "n_bigrams",
         "ppl",
@@ -968,3 +951,5 @@ def t26_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+    out._graft_caches = getattr(tiled, "_graft_caches", ())
+    return out
