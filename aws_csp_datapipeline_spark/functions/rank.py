@@ -41,13 +41,37 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Below this many ranked rows the plain single-partition window wins:
+# the distributed form pays a persist, a broadcast join, and two extra
+# exchanges that measure ~2.5× on a 200k-row vocabulary (t14 at
+# sf0.1), while a one-task sort of ≤5M narrow rows is seconds.
+# Above it the window's 1-task sort dominates everything: measured at
+# sf100, 15M-row Gini rank 44-69 s window vs 17-23 s distributed,
+# 150M-row decile ntile 490-499 s vs 118-120 s (SCALE.md "rank
+# primitive"). Callers pass ``n_hint`` — an UPPER BOUND on the ranked
+# row count from parquet-footer metadata (catalog.table_row_count,
+# zero jobs; the lazy-knob rule) — to dispatch; no hint = distributed
+# (the safe-at-scale default).
+SINGLE_PARTITION_MAX = 5_000_000
+
+
 def global_row_number(
-    df: DataFrame, order: list[Column], out: str = "rn"
+    df: DataFrame,
+    order: list[Column],
+    out: str = "rn",
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Add ``out`` = the 1-based global row number of each row under
     ``order`` (MUST be a total order — include a unique tie-break).
     Identical values to ``row_number().over(Window.orderBy(*order))``,
-    computed without a single-partition sort."""
+    computed without a single-partition sort — unless ``n_hint``
+    (an upper bound on the ranked row count, typically a
+    parquet-footer table count) says the frame is small enough that
+    the window form is strictly cheaper (``SINGLE_PARTITION_MAX``)."""
+    if n_hint is not None and n_hint <= SINGLE_PARTITION_MAX:
+        return df.withColumn(
+            out, F.row_number().over(Window.orderBy(*order))
+        )
     from pyspark.storagelevel import StorageLevel
 
     # The ranged frame feeds two consumers (the rank rows and the
@@ -87,11 +111,21 @@ def global_row_number(
 
 
 def exact_ntile(
-    df: DataFrame, k: int, order: list[Column], out: str = "tile"
+    df: DataFrame,
+    k: int,
+    order: list[Column],
+    out: str = "tile",
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Add ``out`` = NTILE(k) under ``order`` (a total order), via
     ``global_row_number`` + the closed-form bucket expression —
-    bit-identical to the window NTILE at any scale."""
+    bit-identical to the window NTILE at any scale. Same ``n_hint``
+    dispatch as ``global_row_number``: small frames take the plain
+    window NTILE."""
+    if n_hint is not None and n_hint <= SINGLE_PARTITION_MAX:
+        return df.withColumn(
+            out, F.ntile(k).over(Window.orderBy(*order))
+        )
     ranked = global_row_number(df, order, out="__gr")
     # count through the ranked lineage, not the raw input — the rank's
     # cached ranged frame serves it without recomputing the source

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.catalog import load_table, table_row_count
 from aws_csp_datapipeline_spark.plans.registry import register
 
 
@@ -84,7 +84,8 @@ def h2_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     binned = exact_ntile(
-        o, 10, [F.asc("o_totalprice"), F.asc("o_orderkey")], out="decile"
+        o, 10, [F.asc("o_totalprice"), F.asc("o_orderkey")], out="decile",
+        n_hint=table_row_count(sf_dir, "orders"),
     )
     return binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
@@ -501,7 +502,8 @@ def w13_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
     ranked = global_row_number(
-        per_cust, [F.asc(F.round("rev", 2)), F.asc("o_custkey")], out="i"
+        per_cust, [F.asc(F.round("rev", 2)), F.asc("o_custkey")], out="i",
+        n_hint=table_row_count(sf_dir, "customer"),
     ).crossJoin(
         F.broadcast(per_cust.agg(F.count(F.lit(1)).alias("n")))
     )

@@ -78,7 +78,7 @@ def s3_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "vec_id",
         k=3,
-        n_planes=S.auto_lsh_planes(e.count(), n_tables=6),
+        n_planes=S.auto_lsh_planes(table_row_count(sf_dir, "embeddings"), n_tables=6),
         n_tables=6,
         dim=64,
     )
@@ -316,12 +316,14 @@ def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25_scores(d, ["table", "merge", "window"]),
         [F.desc(F.round("score", 6)), F.asc("doc_id")],
         out="r_lex",
+        n_hint=table_row_count(sf_dir, "documents"),
     ).select("doc_id", "r_lex")
     q = S.query_vector(e, "vec_id", "embedding", 0)
     vec = global_row_number(
         cosine_scores(e.filter(F.col("vec_id") != 0), "embedding", "vec_id", q),
         [F.desc(F.round("cos_sim", 6)), F.asc("vec_id")],
         out="r_vec",
+        n_hint=table_row_count(sf_dir, "embeddings"),
     ).select(F.col("vec_id").alias("doc_id"), "r_vec")
     return (
         lex.join(vec, "doc_id")
@@ -451,7 +453,7 @@ def pipe3_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "vec_id",
         k=10,
-        n_planes=S.auto_lsh_planes(e.count(), n_tables=6),
+        n_planes=S.auto_lsh_planes(table_row_count(sf_dir, "embeddings"), n_tables=6),
         n_tables=6,
         dim=64,
     ).select("probe_id", F.col("neighbor_id").alias("ann_neighbor_id"))

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.catalog import load_table, table_row_count
 from aws_csp_datapipeline_spark.functions import text as X
 from aws_csp_datapipeline_spark.plans.registry import register
 
@@ -335,7 +335,11 @@ def t14_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_csp_datapipeline_spark.functions.rank import global_row_number
 
     return global_row_number(
-        counts, [F.desc("freq"), F.asc("token")], out="__rn"
+        counts, [F.desc("freq"), F.asc("token")], out="__rn",
+        # scale proxy from the footer (zero jobs): the gated vocab is
+        # far below the corpus doc count in practice; both dispatch
+        # paths are exact, so the hint is purely a performance knob
+        n_hint=table_row_count(sf_dir, "documents"),
     ).withColumn("token_id", F.col("__rn").cast("long")).drop("__rn")
 
 
@@ -939,7 +943,8 @@ def t26_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_csp_datapipeline_spark.functions.rank import exact_ntile
 
     tiled = exact_ntile(
-        docs, 3, [F.asc("ppl"), F.asc("doc_id")], out="__tile"
+        docs, 3, [F.asc("ppl"), F.asc("doc_id")], out="__tile",
+        n_hint=table_row_count(sf_dir, "documents"),
     )
     tile = F.col("__tile")
     out = tiled.select(
