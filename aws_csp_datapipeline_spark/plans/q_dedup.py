@@ -305,7 +305,7 @@ _SEMDEDUP_SQL = """
 """
 
 
-@register("d10_semdedup", _SEMDEDUP_SQL)
+@register("d10_semdedup", _SEMDEDUP_SQL, oracle_sf_max=0.1)
 def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic (embedding-space) dedup — the dedup granularity the
     text-hash family (d1-d9) can't reach: paraphrases and re-encodings
@@ -328,7 +328,8 @@ def d10_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     attested sf0.01 (200) and sf0.1 (2,000) corpora; from 4,097 the
     bits grow one per corpus doubling to hold expected cell size at
     ~64, and the oracle (hard-coded v[1..6] buckets) is NOT valid
-    there — do not oracle-compare d10 on larger corpora (SCALE.md
+    there — machine-enforced via oracle_sf_max=0.1 (the a15 gate
+    pattern); do not oracle-compare d10 on larger corpora (SCALE.md
     "d10 cell-count scale rule" has the measured sf10 effect). Past
     the 14-bit sign cap (~1M vectors) the cell id composes a KMeans
     coarse cell with residual sign bits (SCALE.md "d10 beyond the
