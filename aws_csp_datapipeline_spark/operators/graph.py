@@ -142,3 +142,55 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> DataFrame:
             .localCheckpoint()
         )
     return cur.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def label_propagation(
+    edges: DataFrame, iterations: int = 3
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list (canonical src<dst rows) — the classic
+    near-linear community detector. Every node starts as its own
+    label; each round it adopts the most frequent label among its
+    NEIGHBORS, ties broken by the smallest label, updates applied
+    synchronously. Fixed ``iterations`` plus the deterministic tie
+    rule make the result reproducible across engines and
+    parallelism (no of the classic LPA randomness), at the price of
+    possible two-cycle oscillation on bipartite-ish structures —
+    acceptable for a bounded-round governance view, and exactly
+    reproducible by the SQL oracle either way.
+
+    Returns (node, label) after the final round.
+
+    Scale shape per round: one equi-join of the (node, label) frame
+    onto the doubled edge list (shuffle keyed by node), one grouped
+    count, one per-node top-1 window (partitioned by node — parallel,
+    never a global window). The labels frame is two longs per node;
+    document-scale payloads never enter. Rounds chain lazily —
+    callers wanting many rounds should localCheckpoint every few to
+    bound lineage (the pagerank discipline above)."""
+    und = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(iterations):
+        nbr = und.join(
+            labels.withColumnRenamed("node", "v"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        counts = nbr.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("c"), F.asc("label")
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+    return labels

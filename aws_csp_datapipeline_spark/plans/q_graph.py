@@ -313,3 +313,59 @@ def gr6_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("node_a"), F.asc("node_b"))
         .limit(20)
     )
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """gr7's SQL twin, generated: synchronous LPA unrolls into one
+    chained CTE per round (join neighbors' labels -> per-(node,label)
+    count -> per-node top-1 with the count-desc/label-asc tie rule),
+    exactly the operator's update."""
+    sql = _EDGES_CTE + """
+    , und AS (
+      SELECT src AS u, dst AS v FROM e
+      UNION ALL
+      SELECT dst AS u, src AS v FROM e
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM und)
+"""
+    for i in range(1, iterations + 1):
+        sql += f"""
+    , c{i} AS (
+      SELECT und.u AS node, l.lbl, COUNT(*) AS c
+      FROM und JOIN l{i-1} l ON l.node = und.v
+      GROUP BY und.u, l.lbl
+    ),
+    l{i} AS (
+      SELECT node, lbl FROM c{i}
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY node ORDER BY c DESC, lbl ASC) = 1
+    )
+"""
+    sql += f"""
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{iterations}
+    GROUP BY lbl
+    ORDER BY n_members DESC, community
+    LIMIT 20
+"""
+    return sql
+
+
+@register("gr7_label_propagation", _lpa_oracle())
+def gr7_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-supply graph: 3 rounds of
+    synchronous label propagation (`operators/graph.
+    label_propagation` — deterministic count-desc/label-asc tie rule,
+    so the chained-CTE oracle reproduces it exactly), reported as the
+    top-20 community sizes. The near-linear community detector a
+    feed-governance pipeline runs where connected components (d6's
+    union-find) is too coarse: LPA splits a weakly-bridged graph into
+    its dense cores instead of one giant component."""
+    labels = G.label_propagation(_edges(spark, sf_dir), iterations=3)
+    return (
+        labels.groupBy(F.col("label").cast("bigint").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(20)
+    )

@@ -81,7 +81,7 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # perplexity gate + two-corpus bucket form) and s20_ivfpq_topk's
 # queue-mates, windows w7/w8/w12/w13, curation
 # tt4/tt5/tt9/tt10/tt11/tt13 + pipe1/pipe2/pipe3, similarity
-# s7/s8/s9/s11/s13/s14/s15, dedup d4/d5/d7/d12, graph gr3/gr5/gr6,
+# s7/s8/s9/s11/s13/s14/s15, dedup d4/d5/d7/d12, graph gr3/gr5/gr6/gr7_label_propagation,
 # mutations m6_guarded_update/m6_guarded_rejected/m11/m12, streaming
 # st4/st7/st8/st10 (rows-only stream lanes). At ~35/round the queue
 # clears in 2 rounds.

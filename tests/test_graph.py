@@ -111,3 +111,21 @@ def test_pagerank_oracle_at_nontrivial_scale(spark):
     sf01 = "/root/testdata/sf0.1"
     spec = {s.name: s for s in specs()}["gr3_pagerank_top"]
     compare(spec.fn(spark, sf01), spec.oracle, sf01)
+
+
+def test_label_propagation_two_cliques(spark):
+    """LPA contract on a planted graph: two disconnected triangles
+    each converge to their min node's label within 3 synchronous
+    rounds (round 1: min-tie adoption; round 2-3: majority settles),
+    and labels never cross components."""
+    from aws_csp_datapipeline_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
