@@ -917,9 +917,15 @@ def t26_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbg = tgt.select(
         "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
     ).withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+    # model joins UNHINTED: at sf0.01 Catalyst broadcasts them anyway
+    # (tiny), and at corpus scale the reference model can be
+    # multi-million-row (src0 at sf100 is 250k docs -> ~10M distinct
+    # bigrams) where a forced broadcast is a driver-memory hazard —
+    # AQE picks broadcast vs shuffle from the REAL build-side size.
+    # Only the 1-row vocab scalar keeps an explicit hint.
     scored = (
-        tbg.join(F.broadcast(bgc), "bigram", "left")
-        .join(F.broadcast(heads), "w1", "left")
+        tbg.join(bgc, "bigram", "left")
+        .join(heads, "w1", "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
