@@ -406,3 +406,71 @@ def er4_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._graft_caches = getattr(stats, "_graft_caches", ())
     return out
+
+
+@register(
+    "ml2_leakage_safe_scaler",
+    """
+    WITH s AS (
+      SELECT l_quantity, l_extendedprice,
+             CASE WHEN substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2) < 'c0'
+                  THEN 'train' ELSE 'test' END AS split
+      FROM lineitem
+    ),
+    fit AS (
+      SELECT AVG(l_quantity) AS mq, STDDEV(l_quantity) AS sq,
+             AVG(l_extendedprice) AS mp, STDDEV(l_extendedprice) AS sp
+      FROM s WHERE split = 'train'
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(AVG((l_quantity - mq) / sq), 4) AS mean_z_qty,
+           ROUND(STDDEV((l_quantity - mq) / sq), 4) AS std_z_qty,
+           ROUND(AVG((l_extendedprice - mp) / sp), 4) AS mean_z_price,
+           ROUND(STDDEV((l_extendedprice - mp) / sp), 4) AS std_z_price
+    FROM s, fit
+    GROUP BY split
+    """,
+)
+def ml2_leakage_safe_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe feature standardization — the scaler discipline
+    every feature pipeline needs and naive implementations break:
+    mean/std are FIT ON THE TRAIN SPLIT ONLY and applied to both
+    splits (fitting on all rows leaks test-set statistics into
+    training features). The split itself is GROUP-AWARE: keyed by
+    l_orderkey (the deterministic md5 split, `sampling.hash_split`),
+    so all line items of one order land on the same side — splitting
+    by row id would leak intra-order structure across the boundary.
+    Output: per-split row counts and the mean/std of each scaled
+    feature — train reads ≈(0, 1) by construction; test deviating
+    from (0, 1) is the PROOF the statistics were not fit on it.
+
+    Scale shape: one pass fits the two moments on the train rows
+    (partial-aggregated scalar), broadcast back as a 1-row frame;
+    the apply+summarize pass is one grouped aggregate keyed by the
+    2-value split label. Nothing shuffles except the split-keyed
+    final aggregate."""
+    from aws_csp_datapipeline_spark.functions.sampling import hash_split
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    s = hash_split(li, "l_orderkey", 0.75)
+    fit = s.filter(F.col("split") == "train").agg(
+        F.avg("l_quantity").alias("mq"),
+        F.stddev("l_quantity").alias("sq"),
+        F.avg("l_extendedprice").alias("mp"),
+        F.stddev("l_extendedprice").alias("sp"),
+    )
+    zq = (F.col("l_quantity") - F.col("mq")) / F.col("sq")
+    zp = (F.col("l_extendedprice") - F.col("mp")) / F.col("sp")
+    return (
+        s.crossJoin(F.broadcast(fit))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.avg(zq), 4).alias("mean_z_qty"),
+            F.round(F.stddev(zq), 4).alias("std_z_qty"),
+            F.round(F.avg(zp), 4).alias("mean_z_price"),
+            F.round(F.stddev(zp), 4).alias("std_z_price"),
+        )
+    )

@@ -101,3 +101,39 @@ def test_auto_salt_buckets_gate():
     assert SMP.auto_salt_buckets(500_000) == 0
     assert SMP.auto_salt_buckets(500_001) == 32
     assert SMP.auto_salt_buckets(5_000_000) == 32
+
+
+def test_ml2_scaler_fits_on_train_only(spark, sf_oracle):
+    """Leakage discipline: the train split's scaled features read
+    exactly (mean 0, std 1) — the statistics were fit there — while
+    the test split reads merely NEAR (0, 1): equality there too would
+    mean the scaler saw test rows. Group-awareness: the split is by
+    l_orderkey, so no order straddles the boundary."""
+    from aws_csp_datapipeline_spark.plans.registry import queries
+
+    rows = {
+        r["split"]: r
+        for r in queries()["ml2_leakage_safe_scaler"](spark, sf_oracle).collect()
+    }
+    tr, te = rows["train"], rows["test"]
+    assert (tr["mean_z_qty"], tr["std_z_qty"]) == (0.0, 1.0)
+    assert (tr["mean_z_price"], tr["std_z_price"]) == (0.0, 1.0)
+    # test is near-standard but NOT fit: at least one moment differs
+    assert (te["mean_z_qty"], te["std_z_qty"], te["mean_z_price"],
+            te["std_z_price"]) != (0.0, 1.0, 0.0, 1.0)
+    # group-aware split: no l_orderkey on both sides
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.functions.sampling import hash_split
+    import pyspark.sql.functions as F
+
+    s = hash_split(
+        load_table(spark, sf_oracle, "lineitem").select("l_orderkey"),
+        "l_orderkey", 0.75,
+    )
+    straddle = (
+        s.groupBy("l_orderkey")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddle == 0
