@@ -312,20 +312,22 @@ def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     e = load_table(spark, sf_dir, "embeddings")
-    lex = global_row_number(
+    lex_rk = global_row_number(
         bm25_scores(d, ["table", "merge", "window"]),
         [F.desc(F.round("score", 6)), F.asc("doc_id")],
         out="r_lex",
         n_hint=table_row_count(sf_dir, "documents"),
-    ).select("doc_id", "r_lex")
+    )
+    lex = lex_rk.select("doc_id", "r_lex")
     q = S.query_vector(e, "vec_id", "embedding", 0)
-    vec = global_row_number(
+    vec_rk = global_row_number(
         cosine_scores(e.filter(F.col("vec_id") != 0), "embedding", "vec_id", q),
         [F.desc(F.round("cos_sim", 6)), F.asc("vec_id")],
         out="r_vec",
         n_hint=table_row_count(sf_dir, "embeddings"),
-    ).select(F.col("vec_id").alias("doc_id"), "r_vec")
-    return (
+    )
+    vec = vec_rk.select(F.col("vec_id").alias("doc_id"), "r_vec")
+    out = (
         lex.join(vec, "doc_id")
         .select(
             "doc_id",
@@ -336,6 +338,13 @@ def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(10)
     )
+    # select/join sever the attribute-based cache handoff — re-attach
+    # both ranks' persisted frames for release_caches (ADVICE r7)
+    out._graft_caches = (
+        *getattr(lex_rk, "_graft_caches", ()),
+        *getattr(vec_rk, "_graft_caches", ()),
+    )
+    return out
 
 
 @register(

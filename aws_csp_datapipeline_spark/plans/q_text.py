@@ -334,13 +334,19 @@ def t14_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # token's id contributes, so a top-k heap can't substitute
     from aws_csp_datapipeline_spark.functions.rank import global_row_number
 
-    return global_row_number(
+    ranked = global_row_number(
         counts, [F.desc("freq"), F.asc("token")], out="__rn",
         # scale proxy from the footer (zero jobs): the gated vocab is
         # far below the corpus doc count in practice; both dispatch
         # paths are exact, so the hint is purely a performance knob
         n_hint=table_row_count(sf_dir, "documents"),
-    ).withColumn("token_id", F.col("__rn").cast("long")).drop("__rn")
+    )
+    out = ranked.withColumn("token_id", F.col("__rn").cast("long")).drop("__rn")
+    # withColumn/drop return NEW frames, severing the attribute-based
+    # cache handoff (the q_linkage ADVICE-r7 lesson) — re-attach so
+    # release_caches can free the rank's persisted ranged frame
+    out._graft_caches = getattr(ranked, "_graft_caches", ())
+    return out
 
 
 # t15's full SQL, exposed so downstream curation queries (t19) can

@@ -100,3 +100,21 @@ def test_n_hint_dispatch(spark):
     ts = {r["id"]: r["t"] for r in exact_ntile(df, 4, order, out="t", n_hint=10).collect()}
     tl = {r["id"]: r["t"] for r in exact_ntile(df, 4, order, out="t", n_hint=10**9).collect()}
     assert ts == tl
+
+
+def test_cache_handoff_contract(spark):
+    """The distributed path persists the ranged frame and hands it to
+    the caller via _graft_caches (the release_caches contract); the
+    window path attaches nothing. release_caches unpersists it."""
+    from aws_csp_datapipeline_spark.functions.dedup import release_caches
+
+    df = _corpus(spark)
+    order = [F.asc("v"), F.asc("id")]
+    dist = global_row_number(df, order)
+    assert len(dist._graft_caches) == 1
+    dist.count()
+    cached = dist._graft_caches[0]
+    assert cached.storageLevel.useMemory or cached.storageLevel.useDisk
+    release_caches(dist)
+    small = global_row_number(df, order, n_hint=10)
+    assert getattr(small, "_graft_caches", ()) == ()
