@@ -136,19 +136,27 @@ def table_row_count(sf_dir: str, name: str) -> int:
     eager job per invocation (the r9 verdict's watch item 2).
     Handles both single-file and directory-of-parts layouts; row
     counts come from footer stats, so cost is one footer read per
-    file regardless of table size."""
+    file regardless of table size. The walk mirrors Spark's path
+    filter: hidden / underscore-prefixed directories and files
+    (``_temporary`` staging trees from an interrupted write,
+    ``.crc`` siblings) are pruned, so a stale staging file can't
+    inflate the count that feeds the quantizer/salt/dispatch knobs
+    (ADVICE r10)."""
     import os
 
     import pyarrow.parquet as pq
 
     path = table_path(sf_dir, name)
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-            for root, _dirs, files in os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
+        total = 0
+        for root, dirs, files in os.walk(path):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            for f in files:
+                if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
     return pq.ParquetFile(path).metadata.num_rows
 
 

@@ -198,14 +198,25 @@ def _preflight_id_pair_budget(
     block_cols: list[str],
     max_id_pairs: int,
     op: str,
+    n_rows: int | None = None,
 ) -> None:
     """Cheap LOWER BOUND on the id-level output: identical-(block,
     name) groups alone contribute sum C(cnt, 2) distance-0 pairs
     (the dq13 histogram-product estimator's shape — one groupBy over
     (block, name), fingerprint-width shuffle, no name comparison).
     Near-name expansion only adds to this, so bound-exceeded here is
-    definitive. One small aggregate job — the price of a bounded
-    failure mode on the quadratic-blowup regime."""
+    definitive.
+
+    Zero-job gate (ADVICE r10): when the caller supplies ``n_rows``
+    (parquet footer count — ``catalog.table_row_count``), corpora
+    where even ALL-pairs C(n, 2) fits the budget skip the aggregate
+    job entirely — the quadratic regime is arithmetically impossible
+    there, so the plan build stays lazy (the hidden-eager-action
+    discipline this guard originally violated). Past the floor, the
+    one small aggregate job is the price of a bounded failure mode
+    on the quadratic-blowup regime."""
+    if n_rows is not None and n_rows * (n_rows - 1) // 2 <= max_id_pairs:
+        return
     lb = (
         recs.groupBy(*block_cols, name_col)
         .count()
@@ -704,6 +715,7 @@ def pigeonhole_matches(
     cap: int = 32,
     max_dist: int = 2,
     max_id_pairs: int | None = 1_000_000_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Verified matches (id_a, id_b, name_a, name_b, dist) with
     levenshtein ≤ ``max_dist``, verified at NAME level before the
@@ -714,13 +726,17 @@ def pigeonhole_matches(
     ``max_id_pairs`` (default 1e9) is the duplicate-regime guard: a
     pre-flight lower bound on the id-level output raises
     ``IdPairBudgetExceeded`` instead of starting a quadratic,
-    disk-filling expansion (None disables)."""
+    disk-filling expansion (None disables). Pass ``n_rows`` (parquet
+    footer count) to skip the pre-flight's aggregate job when
+    C(n_rows, 2) already fits the budget — keeps the plan build
+    zero-job on corpora where the quadratic regime is impossible."""
     recs = df.select(
         F.col(id_col).alias("_id"), F.col(name_col).alias("_nm"), *block_cols
     )
     if max_id_pairs is not None:
         _preflight_id_pair_budget(
-            recs, "_nm", block_cols, max_id_pairs, "pigeonhole_matches"
+            recs, "_nm", block_cols, max_id_pairs, "pigeonhole_matches",
+            n_rows=n_rows,
         )
     verified = _candidate_name_pairs(recs, "_nm", block_cols, cap).withColumn(
         "dist", F.levenshtein("name_a", "name_b", max_dist)
@@ -740,6 +756,7 @@ def edit_complete_matches(
     cap: int = 32,
     max_dist: int = 2,
     max_id_pairs: int | None = 1_000_000_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Like ``pigeonhole_matches`` but INDEL-COMPLETE: candidates come
     from ``_shifted_candidate_name_pairs`` (PassJoin-style shifted
@@ -753,7 +770,9 @@ def edit_complete_matches(
 
     ``max_id_pairs`` (default 1e9): same duplicate-regime pre-flight
     guard as ``pigeonhole_matches`` — raises ``IdPairBudgetExceeded``
-    instead of a quadratic disk-filling expansion (None disables)."""
+    instead of a quadratic disk-filling expansion (None disables);
+    same ``n_rows`` zero-job gate (footer count with C(n, 2) within
+    budget skips the pre-flight aggregate)."""
     if max_dist != 2:
         raise ValueError("edit_complete_matches encodes max_dist=2 lanes")
     recs = df.select(
@@ -761,7 +780,8 @@ def edit_complete_matches(
     )
     if max_id_pairs is not None:
         _preflight_id_pair_budget(
-            recs, "_nm", block_cols, max_id_pairs, "edit_complete_matches"
+            recs, "_nm", block_cols, max_id_pairs, "edit_complete_matches",
+            n_rows=n_rows,
         )
     cand = _shifted_candidate_name_pairs(recs, "_nm", block_cols, cap)
     verified = cand.withColumn(

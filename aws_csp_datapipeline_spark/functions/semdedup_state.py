@@ -145,9 +145,25 @@ def _frozen_cells_and_units(
     build-side formula."""
     sign_bits = int(meta["sign_bits"])
     vec_col, id_col = meta["vec_col"], meta["id_col"]
-    src = incoming.select(
+    src_all = incoming.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
-    ).filter(F.col("__v").isNotNull())
+    )
+    # Null-vector contract (ADVICE r10): the in-session twin
+    # (semdedup_incremental via _cells_and_units) assigns null vectors
+    # bucket 0 with a null unit — they can never cosine-match anything
+    # (dot(null, ·) is null ⇒ filtered), so they come back
+    # accepted=true. Mirror that here instead of silently dropping
+    # them: split nulls out before the center crossJoin (a null __v
+    # would make every __cdist null and min_by's pick unspecified) and
+    # union them back with the same (bucket 0, null unit) shape, so
+    # the frozen lane stays decision-for-decision equal to the
+    # in-session lane on any input.
+    nulls = src_all.filter(F.col("__v").isNull()).select(
+        "__id",
+        F.lit(0).cast("long").alias("__bucket"),
+        F.lit(None).cast("array<double>").alias("__u"),
+    )
+    src = src_all.filter(F.col("__v").isNotNull())
     bucket = None
     for i in range(sign_bits):
         bit = F.when(
@@ -177,11 +193,20 @@ def _frozen_cells_and_units(
             dot(F.col("__ctr"), F.col("__ctr"))
             - F.lit(2.0) * dot(F.col("__v"), F.col("__ctr")),
         )
+        # min over struct(cdist, cell): exact-distance ties break to
+        # the LOWEST cluster index — KMeans model.transform's rule on
+        # the build side (ADVICE r10: bare min_by("__cell", "__cdist")
+        # leaves the tie-break unspecified, so an exact-tie vector
+        # could re-home to a different composite bucket than the
+        # build wrote, and could differ across re-evaluations).
         src = (
             joined.groupBy("__id")
             .agg(
-                F.min_by("__cell", "__cdist").alias("__cell"),
+                F.min(F.struct("__cdist", "__cell")).alias("__best"),
                 F.first("__v").alias("__v"),
+            )
+            .select(
+                "__id", F.col("__best.__cell").alias("__cell"), "__v"
             )
         )
         bucket = (
@@ -189,7 +214,9 @@ def _frozen_cells_and_units(
             * F.lit(1 << sign_bits).cast("long")
             + bucket
         )
-    return src.select("__id", bucket.alias("__bucket"), unit.alias("__u"))
+    return src.select(
+        "__id", bucket.alias("__bucket"), unit.alias("__u")
+    ).unionByName(nulls)
 
 
 def incremental_from_state(
@@ -207,9 +234,14 @@ def incremental_from_state(
 
     ``append=True`` writes the accepted rows into the state and bumps
     ``n_kept`` — the day-over-day loop: the next batch is admitted
-    against today's accepted rows too. The append materializes the
-    decision frame once (it both returns and writes), so callers get
-    a consistent view even though the state grew."""
+    against today's accepted rows too. Before the append write the
+    decision frame is eagerly localCheckpoint()ed — materialized
+    once with its lineage TRUNCATED — so neither the write nor the
+    caller's later consumption can re-evaluate the plan against the
+    now-grown state (a re-evaluation would re-score batch-accepted
+    rows against their own appended copies, cosine 1.0, and flip
+    them to rejected — ADVICE r10; a plain persist() is defeated by
+    the write's recacheByPath, see inline comment)."""
     meta = read_state_meta(state_dir)
     threshold = float(meta["threshold"])
     inc = _frozen_cells_and_units(spark, incoming, meta)
@@ -235,6 +267,17 @@ def incremental_from_state(
         F.col("__u").alias("__unit"),
     )
     if append:
+        # Freeze the decisions BEFORE the state grows: localCheckpoint
+        # (eager) materializes the frame AND truncates its lineage, so
+        # nothing can re-evaluate it against the appended rows. A
+        # persist() is NOT enough here — it stays registered in the
+        # CacheManager keyed to the state path, and the append write
+        # below triggers recacheByPath, which RE-COMPUTES the cached
+        # plan over the grown directory and flips every batch-accepted
+        # row to rejected (cosine 1.0 against its own appended copy) —
+        # observed, not hypothetical (test_append_makes_next_batch_
+        # see_accepted fails under the persist form).
+        out = out.localCheckpoint(eager=True)
         accepted = out.filter(F.col("accepted")).select(
             F.col(meta["id_col"]).alias("id"),
             "bucket",

@@ -207,6 +207,7 @@ def er2_scale_safe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     buys nothing at any scale. tests/test_linkage.py pins the
     candidate budget, the substitution-recall property, er2 ⊆ er1,
     and duplicate-collapse invariance."""
+    from aws_csp_datapipeline_spark.catalog import table_row_count
     from aws_csp_datapipeline_spark.functions.linkage import pigeonhole_matches
 
     c = load_table(spark, sf_dir, "customer").select(
@@ -219,6 +220,10 @@ def er2_scale_safe_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment"],
         cap=_ER2_CAP,
         max_dist=2,
+        # footer count keeps the pair-budget pre-flight zero-job when
+        # C(n, 2) fits the budget (ADVICE r10: the guard was itself a
+        # hidden eager action on corpora that can't blow up)
+        n_rows=table_row_count(sf_dir, "customer"),
     ).select(
         F.col("id_a").alias("custkey_a"),
         F.col("id_b").alias("custkey_b"),
@@ -265,6 +270,7 @@ def er3_indel_complete_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the DEFINITION (er1's quadratic join, unlimited), not a
     mirror of the algorithm — a recall hole anywhere in the lane
     geometry fails the hash compare."""
+    from aws_csp_datapipeline_spark.catalog import table_row_count
     from aws_csp_datapipeline_spark.functions.linkage import (
         edit_complete_matches,
     )
@@ -279,6 +285,7 @@ def er3_indel_complete_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_nationkey", "c_mktsegment"],
         cap=_ER2_CAP,
         max_dist=2,
+        n_rows=table_row_count(sf_dir, "customer"),
     )
     out = matches.select(
         F.col("id_a").alias("custkey_a"),

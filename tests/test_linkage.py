@@ -357,3 +357,31 @@ def test_id_pair_budget_guard(spark):
     # under-budget corpora pass the guard untouched
     ok = pigeonhole_matches(df, "id", "name", ["blk"], max_id_pairs=30_000)
     assert ok.count() == 199 * 200 // 2
+
+
+def test_id_pair_budget_preflight_zero_job_gate():
+    """ADVICE r10: when the caller supplies a footer row count and
+    even ALL-pairs C(n, 2) fits the budget, the pre-flight must skip
+    its aggregate job entirely. Proven zero-job by passing recs=None —
+    any Spark work would raise AttributeError, so a clean return IS
+    the no-job proof. Past the floor the aggregate must still run
+    (recs=None then blows up, which is what we assert)."""
+    import pytest
+
+    from aws_csp_datapipeline_spark.functions.linkage import (
+        _preflight_id_pair_budget,
+    )
+
+    # C(1000, 2) = 499_500 <= 1e9 budget: arithmetically impossible to
+    # exceed, so the guard returns without touching the DataFrame.
+    _preflight_id_pair_budget(
+        None, "_nm", ["blk"], 1_000_000_000, "op", n_rows=1_000
+    )
+    # past the floor (or with no n_rows), the aggregate job is the
+    # contract — recs=None makes that attempt observable
+    with pytest.raises(AttributeError):
+        _preflight_id_pair_budget(
+            None, "_nm", ["blk"], 100, "op", n_rows=1_000
+        )
+    with pytest.raises(AttributeError):
+        _preflight_id_pair_budget(None, "_nm", ["blk"], 100, "op")

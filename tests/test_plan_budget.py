@@ -57,6 +57,10 @@ def test_headline_plan_within_budget(spark, name, sf_oracle):
         ("tt10_per_source_cap", 1),
         ("pipe4_full_curation", 1),
         ("d1_exact_dedup", 1),
+        # er2's pair-budget pre-flight is footer-gated (ADVICE r10):
+        # at oracle SF C(n, 2) fits the default budget, so the build
+        # must launch no aggregate job
+        ("er2_scale_safe_matches", 1),
     ],
 )
 def test_plan_build_is_lazy(spark, name, n_reads, sf_oracle):
@@ -85,3 +89,26 @@ def test_plan_build_is_lazy(spark, name, n_reads, sf_oracle):
         "table-schema reads) — an eager action is hiding in the builder"
     )
     release_caches(df)
+
+
+def test_table_row_count_ignores_staging_files(spark, tmp_path):
+    """ADVICE r10: a stale `_temporary` staging tree (interrupted
+    write) or hidden dotfile must not inflate the footer count that
+    feeds the quantizer/salt/dispatch knobs — mirror Spark's own path
+    filter (prune `_`/`.`-prefixed dirs and files)."""
+    import shutil
+
+    from aws_csp_datapipeline_spark.catalog import table_row_count
+
+    sf_dir = str(tmp_path)
+    tbl = tmp_path / "t.parquet"
+    spark.range(100).toDF("id").write.parquet(str(tbl))
+    assert table_row_count(sf_dir, "t") == 100
+    # simulate an interrupted write: copy a real part file into a
+    # _temporary staging dir and a dot-prefixed sibling
+    part = next(p for p in tbl.iterdir() if p.name.endswith(".parquet"))
+    staging = tbl / "_temporary" / "0"
+    staging.mkdir(parents=True)
+    shutil.copy(part, staging / part.name)
+    shutil.copy(part, tbl / ("." + part.name))
+    assert table_row_count(sf_dir, "t") == 100

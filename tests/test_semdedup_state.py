@@ -118,3 +118,81 @@ def test_append_makes_next_batch_see_accepted(spark, sf_oracle, tmp_path):
     )
     out2 = SS.incremental_from_state(spark, sd, batch2)
     assert out2.filter("accepted").count() == 0
+
+
+def test_null_vectors_match_in_session_contract(spark, sf_oracle, tmp_path):
+    """ADVICE r10: the frozen lane silently DROPPED null-vector rows
+    while the in-session twin returns them (bucket 0, accepted=true —
+    dot(null, ·) can never clear the threshold). Pin the contract:
+    both lanes emit one row per incoming id, nulls included, with
+    identical decisions — including through the composite-quantizer
+    (centers) path, where a null would otherwise poison the argmin."""
+    e = load_table(spark, sf_oracle, "embeddings")
+    existing = e.filter(F.col("vec_id") < 250)
+    incoming = e.filter(F.col("vec_id").between(250, 299)).withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 10 == 0, F.lit(None)).otherwise(
+            F.col("embedding")
+        ),
+    )
+    sd = str(tmp_path / "sd_nulls")
+    SS.build_semdedup_state(
+        existing, "embedding", "vec_id", sd, threshold=0.45,
+        sign_bits=6, ivf_cells=0,
+    )
+    from_state = {
+        (r["vec_id"], r["bucket"], r["accepted"])
+        for r in SS.incremental_from_state(spark, sd, incoming).collect()
+    }
+    in_session = {
+        (r["vec_id"], r["bucket"], r["accepted"])
+        for r in semdedup_incremental(
+            semdedup_kept_state(existing, "embedding", "vec_id", 0.45, 6),
+            incoming, "embedding", "vec_id", threshold=0.45, sign_bits=6,
+        ).collect()
+    }
+    assert from_state == in_session
+    null_rows = {t for t in from_state if t[0] % 10 == 0}
+    assert len(null_rows) == 5  # nulls present, not dropped
+    assert all(b == 0 and acc for (_, b, acc) in null_rows)
+    # composite path: nulls must not reach the center-argmin crossJoin
+    sd2 = str(tmp_path / "sd_nulls_ivf")
+    SS.build_semdedup_state(
+        e.filter(F.col("vec_id") < 250), "embedding", "vec_id", sd2,
+        threshold=0.45, sign_bits=2, ivf_cells=4,
+    )
+    frozen = SS._frozen_cells_and_units(
+        spark, incoming, SS.read_state_meta(sd2)
+    )
+    got = {(r["__id"], r["__bucket"]) for r in frozen.collect()}
+    assert len(got) == 50
+    assert all(b == 0 for (i, b) in got if i % 10 == 0)
+
+
+def test_frozen_center_argmin_breaks_ties_to_lowest_index(spark, tmp_path):
+    """ADVICE r10: an exact-tie vector (equidistant from two persisted
+    centers) must re-home to the LOWEST cluster index — KMeans
+    model.transform's deterministic rule on the build side — not
+    whichever side min_by happens to see first."""
+    meta = {
+        "threshold": 0.45,
+        "sign_bits": 1,
+        "ivf_cells": 2,
+        # v=[0,1] is exactly equidistant from both centers
+        "centers": [[1.0, 1.0], [-1.0, 1.0]],
+        "vec_col": "embedding",
+        "id_col": "vec_id",
+    }
+    incoming = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [0.9, 1.0]), (3, [-0.9, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {
+        r["__id"]: r["__bucket"]
+        for r in SS._frozen_cells_and_units(spark, incoming, meta).collect()
+    }
+    # bucket = cell * 2^1 + sign_bit; element 1 of v is irrelevant to
+    # the tie — sign bit of v[0]: [0,1]->0, [0.9,...]->1, [-0.9,...]->0
+    assert rows[2] == 0 * 2 + 1  # clearly nearest center 0
+    assert rows[3] == 1 * 2 + 0  # clearly nearest center 1
+    assert rows[1] == 0 * 2 + 0  # TIE -> lowest index (cell 0)
