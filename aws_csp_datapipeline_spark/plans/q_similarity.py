@@ -722,20 +722,27 @@ def s18_persisted_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     index cost over every query at corpus scale (s5 re-derives the
     index per session). Probing with n_probe = n_cells reproduces
     brute force exactly (tests/test_ann_index.py pins that equality
-    plus the pruning itself via inputFiles()). The index lands in a
-    fresh temp dir per call so the query stays stateless for the
-    driver; a real deployment builds into a durable path and calls
-    only the probe."""
-    import tempfile
-
+    plus the pruning itself via inputFiles()). The index is a
+    corpus-fingerprint-keyed CACHED artifact (rebuild-if-absent,
+    ``functions/artifact_cache.py``): the first call per corpus pays
+    the build, every later call — the steady state this lane exists
+    to model — runs only the pruned probe (the economics SCALE.md
+    measured: 0.7-2 s probes vs 27 s builds at sf100)."""
     from aws_csp_datapipeline_spark.functions import ann_index as AI
+    from aws_csp_datapipeline_spark.functions.artifact_cache import (
+        get_or_build,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="spark_graft_ivf_")
-    meta = AI.build_ivf_index(
-        e, "embedding", "vec_id", idx,
-        n_cells=S.auto_ivf_cells(table_row_count(sf_dir, "embeddings")),
+    n_cells = S.auto_ivf_cells(table_row_count(sf_dir, "embeddings"))
+
+    def build(staging: str) -> None:
+        AI.build_ivf_index(e, "embedding", "vec_id", staging, n_cells=n_cells)
+
+    idx = get_or_build(
+        "ivf_index", sf_dir, ["embeddings"], {"n_cells": n_cells}, build
     )
+    meta = AI.read_meta(idx)
     qv = [
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -786,20 +793,29 @@ def s20_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_pq_index` / `probe_ivf_pq_index`); sf100 economics:
     119.5 s build, 20.3 MB index (39×), 1.7-6 s probes (SCALE.md).
     Recall floor + rerank exactness pinned in tests/test_ann_index.py
-    (full-probe == brute force) and tests/test_pq.py. Fresh temp dir
-    per call keeps the query stateless for the driver; a deployment
-    builds once into a durable path and runs only the probe."""
-    import tempfile
-
+    (full-probe == brute force) and tests/test_pq.py. The index is a
+    corpus-fingerprint-keyed CACHED artifact (rebuild-if-absent):
+    first call per corpus builds, steady state runs only the probe —
+    the amortization the persisted form exists for."""
     from aws_csp_datapipeline_spark.functions import ann_index as AI
+    from aws_csp_datapipeline_spark.functions.artifact_cache import (
+        get_or_build,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="spark_graft_ivfpq_")
-    meta = AI.build_ivf_pq_index(
-        e, "embedding", "vec_id", idx,
-        n_cells=S.auto_ivf_cells(table_row_count(sf_dir, "embeddings")),
-        pq_m=8, pq_k=16,
+    n_cells = S.auto_ivf_cells(table_row_count(sf_dir, "embeddings"))
+
+    def build(staging: str) -> None:
+        AI.build_ivf_pq_index(
+            e, "embedding", "vec_id", staging,
+            n_cells=n_cells, pq_m=8, pq_k=16,
+        )
+
+    idx = get_or_build(
+        "ivfpq_index", sf_dir, ["embeddings"],
+        {"n_cells": n_cells, "pq_m": 8, "pq_k": 16}, build,
     )
+    meta = AI.read_meta(idx)
     qv = [
         float(x)
         for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]

@@ -1,0 +1,170 @@
+"""Corpus-keyed artifact cache + the persisted co-supply edge list.
+
+Load-bearing assertions:
+- get_or_build invokes the builder ONCE per (corpus, config): call #2
+  reads the published artifact (the registry lanes' amortization —
+  r10 verdict items 2 and 4);
+- the cache key tracks corpus IDENTITY (file size/mtime), so a
+  regenerated corpus rebuilds instead of serving a stale artifact;
+- the edge artifact is exactly co_occurrence_edges, src-CLUSTERED
+  (each node's edges in one file — the layout the node-keyed graph
+  joins rely on);
+- the artifact-backed graph lanes return what the inline form did.
+"""
+
+import os
+import time
+
+import pyspark.sql.functions as F
+
+from aws_csp_datapipeline_spark.catalog import load_table
+from aws_csp_datapipeline_spark.functions import artifact_cache as AC
+from aws_csp_datapipeline_spark.operators import graph as G
+
+
+def test_get_or_build_builds_once(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "t.parquet").write_bytes(b"not-read-by-fingerprint")
+    calls = []
+
+    def build(staging):
+        calls.append(staging)
+        with open(os.path.join(staging, "payload"), "w") as fh:
+            fh.write("x")
+
+    d1 = AC.get_or_build("k", str(corpus), ["t"], {"a": 1}, build)
+    d2 = AC.get_or_build("k", str(corpus), ["t"], {"a": 1}, build)
+    assert d1 == d2 and len(calls) == 1
+    assert os.path.exists(os.path.join(d1, "payload"))
+    # different config -> different artifact
+    d3 = AC.get_or_build("k", str(corpus), ["t"], {"a": 2}, build)
+    assert d3 != d1 and len(calls) == 2
+
+
+def test_fingerprint_tracks_corpus_identity(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    f = corpus / "t.parquet"
+    f.write_bytes(b"v1")
+    fp1 = AC.corpus_fingerprint(str(corpus), ["t"])
+    # same stats -> same key
+    assert AC.corpus_fingerprint(str(corpus), ["t"]) == fp1
+    # regenerated corpus (new size or mtime) -> new key -> rebuild
+    time.sleep(0.01)
+    f.write_bytes(b"v2-longer")
+    fp2 = AC.corpus_fingerprint(str(corpus), ["t"])
+    assert fp2 != fp1
+    calls = []
+
+    def build(staging):
+        calls.append(staging)
+
+    AC.get_or_build("k", str(corpus), ["t"], {}, build)
+    time.sleep(0.01)
+    f.write_bytes(b"v3-even-longer")
+    AC.get_or_build("k", str(corpus), ["t"], {}, build)
+    assert len(calls) == 2
+
+
+def test_failed_build_publishes_nothing(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "t.parquet").write_bytes(b"x")
+
+    def bad(staging):
+        raise RuntimeError("boom")
+
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        AC.get_or_build("k", str(corpus), ["t"], {}, bad)
+    # nothing published, and a later good build still runs
+    done = []
+    AC.get_or_build("k", str(corpus), ["t"], {}, lambda s: done.append(s))
+    assert len(done) == 1
+
+
+def test_edge_artifact_layout_and_equality(spark, sf_oracle, tmp_path):
+    li = load_table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    adir = str(tmp_path / "edges_artifact")
+    meta = G.build_edge_artifact(li, "l_orderkey", "l_suppkey", adir)
+    persisted = G.load_edges(spark, adir)
+    inline = G.co_occurrence_edges(li, "l_orderkey", "l_suppkey")
+    p = {tuple(r) for r in persisted.collect()}
+    assert p == {tuple(r) for r in inline.collect()}
+    assert meta["n_edges"] == len(p)
+    # src-clustering: every src's edges live in exactly ONE file (the
+    # co-location the node-keyed graph joins rely on)
+    spread = (
+        persisted.withColumn("__f", F.input_file_name())
+        .groupBy("src")
+        .agg(F.countDistinct("__f").alias("nf"))
+        .agg(F.max("nf").alias("m"))
+        .first()["m"]
+    )
+    assert spread == 1
+
+
+def test_graph_lanes_read_artifact_and_match(spark, sf_oracle, tmp_path,
+                                             monkeypatch):
+    """gr lanes through the cache: call #1 builds, call #2 reuses the
+    published artifact (no second build dir), results identical to the
+    inline edge derivation."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    from aws_csp_datapipeline_spark.plans.q_graph import (
+        _edges,
+        gr2_degree_hist,
+    )
+
+    li = load_table(spark, sf_oracle, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    inline = {
+        tuple(r)
+        for r in G.co_occurrence_edges(li, "l_orderkey", "l_suppkey").collect()
+    }
+    got = {tuple(r) for r in _edges(spark, sf_oracle).collect()}
+    assert got == inline
+    published = os.listdir(str(tmp_path / "cache"))
+    assert len(published) == 1
+    # second lane call: same single published artifact, same answer
+    hist = {tuple(r) for r in gr2_degree_hist(spark, sf_oracle).collect()}
+    assert os.listdir(str(tmp_path / "cache")) == published
+    deg = {}
+    for s, d in inline:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    expect = {}
+    for v in deg.values():
+        expect[v] = expect.get(v, 0) + 1
+    assert hist == {(k, v) for k, v in expect.items()}
+
+
+def test_s18_second_call_skips_build(spark, sf_oracle, tmp_path, monkeypatch):
+    """Verdict item 4: the persisted-IVF registry lane must pay the
+    KMeans + index write once per corpus — call #2 goes straight to
+    the pruned probe."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    from aws_csp_datapipeline_spark.functions import ann_index as AI
+    from aws_csp_datapipeline_spark.plans.q_similarity import (
+        s18_persisted_ivf_probe,
+    )
+
+    builds = []
+    real = AI.build_ivf_index
+
+    def counting(*a, **kw):
+        builds.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(AI, "build_ivf_index", counting)
+    r1 = {tuple(r) for r in s18_persisted_ivf_probe(spark, sf_oracle).collect()}
+    r2 = {tuple(r) for r in s18_persisted_ivf_probe(spark, sf_oracle).collect()}
+    assert len(builds) == 1
+    assert r1 == r2 and len(r1) == 10
