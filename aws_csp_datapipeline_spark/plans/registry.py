@@ -68,23 +68,14 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
 #
-# Round-11+ rotation queue — 63 names with no driver record after the
-# r10 window below runs (keep the 15 fixed core, swap the r10 tail for
-# ~35 of these, spanning families): the full q-silhouette block
-# (q6/q11/q17/q18/q22), the base ops f1/f4/f11/p9_exists_flag/p10/j1,
-# pattern mining pm3/pm5/pm8, range/as-of x4/x5/x7/x8/x11,
-# histograms h2/h3, grouping g3/g5, fun3_benford_audit, quality
-# dq3/dq6/dq11 + the new dq19_fd_multi_audit (oracle-paired shared-
-# scan multi-FD audit) and inc4_semdedup_state (oracle ≡ inc3; the
-# persisted frozen-quantizer state artifact), plus
-# t25_lm_perplexity / t26_ccnet_buckets (oracle-paired CCNet
-# perplexity gate + two-corpus bucket form) and s20_ivfpq_topk's
-# queue-mates, windows w7/w8/w12/w13, curation
-# tt4/tt5/tt9/tt10/tt11/tt13 + pipe1/pipe2/pipe3, similarity
-# s7/s8/s9/s11/s13/s14/s15, dedup d4/d5/d7/d12, graph gr3/gr5/gr6/gr7_label_propagation,
-# mutations m6_guarded_update/m6_guarded_rejected/m11/m12, streaming
-# st4/st7/st8/st10 (rows-only stream lanes). At ~35/round the queue
-# clears in 2 rounds.
+# Round-12 rotation queue — the 33 names with no driver record after
+# the r11 window below runs (keep the 15 fixed core, swap the r11
+# tail for all of these — the queue CLEARS in round 12):
+# fun3_benford_audit, quality dq3/dq6, range/as-of x7/x8/x11,
+# curation tt4/tt5/tt9/tt10/tt11/tt13 + pipe3_ann_recall (rows-only),
+# similarity s7/s8/s9/s11/s13/s14/s15, streaming st4/st7/st8/st10,
+# windows w7/w8, dedup d4/d5 (rows-only)/d7/d12 (rows-only), graph
+# gr3/gr5/gr6.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core, shrunk 30 -> 15 per the r7 verdict (one name per
     # family keeps the longitudinal record; everything rotated out
@@ -104,50 +95,60 @@ _WINDOW: tuple[str, ...] = (
     "gr1_triangle_count",
     "dq1_column_profile",
     "pipe4_full_curation",
-    # --- round-10 rotation: 35 first-ever driver attestations ---
-    # Everything rotated OUT (the r9 tail: dq9/dq13/mm4 re-attests,
-    # the a10-a24 battery, the t-block, inc1-inc3) stays green in
-    # tests/test_registry_oracle.py. Leading: the 12 round-9
-    # additions that had no driver record (8 oracle-paired + 3
-    # rows-only) plus the new s20 composed IVF-PQ lane, then a
-    # cross-family sweep of the never-attested queue
-    # (er/ml/ap/pm/x/h/g/dq/w/tt/s/d/gr/m families).
-    "d13_containment_pairs",
-    "d14_passage_scrubbed_corpus",
-    "q23_copurchase_pairs",
-    "w16_moving_median",
-    "dq18_ks_drift",
-    "tt14_dsir_weights",
-    "tt15_bloom_decontaminate",
-    "t24_shingle_novelty",
-    "s18_persisted_ivf_probe",
-    "s19_pq_adc_topk",
-    "s20_ivfpq_topk",
-    "mm8_image_neardup_pairs",
-    # --- queue sweep, one to three per family ---
-    "er1_blocked_matches",
-    "ml1_loo_target_encoding",
-    "ap1_zscore_per_user",
-    "ap2_cogrouped_threshold",
-    "pm2_next_after_error",
-    "pm7_top_session_paths",
-    "x3_explode_tokens",
-    "x10_time_weighted_avg",
-    "h1_histogram",
-    "g2_rollup_sum",
-    "dq10_spike_detection",
-    "dq14_file_manifest",
-    "w4_lag_delta",
-    "w11_max_concurrency",
-    "tt2_split_balance",
-    "tt12_cluster_aware_split",
-    "s4_centroid_per_label",
-    "s17_pairwise_cosine_profile",
-    "d8_redundancy_by_source",
-    "d11_cross_source_dups",
-    "gr2_degree_hist",
-    "m3_update_from_batch",
-    "f10_json_extract",
+    # --- round-11 rotation: 35 first-ever driver attestations ---
+    # Everything rotated OUT (the r10 tail: d13/d14/q23/w16/dq18/
+    # tt14/tt15/t24/s18/s19/s20/mm8 + the queue sweep er1/ml1/ap1/
+    # ap2/pm2/pm7/x3/x10/h1/g2/dq10/dq14/w4/w11/tt2/tt12/s4/s17/d8/
+    # d11/gr2/m3/f10) stays green in tests/test_registry_oracle.py.
+    # Leading: the 5 round-10 additions the r10 verdict called out
+    # as pytest-only (t26/gr7/ml2/inc4/dq19) plus t25, then a
+    # cross-family sweep of the 68-name never-attested queue. The
+    # 33 names still queued after this window (fun3, dq3/dq6,
+    # x7/x8/x11, tt4/tt5/tt9/tt10/tt11/tt13, pipe3, the s7-s15
+    # block, st4/st7/st8/st10, w7/w8, d4/d5/d7/d12, gr3/gr5/gr6)
+    # clear in round 12.
+    "t26_ccnet_buckets",
+    "gr7_label_propagation",
+    "ml2_leakage_safe_scaler",
+    "inc4_semdedup_state",
+    "dq19_fd_multi_audit",
+    "t25_lm_perplexity",
+    # --- q-silhouette block ---
+    "q6_forecast_revenue",
+    "q11_important_stock",
+    "q17_below_avg_quantity",
+    "q18_large_orders",
+    "q22_inactive_high_balance",
+    # --- base projection/filter/join ops ---
+    "p9_exists_flag",
+    "p10_collated_eq",
+    "j1_broadcast_dim_join",
+    "f1_enum_fold",
+    "f4_coerce_boolean",
+    "f11_unpivot",
+    # --- mutations ---
+    "m6_guarded_update",
+    "m6_guarded_rejected",
+    "m11_dynamic_partition_overwrite",
+    "m12_pit_lookup",
+    # --- pipelines / pattern mining ---
+    "pipe1_curation_pipeline",
+    "pipe2_cdc_refresh",
+    "pm3_time_to_convert",
+    "pm5_markov_transitions",
+    "pm8_session_durations",
+    # --- range / as-of ---
+    "x4_gap_fill",
+    "x5_asof_forward",
+    # --- histograms / grouping / windows (rank-primitive consumers) ---
+    "h2_equidepth_histogram",
+    "h3_log_histogram",
+    "g3_time_rollup",
+    "g5_grouping_indicators",
+    "w12_period_over_period",
+    "w13_gini_coefficient",
+    # --- quality ---
+    "dq11_entropy_profile",
 )
 
 
