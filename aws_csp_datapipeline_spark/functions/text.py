@@ -131,17 +131,39 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.lower(col))
 
 
-def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
+def winnow_fingerprints(
+    col: Column, k: int = 8, w: int = 4, hash: str = "xxhash64"
+) -> Column:
     """Winnowing fingerprints (the rolling-hash selection scheme of
     MOSS): hash every character k-gram, then keep the minimum of each
     w-length window of consecutive hashes. Guarantees any shared
     substring ≥ k+w-1 chars yields a shared fingerprint — the
     plagiarism/near-dup detection primitive at document granularity.
 
+    ``hash`` picks the gram-hash family; BOTH select identical gram
+    positions per the winnowing rule, only the fingerprint domain
+    differs:
+    - ``"xxhash64"`` (default): 64-bit JVM-native hash — the scale
+      path for in-engine near-dup work (cheapest per gram; a corpus
+      lane evaluates len(text) of these per row).
+    - ``"portable"``: md5 hex strings, lexicographic minima — bitwise
+      reproducible by ANY engine (DuckDB restates it in SQL, which is
+      how t5's driver oracle pins the whole selection structure).
+      Use when fingerprints are an EXCHANGED artifact (cross-engine
+      decontamination indexes); ~an order of magnitude more per-gram
+      compute than xxhash64, so not the default.
+
     Entirely array expressions: the lowered text is bound once, the
     k-gram hash array once; O(len·k) substring hashing + O(len·w)
     window minima per row, inside codegen.
     """
+    if hash == "xxhash64":
+        gram_hash, empty_t = F.xxhash64, "array<bigint>"
+    elif hash == "portable":
+        gram_hash, empty_t = F.md5, "array<string>"
+    else:
+        raise ValueError(f"unknown winnow hash family: {hash!r}")
+
     def windows_of(h):
         return F.array_distinct(
             F.transform(
@@ -153,14 +175,14 @@ def winnow_fingerprints(col: Column, k: int = 8, w: int = 4) -> Column:
     def grams_of(t):
         return F.transform(
             F.sequence(F.lit(1), F.length(t) - k + 1),
-            lambda i: F.xxhash64(F.substring(t, i, k)),
+            lambda i: gram_hash(F.substring(t, i, k)),
         )
 
     t = F.lower(col)
     return F.when(F.length(t) >= k + w - 1, F.element_at(
         F.transform(F.array(F.element_at(F.transform(F.array(t), grams_of), 1)), windows_of),
         1,
-    )).otherwise(F.array().cast("array<bigint>"))
+    )).otherwise(F.array().cast(empty_t))
 
 
 def bigrams(col: Column) -> Column:

@@ -723,15 +723,33 @@ def dq13_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dq14_file_manifest", None)
+@register(
+    "dq14_file_manifest",
+    """
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file,
+           COUNT(*) AS n_rows,
+           MIN(l_orderkey) AS min_orderkey,
+           MAX(l_orderkey) AS max_orderkey
+    FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet*',
+                      filename=true)
+    GROUP BY 1 ORDER BY 1
+    """,
+    oracle_sf_max=0.01,
+)
 def dq14_file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file layout manifest: row count and key range of every
     parquet file backing the lineitem table — the audit behind
     small-file compaction (`sources/layout.compact_parquet`) and
     clustering quality (overlapping key ranges ⇒ scans can't prune).
-    Rows-only: the DuckDB oracle views hide file identity, so the
-    pytest twin (tests/test_quality.py) checks against pyarrow
-    per-file metadata instead.
+
+    Oracle window (the a15/d10 ``oracle_sf_max`` pattern, r10 verdict
+    item 6): the registered DuckDB views hide file identity, but
+    DuckDB's ``read_parquet(..., filename=true)`` restates the
+    manifest — at the driver's attestation SF, whose path the oracle
+    names explicitly (the compare contract fixes sf=0.01; the gate
+    downgrades every other SF to rows-only instead of comparing
+    against the wrong corpus). The pytest twin (tests/test_quality.py)
+    still checks pyarrow per-file metadata at any SF.
 
     Cost shape: only the key column is read (column pruning), the
     group key is `input_file_name()` so partial aggs collapse each

@@ -101,19 +101,47 @@ def t3_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("t5_winnow_fingerprints", None)
+@register(
+    "t5_winnow_fingerprints",
+    """
+    WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN length(t) >= 11 THEN
+               [md5(substr(t, i, 8)) FOR i IN range(1, length(t) - 8 + 2)]
+             ELSE [] END AS hs
+      FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN len(hs) >= 4 THEN
+             CAST(len(list_distinct(
+               [list_aggregate(hs[j+1:j+4], 'min')
+                FOR j IN range(0, len(hs) - 4 + 1)])) AS INTEGER)
+           ELSE 0 END AS n_fps
+    FROM g
+    """,
+)
 def t5_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) fingerprints per document (rows-only:
-    xxhash64 family): (doc_id, n_fingerprints, fingerprint set size) —
-    the MOSS-style substring-match primitive. Overlap quality is
-    pinned by tests/test_approx_quality.py."""
+    """Winnowing (rolling-hash) fingerprints per document — the
+    MOSS-style substring-match primitive, here in the PORTABLE hash
+    family (md5-hex grams, lexicographic window minima) so fingerprints
+    are an engine-exchangeable artifact and DuckDB can restate the
+    ENTIRE selection structure in SQL (list comprehensions over the
+    same k=8 grams, w=4 window minima, distinct count) — formerly
+    rows-only under xxhash64, which no other engine computes; the
+    xxhash64 family remains ``winnow_fingerprints``'s default for
+    in-engine lanes (r10 verdict item 6). Overlap quality is pinned by
+    tests/test_approx_quality.py."""
     from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
 
     d = load_table(spark, sf_dir, "documents")
     # per-char k-gram hashing is the heaviest per-row expression in the
     # repo — spread the narrow projection across cores first
     narrow = ensure_min_parallelism(d.select("doc_id", "text"))
-    fp = narrow.select("doc_id", X.winnow_fingerprints(F.col("text")).alias("fps"))
+    fp = narrow.select(
+        "doc_id",
+        X.winnow_fingerprints(F.col("text"), hash="portable").alias("fps"),
+    )
     return fp.select("doc_id", F.size("fps").alias("n_fps"))
 
 
