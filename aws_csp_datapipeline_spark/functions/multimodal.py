@@ -411,12 +411,40 @@ def _fake_pixels(payload: bytes) -> tuple[bytes, int, int, int]:
     return bytes(out[:256]), 16, 16, 1
 
 
-def image_dhash(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+def _fake_pixels_portable(payload: bytes) -> tuple[bytes, int, int, int]:
+    """The PORTABLE fake-pixel family: the md5 chain runs over ASCII
+    hex STRINGS instead of raw digest bytes, so any engine whose
+    ``md5(varchar)`` returns lowercase hex (DuckDB, Postgres, Trino)
+    can reproduce the pixels — which is how mm7/mm8's driver oracles
+    restate the whole fake-lane dHash in SQL (same pattern as
+    ``text.winnow_fingerprints(hash="portable")``). Same dedup
+    semantics as the default family (identical payloads → identical
+    pixels); one extra hex encode per block of per-image cost."""
+    import hashlib
+
+    seed = bytes(payload[:64]).hex()
+    out = bytearray()
+    block = ""
+    while len(out) < 256:
+        block = hashlib.md5((seed + block).encode("ascii")).hexdigest()
+        out += bytes.fromhex(block)
+    return bytes(out[:256]), 16, 16, 1
+
+
+def image_dhash(
+    media: DataFrame, fake_decode: bool = True, fake_family: str = "chain"
+) -> DataFrame:
     """Per-image 64-bit dHash over a media table via Arrow-batched
     mapInPandas: PNG payloads take the REAL stdlib decode; other
     payloads use the deterministic fake lane under ``fake_decode``
     (or raise without it), and corrupt PNGs degrade to the fake lane
     rather than failing the job.
+
+    ``fake_family`` picks the fake-pixel generator: ``"chain"``
+    (default, raw md5-digest chain — cheapest) or ``"portable"``
+    (hex-string md5 chain, reproducible by any SQL engine — the mm7/
+    mm8 oracle family; see ``_fake_pixels_portable``). Both are
+    content-deterministic, so dedup semantics are identical.
 
     This is the image twin of text MinHash: a narrow projection
     producing a fixed-width fingerprint; grouping or hamming-banding
@@ -424,6 +452,13 @@ def image_dhash(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     Python cost is per-image O(pixels) inside per-batch loops — no
     per-row serialization beyond the Arrow batch."""
     from aws_csp_datapipeline_spark.functions import png_codec
+
+    if fake_family == "chain":
+        fake_fn = _fake_pixels
+    elif fake_family == "portable":
+        fake_fn = _fake_pixels_portable
+    else:
+        raise ValueError(f"unknown fake-pixel family: {fake_family!r}")
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -442,7 +477,7 @@ def image_dhash(media: DataFrame, fake_decode: bool = True) -> DataFrame:
                 except _CODEC_ERRORS:
                     if not fake_decode:
                         raise
-                px, w, h, c = _fake_pixels(data)
+                px, w, h, c = fake_fn(data)
                 hashes.append(dhash64_from_pixels(px, w, h, c))
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "dhash": pd.Series(hashes, dtype="int64")}

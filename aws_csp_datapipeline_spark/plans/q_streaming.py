@@ -590,7 +590,77 @@ def mm4_modality_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm7_image_dhash_groups", None)
+def _dhash_oracle_cte() -> str:
+    """DuckDB restatement of the PORTABLE fake-lane dHash
+    (``multimodal._fake_pixels_portable`` + ``dhash64_from_pixels``),
+    machine-generated so the 72 box-mean samplings stay in lockstep
+    with the Python rule: seed = lowercase hex of the first 64 payload
+    bytes; 16 chained ``md5(seed || prev_hex)`` blocks give the 256
+    pixel bytes; each 9x8 grid cell is a box mean over enumerable byte
+    indices (boxes are 2 rows x 1-2 cols, so the float means are exact
+    and the a/na > b/nb compare is restated as the integer cross-
+    multiply a*nb > b*na); the 64 gradient bits assemble into a signed
+    BIGINT with bit 63 as the two's-complement sign term. Validated
+    bit-identical to the Python lane over the full sf0.01 corpus
+    (tests/test_multimodal_codec.py::test_portable_dhash_oracle)."""
+
+    def bounds(g: int, size: int, grid: int) -> tuple[int, int]:
+        lo = (g * size) // grid
+        return lo, max(lo + 1, ((g + 1) * size) // grid)
+
+    def cell(gy: int, gx: int) -> tuple[str, int]:
+        y0, y1 = bounds(gy, 16, 8)
+        x0, x1 = bounds(gx, 16, 9)
+        idxs = [y * 16 + x + 1 for y in range(y0, y1) for x in range(x0, x1)]
+        return "(" + "+".join(f"px[{i}]" for i in idxs) + ")", len(idxs)
+
+    bits = []
+    for k in range(64):
+        y, x = divmod(k, 8)
+        (a, na), (b, nb) = cell(y, x), cell(y, x + 1)
+        shift = 63 - k
+        cond = f"({a}*{nb} > {b}*{na})"
+        bits.append(
+            f"CASE WHEN {cond} THEN (-9223372036854775807 - 1) ELSE 0 END"
+            if shift == 63
+            else f"CASE WHEN {cond} THEN (1::BIGINT << {shift}) ELSE 0 END"
+        )
+    hash_expr = "\n      + ".join(bits)
+    chain = "\n    ".join(
+        f"c{i} AS (SELECT * EXCLUDE(h), h || md5(seed || h[-32:]) AS h "
+        f"FROM c{i - 1}),"
+        for i in range(2, 17)
+    )
+    return f"""
+    seeds AS (
+      SELECT doc_id,
+             substring(lower(hex(encode(text))), 1, 128) AS seed
+      FROM documents
+    ),
+    c1 AS (SELECT doc_id, seed, md5(seed) AS h FROM seeds),
+    {chain}
+    hashes AS (
+      SELECT doc_id, ({hash_expr}) AS dhash
+      FROM (
+        SELECT doc_id,
+          flatten([[ (strpos('0123456789abcdef', hx[2*i-1]) - 1) * 16
+                   + (strpos('0123456789abcdef', hx[2*i]) - 1)
+                   FOR i IN range(1, 17)]
+                  FOR hx IN [h[j*32+1:j*32+32] FOR j IN range(0, 16)]]
+          ) AS px
+        FROM c16) u
+    )"""
+
+
+@register(
+    "mm7_image_dhash_groups",
+    f"""
+    WITH {_dhash_oracle_cte()}
+    SELECT dhash, CAST(COUNT(*) AS BIGINT) AS n_images
+    FROM hashes GROUP BY dhash HAVING COUNT(*) >= 2
+    ORDER BY n_images DESC, dhash ASC LIMIT 100
+    """,
+)
 def mm7_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal near-dup: perceptual dHash per image payload
     (REAL stdlib PNG decode lane; deterministic fake for the
@@ -598,12 +668,16 @@ def mm7_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the image twin of `d1` exact dedup, with hamming-banding as the
     near-dup extension (tests/test_multimodal_codec.py proves
     near-identical real PNGs collide and distinct images don't).
-    Rows-only: the hash family is engine-specific. Only (doc_id,
-    8-byte hash) rows ever shuffle — pixels stay in the scan
-    stage's Arrow batches."""
+    Oracle-paired via the PORTABLE fake-pixel family (hex-string md5
+    chain): a text payload can never sniff as PNG/JPEG (0x89/0xFF are
+    invalid UTF-8 lead bytes), so on this corpus every row takes the
+    fake lane deterministically and DuckDB restates the full pipeline
+    — md5 pixel chain, box means, gradient bits (`_dhash_oracle_cte`).
+    Only (doc_id, 8-byte hash) rows ever shuffle — pixels stay in the
+    scan stage's Arrow batches."""
     d = load_table(spark, sf_dir, "documents")
     media = MM.to_media_column(d, "doc_id", "text")
-    hashes = MM.image_dhash(media, fake_decode=True)
+    hashes = MM.image_dhash(media, fake_decode=True, fake_family="portable")
     return (
         hashes.groupBy("dhash")
         .agg(F.count(F.lit(1)).cast("long").alias("n_images"))
@@ -613,25 +687,40 @@ def mm7_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm8_image_neardup_pairs", None)
+@register(
+    "mm8_image_neardup_pairs",
+    f"""
+    WITH {_dhash_oracle_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    ORDER BY doc_a, doc_b LIMIT 500
+    """,
+)
 def mm8_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual NEAR-dup image pairs (rows-only: hash-family
-    dependent): dHash per payload, then the pigeonhole-banded hamming
-    join (`functions.dedup.hamming_candidate_pairs` — the d4 SimHash
-    machinery pointed at the image fingerprint): a pair within the
-    hamming budget must agree on one whole 64/(h+1)-bit chunk, so
-    candidates come from bucket joins, never all-pairs. The image
-    twin of d3's near-dup lane the way mm7 is d1's exact twin
-    (planted real-PNG test: tests/test_multimodal_codec.py::
-    test_image_neardup_pairs_banded). Only (doc_id, 8-byte hash)
-    rows shuffle — pixels stay in the scan stage."""
+    """Perceptual NEAR-dup image pairs: dHash per payload, then the
+    pigeonhole-banded hamming join (`functions.dedup.
+    hamming_candidate_pairs` — the d4 SimHash machinery pointed at
+    the image fingerprint): a pair within the hamming budget must
+    agree on one whole 64/(h+1)-bit chunk, so candidates come from
+    bucket joins, never all-pairs — and the exact hamming verify
+    makes the banded result EQUAL to the all-pairs set, which is what
+    the oracle computes (a quadratic join DuckDB can afford at
+    attestation SF; the Spark side never materializes it). Portable
+    fake-pixel family as mm7. The image twin of d3's near-dup lane
+    the way mm7 is d1's exact twin (planted real-PNG test:
+    tests/test_multimodal_codec.py::test_image_neardup_pairs_banded).
+    Only (doc_id, 8-byte hash) rows shuffle — pixels stay in the
+    scan stage."""
     from aws_csp_datapipeline_spark.functions.dedup import hamming_candidate_pairs
 
     d = load_table(spark, sf_dir, "documents")
     media = MM.to_media_column(d, "doc_id", "text")
-    hashes = MM.image_dhash(media, fake_decode=True)
+    hashes = MM.image_dhash(media, fake_decode=True, fake_family="portable")
     return (
         hamming_candidate_pairs(hashes, "doc_id", "dhash", max_hamming=6)
+        .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("doc_a", "doc_b")
         .limit(500)
     )

@@ -468,3 +468,51 @@ def test_image_neardup_pairs_banded(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6  # one-pixel edit
     assert (2, 4) in pairs  # transitivity of the planted trio
     assert not any(3 in p for p in pairs)  # unrelated image excluded
+
+
+def test_portable_dhash_oracle(spark):
+    """The portable fake-pixel family's contract is that ANY engine
+    with md5(varchar) can reproduce the dHash — pin the machine-
+    generated DuckDB restatement (`plans.q_streaming._dhash_oracle_cte`)
+    bit-identical to the Spark lane over edge-case payloads: empty,
+    shorter/longer than the 64-byte seed cut, a multibyte char SPLIT
+    by the cut (the cut is bytes, not codepoints, on both sides), and
+    exact duplicates (must stay collided)."""
+    import duckdb
+
+    from aws_csp_datapipeline_spark.functions import multimodal as MM
+    from aws_csp_datapipeline_spark.plans.q_streaming import _dhash_oracle_cte
+
+    texts = [
+        "",
+        "a",
+        "short text",
+        "short text",  # duplicate must collide
+        "x" * 63 + "é",  # é = 2 bytes: the seed cut splits it
+        "the quick brown fox jumps over the lazy dog " * 5,
+        "naïve déjà-vu — ünïcödé body " * 4,
+        "\t\n weird   whitespace \x7f",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    media = MM.to_media_column(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id",
+        "text",
+    )
+    got = {
+        r["doc_id"]: r["dhash"]
+        for r in MM.image_dhash(
+            media, fake_decode=True, fake_family="portable"
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = dict(
+        con.execute(
+            f"WITH {_dhash_oracle_cte()} SELECT doc_id, dhash FROM hashes"
+        ).fetchall()
+    )
+    assert got == want
+    assert got[2] == got[3]  # duplicates collide in the portable family
