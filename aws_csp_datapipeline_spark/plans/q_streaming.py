@@ -165,11 +165,54 @@ def st3_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm1_media_features", None)
+# The fake-decode meta lanes (mm1/mm5/mm6) all derive their values
+# from ONE deterministic integer fold over the first 64 payload bytes
+# (`multimodal._fake_image_meta` et al.: h = (h*131 + b) & 0x7FFFFFFF)
+# — plain integer arithmetic, so DuckDB restates it directly with a
+# list_reduce over the hex-unpacked bytes; no hash-family plumbing
+# needed. & 0x7FFFFFFF == % 2^31 because every intermediate is
+# non-negative, and h*131 + b < 2^38 fits BIGINT exactly.
+_FOLD64 = """
+      list_reduce(list_prepend(0::BIGINT,
+        [ (strpos('0123456789abcdef', ph[2*i-1]) - 1) * 16
+        + (strpos('0123456789abcdef', ph[2*i]) - 1)
+        FOR i IN range(1, least(length(ph) // 2, 64) + 1)]),
+        (h, b) -> (h * 131 + b) % 2147483648)
+"""
+
+
+@register(
+    "mm1_media_features",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lower(hex(encode(text))) AS ph FROM documents
+    ), f AS (
+      SELECT doc_id, length(ph) // 2 AS n_bytes, ({_FOLD64}) AS h,
+             CASE WHEN length(ph) = 0 THEN 0.0 ELSE
+               CAST(list_sum(
+                 [ (strpos('0123456789abcdef', ph[2*i-1]) - 1) * 16
+                 + (strpos('0123456789abcdef', ph[2*i]) - 1)
+                 FOR i IN range(1, length(ph) // 2 + 1)]) AS DOUBLE)
+               / (length(ph) // 2) END AS mean_byte
+      FROM m
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes, mean_byte,
+           CAST(64 + h % 192 AS INT) AS width,
+           CAST(64 + (h // 256) % 192 AS INT) AS height,
+           CAST(CASE WHEN h % 4 = 0 THEN 1 ELSE 3 END AS INT) AS channels
+    FROM f
+    """,
+)
 def mm1_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: documents → opaque binary payloads → Arrow-batched
     mapInPandas feature extraction (byte stats real; image decode
-    STUBBED with a deterministic fake — no codec libs here)."""
+    STUBBED with a deterministic fake — no codec libs here).
+    Oracle-paired: the byte stats are exact on both sides (one
+    int-sum → double division each) and the fake meta is the `_FOLD64`
+    integer fold, which DuckDB restates verbatim. The real-decode
+    branches can't fire on this corpus — 0x89 (PNG) and 0xFF (JPEG)
+    are invalid UTF-8 lead bytes, so a text payload never sniffs as
+    either."""
     d = load_table(spark, sf_dir, "documents")
     media = MM.to_media_column(d, "doc_id", "text")
     return MM.extract_features(media, fake_decode=True)
@@ -416,14 +459,38 @@ def mm3_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm5_audio_features", None)
+@register(
+    "mm5_audio_features",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lower(hex(encode(text))) AS ph FROM documents
+    ), f AS (
+      SELECT doc_id, length(ph) // 2 AS n, ({_FOLD64}) AS h,
+             (ph[1:8] = '52494646' AND ph[17:24] = '57415645') AS is_wav
+      FROM m
+    )
+    SELECT doc_id,
+      CAST(CASE WHEN is_wav THEN 0 ELSE 8000 + h % 40000 END AS INT)
+        AS sample_rate,
+      CAST(CASE WHEN is_wav THEN 0 ELSE 1 + h % 2 END AS INT) AS channels,
+      CAST(CASE WHEN is_wav THEN 0 ELSE n END AS BIGINT) AS n_frames,
+      CASE WHEN is_wav THEN 0.0
+           ELSE (1000.0 * n) / (8000 + h % 40000) END AS duration_ms
+    FROM f
+    """,
+)
 def mm5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio lane through the registry surface: loudness /
-    duration stats per payload via Arrow-batched mapInPandas
-    (rows-only: the testdata corpus has no real WAV bytes, so the
-    deterministic fake lane runs here; real WAV payloads take the
-    stdlib ``wav_codec`` path — tests/test_multimodal_codec.py proves
-    that on generated PCM)."""
+    duration stats per payload via Arrow-batched mapInPandas (the
+    testdata corpus has no real WAV bytes, so the deterministic fake
+    lane runs here; real WAV payloads take the stdlib ``wav_codec``
+    path — tests/test_multimodal_codec.py proves that on generated
+    PCM). Oracle-paired via `_FOLD64`; the one sniffable prefix —
+    'RIFF....WAVE' IS valid UTF-8, so a text payload CAN enter the
+    real-decode branch — always fails the wave parse on text bytes
+    (no valid fmt chunk) and degrades to the all-zeros row, which the
+    oracle's is_wav CASE restates
+    (tests/test_multimodal_codec.py::test_mm_meta_oracle_sniff_paths)."""
     d = load_table(spark, sf_dir, "documents")
     media = MM.to_media_column(d, "doc_id", "text")
     return MM.extract_audio_features(media).select(
@@ -431,13 +498,35 @@ def mm5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm6_video_meta", None)
+@register(
+    "mm6_video_meta",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lower(hex(encode(text))) AS ph FROM documents
+    ), f AS (
+      SELECT doc_id, ({_FOLD64}) AS h, (ph[9:16] = '66747970') AS sniffs
+      FROM m
+    )
+    SELECT doc_id,
+      CASE WHEN sniffs THEN 0.0
+           ELSE CAST(1000 + h % 60000 AS DOUBLE) END AS duration_ms,
+      CAST(CASE WHEN sniffs THEN 0 ELSE 1 + h % 3 END AS INT) AS n_tracks,
+      CAST(CASE WHEN sniffs THEN 0 ELSE 320 + h % 1600 END AS INT) AS width,
+      CAST(CASE WHEN sniffs THEN 0 ELSE 240 + (h // 256) % 900 END AS INT)
+        AS height
+    FROM f
+    """,
+)
 def mm6_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video lane through the registry surface: container
     metadata (duration / tracks / dimensions — what duration caps and
-    resolution floors filter on) via mapInPandas (rows-only; real MP4
-    payloads take the stdlib ``mp4_meta`` box parse, proven on
-    hand-built ISO-BMFF fixtures in tests)."""
+    resolution floors filter on) via mapInPandas (real MP4 payloads
+    take the stdlib ``mp4_meta`` box parse, proven on hand-built
+    ISO-BMFF fixtures in tests). Oracle-paired via `_FOLD64`; a text
+    payload with 'ftyp' at bytes 4-8 sniffs as MP4 but the box walk
+    fails on text bytes (sizes are garbage) and degrades to the
+    all-zeros row, which the oracle's sniffs CASE restates
+    (tests/test_multimodal_codec.py::test_mm_meta_oracle_sniff_paths)."""
     d = load_table(spark, sf_dir, "documents")
     media = MM.to_media_column(d, "doc_id", "text")
     return MM.extract_video_meta(media).select(

@@ -516,3 +516,42 @@ def test_portable_dhash_oracle(spark):
     )
     assert got == want
     assert got[2] == got[3]  # duplicates collide in the portable family
+
+
+def test_mm_meta_oracle_sniff_paths(spark, tmp_path):
+    """mm5/mm6's oracles assume a text payload that SNIFFS as WAV/MP4
+    (both magic sequences are valid UTF-8, unlike PNG/JPEG's) still
+    fails the real parse and degrades to the all-zeros row. Plant
+    sniffing payloads and pin lane == oracle on the planted corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_csp_datapipeline_spark.plans import registry
+
+    texts = [
+        "plain document body with nothing special",
+        "RIFFxxxxWAVEfmt not actually a wave file at all",  # WAV sniffer
+        "abcdftypisom pretends to be an mp4 container box",  # MP4 sniffer
+        "RIFF1234WAV_ not quite the magic",  # near-miss: no WAVE at 8:12
+        "",
+    ]
+    rows = list(enumerate(texts))
+    pq.write_table(
+        pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}),
+        str(tmp_path / "documents.parquet"),
+    )
+    qs = {s.name: s for s in registry._REGISTRY}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name in ("mm5_audio_features", "mm6_video_meta"):
+        spec = qs[name]
+        got = sorted(tuple(r) for r in spec.fn(spark, str(tmp_path)).collect())
+        want = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+        assert got == want, name
+    # the WAV sniffer really did take the degraded real-decode branch
+    mm5 = {r["doc_id"]: r for r in qs["mm5_audio_features"].fn(spark, str(tmp_path)).collect()}
+    assert mm5[1]["sample_rate"] == 0 and mm5[1]["n_frames"] == 0
+    assert mm5[3]["sample_rate"] != 0  # near-miss stays on the fake lane
