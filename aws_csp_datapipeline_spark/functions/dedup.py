@@ -483,7 +483,7 @@ def _perm_constants(k: int, seed: int = 42) -> list[tuple[int, int]]:
 _MASK31 = (1 << 31) - 1
 
 
-def _minhash_array(sh: DataFrame, k: int) -> DataFrame:
+def _minhash_array(sh: DataFrame, k: int, hash: str = "xxhash64") -> DataFrame:
     """(doc, mhs: array<long>[k]) MinHash signatures with NO shuffle:
     the shingles are already a per-doc array, so each permutation's
     minimum is an ``array_min`` over a per-row transform — a narrow
@@ -519,26 +519,47 @@ def _minhash_array(sh: DataFrame, k: int) -> DataFrame:
             ),
         )
 
-    hashed = F.transform(F.col("sh"), lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK31)))
+    if hash == "xxhash64":
+        base = lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK31))  # noqa: E731
+    elif hash == "portable":
+        # 31-bit md5-derived base (first 8 hex chars mod 2^31): any
+        # engine with md5(varchar) + base-16 parse reproduces the
+        # whole signature — the universal-hash layer above is plain
+        # integer arithmetic either way (d5's driver oracle).
+        base = lambda s: (  # noqa: E731
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(_MASK31))
+        )
+    else:
+        raise ValueError(f"unknown minhash base-hash family: {hash!r}")
+    hashed = F.transform(F.col("sh"), base)
     # one-element-array wrapper binds the hashed array once per row
     sig = F.element_at(F.transform(F.array(hashed), sig_of), 1)
     return sh.select("doc", sig.alias("mhs"))
 
 
-def _signature_from_shingles(sh: DataFrame, k: int) -> DataFrame:
+def _signature_from_shingles(
+    sh: DataFrame, k: int, hash: str = "xxhash64"
+) -> DataFrame:
     """Column-per-permutation signature view (mh0..mh{k-1}) over
     ``_minhash_array`` — the persistable-artifact schema. The array
     is a bound attribute in the outer Project (CollapseProject keeps
     expensive multi-referenced aliases un-inlined), so the heavy
     expression still evaluates once per row."""
-    arr = _minhash_array(sh, k)
+    arr = _minhash_array(sh, k, hash=hash)
     return arr.select(
         "doc", *[F.element_at(F.col("mhs"), j + 1).alias(f"mh{j}") for j in range(k)]
     )
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int = 32, n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 32,
+    n: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-doc MinHash signature table (see _signature_from_shingles
     for the hash family and shuffle shape).
@@ -548,7 +569,9 @@ def minhash_signatures(
     fingerprints — the two paths produce different (equally valid)
     signature values. Persisted signatures are only comparable to
     signatures built by the SAME path."""
-    return _signature_from_shingles(_shingle_table(df, text_col, id_col, n), k)
+    return _signature_from_shingles(
+        _shingle_table(df, text_col, id_col, n), k, hash=hash
+    )
 
 
 def _min_band_hits(
@@ -942,16 +965,47 @@ def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(F.col("doc"), F.col("grp").alias("group_id"))
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _portable_h63(col):
+    """63-bit token hash from md5 hex — the PORTABLE family's base
+    hash (any engine with md5(varchar) + base-16 parse reproduces
+    it): bits 32..62 from the first 8 hex chars reduced to 31 bits,
+    bits 0..31 from the next 8. Stays strictly below 2^63, so the
+    hi*2^32 + lo assembly never overflows ANSI long arithmetic (the
+    simhash assembly only votes bits 0..62 anyway — bit 63 is kept
+    clear for signedness on the xxhash64 path too)."""
+    m = F.md5(col)
+    hi = (
+        F.conv(F.substring(m, 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit(_MASK31))
+    )
+    lo = F.conv(F.substring(m, 9, 8), 16, 10).cast("long")
+    return hi * F.lit(1 << 32) + lo
+
+
+def simhash64(
+    df: DataFrame, text_col: str, id_col: str, hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document: token hash sign-votes per bit,
     assembled into a BIGINT. One explode + one groupBy (64 small sum
-    aggregates) — single shuffle, constant width."""
+    aggregates) — single shuffle, constant width.
+
+    ``hash`` picks the token-hash family: ``"xxhash64"`` (default,
+    JVM-native — the scale path) or ``"portable"`` (md5-derived
+    63-bit, reproducible by any SQL engine — how d4's driver oracle
+    restates the whole signature; see ``_portable_h63``)."""
+    if hash == "xxhash64":
+        token_hash = F.xxhash64("t")
+    elif hash == "portable":
+        token_hash = _portable_h63(F.col("t"))
+    else:
+        raise ValueError(f"unknown simhash token-hash family: {hash!r}")
     narrow = ensure_min_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__text"))
     )
     ex = narrow.select(
         "doc", F.explode(tokens(F.col("__text"))).alias("t")
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", token_hash)
     votes = ex.groupBy("doc").agg(
         *[
             F.sum(
@@ -967,13 +1021,17 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup candidates: band the 64-bit fingerprint into
     ``max_hamming + 1`` chunks (pigeonhole: any pair within the
     hamming budget shares at least one identical chunk), equi-join on
     (chunk-index, chunk), then filter by true hamming distance."""
-    sig = simhash64(df, text_col, id_col)
+    sig = simhash64(df, text_col, id_col, hash=hash)
     return hamming_candidate_pairs(sig, "doc", "simhash", max_hamming)
 
 

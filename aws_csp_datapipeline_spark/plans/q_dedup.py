@@ -83,13 +83,70 @@ def d3_minhash_lsh_pairs(
     )
 
 
-@register("d4_simhash_candidates", None)
+# Portable-family hash helpers for the d4/d5 oracles (same pattern as
+# t5 winnow / mm7 dHash): the ONLY engine-specific step in each
+# signature is one xxhash64 base hash, so the portable variants swap
+# it for an md5-derived integer that DuckDB re-derives with string
+# functions. Everything above the base hash (votes, universal-hash
+# permutations, banding) is plain integer arithmetic on both sides.
+def _hex_fold(src: str, lo: int, hi: int) -> str:
+    """DuckDB base-16 parse of ``src``'s hex chars [lo, hi)."""
+    return (
+        f"list_reduce([strpos('0123456789abcdef', {src}[i]) - 1 "
+        f"FOR i IN range({lo}, {hi})], (a, b) -> a * 16 + b)"
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    """Restates ``dedup.simhash64(hash='portable')`` + the banded
+    hamming join's exact result (all-pairs is affordable at
+    attestation SF; pigeonhole + exact verify make the banded set
+    equal to it — the mm8 argument)."""
+    h63 = (
+        f"({_hex_fold('m', 1, 9)} % 2147483648) * 4294967296"
+        f" + {_hex_fold('m', 9, 17)}"
+    )
+    bits = "\n        + ".join(
+        f"CASE WHEN list_sum([CASE WHEN (h // {1 << i}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END FOR h IN hs]) > 0 "
+        f"THEN {1 << i}::BIGINT ELSE 0 END"
+        for i in range(63)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    hv AS (
+      SELECT doc_id,
+             [[{h63} FOR m IN [md5(w)]][1] FOR w IN t] AS hs
+      FROM tok
+    ),
+    sig AS (
+      SELECT doc_id, ({bits}) AS simhash FROM hv
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@register("d4_simhash_candidates", _simhash_oracle_sql())
 def d4_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) hamming-≤3 candidate pairs (rows-only: the
-    signature depends on Spark's xxhash64, which DuckDB can't
-    reproduce)."""
+    """SimHash(64-bit) hamming-≤3 candidate pairs, PORTABLE token-hash
+    family (md5-derived 63-bit; `dedup._portable_h63`): per-token
+    sign-votes per bit → signed BIGINT fingerprint → pigeonhole-banded
+    hamming join. Oracle-paired: DuckDB re-derives every fingerprint
+    from md5 hex and computes the all-pairs hamming set the banded
+    join provably equals. The xxhash64 family stays the scale default
+    for in-engine near-dup work (cheaper per token)."""
+    from pyspark.sql import functions as F
+
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_candidate_pairs(d, "text", "doc_id", max_hamming=3)
+    return D.simhash_candidate_pairs(
+        d, "text", "doc_id", max_hamming=3, hash="portable"
+    ).withColumn("hamming", F.col("hamming").cast("int"))
 
 
 _COMPONENTS_SQL = f"""
@@ -125,13 +182,56 @@ def d6_neardup_groups(
     return D.neardup_groups(pairs)
 
 
-@register("d5_minhash_signatures", None)
+def _minhash_oracle_sql(k: int = 32) -> str:
+    """Restates ``dedup.minhash_signatures(hash='portable')``: 31-bit
+    md5-derived base per shingle, then the same deterministic
+    (a_j·x + b_j) mod 2^31 universal-hash permutations
+    (``dedup._perm_constants(k)`` — embedded as literals so both
+    engines run identical constants)."""
+    from aws_csp_datapipeline_spark.functions.dedup import _perm_constants
+
+    mins = ",\n      ".join(
+        f"CAST(list_min([(x * {a} + {b}) % 2147483648 FOR x IN xs]) "
+        f"AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(_perm_constants(k))
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tok WHERE len(t) >= 3
+    ),
+    xs AS (
+      SELECT doc_id AS doc,
+             [[{_hex_fold('m', 1, 9)} % 2147483648
+               FOR m IN [md5(g)]][1] FOR g IN s] AS xs
+      FROM sh WHERE len(s) > 0
+    )
+    SELECT doc,
+      {mins}
+    FROM xs
+    """
+
+
+@register("d5_minhash_signatures", _minhash_oracle_sql())
 def d5_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw MinHash signature table (rows-only: engine-specific hash
-    family) — the reusable artifact a corpus-scale pipeline persists
-    and re-bands against."""
+    """Raw MinHash signature table — the reusable artifact a
+    corpus-scale pipeline persists and re-bands against — in the
+    PORTABLE base-hash family (md5-prefix mod 2^31; the universal-
+    hash permutation layer is engine-neutral integer arithmetic, so
+    DuckDB reproduces all k=32 signature columns exactly). The
+    xxhash64 family stays the default for d3's in-engine LSH (cheaper
+    per shingle); persisted signatures are only comparable within one
+    family — which is exactly why an EXCHANGED artifact wants the
+    portable one."""
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_signatures(d, "text", "doc_id", k=32, n=3)
+    return D.minhash_signatures(d, "text", "doc_id", k=32, n=3, hash="portable")
 
 
 _CANONICAL_SQL = f"""
