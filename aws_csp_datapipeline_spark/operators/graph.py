@@ -101,20 +101,106 @@ def load_edges(spark, artifact_dir: str) -> DataFrame:
 
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Count triangles in an undirected edge list (``src < dst``
-    canonical form, so each triangle a<b<c is counted exactly once:
-    (a,b)+(b,c) closed by (a,c)).
+    canonical form), degree-ordered: every edge is re-oriented toward
+    the higher (degree, id) endpoint, wedges are enumerated at their
+    LOWEST-ranked vertex as ordered pairs of its out-neighbors, and a
+    wedge closes against the canonical edge list. Each triangle is
+    counted exactly once (its unique rank-minimum vertex owns the
+    wedge; the (b1 < b2) id-order picks one of the two wedge
+    enumerations; closure is the canonical {b1,b2} edge).
 
-    Two equi-joins; Catalyst broadcasts when the edge list is small
-    and AQE switches to shuffled hash joins when it isn't. The classic
-    big-graph refinement (join on degree-ordered vertices) is exactly
-    this plan with ``src < dst`` replaced by a degree comparison.
-    """
-    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    wedges = e1.join(e2, "b")
-    closed = wedges.join(e3, ["a", "c"])
+    Why the orientation (round 11): the id-ordered form
+    (e1⋈e2 on the middle vertex) fans out d⁻(b)·d⁺(b) wedge rows per
+    vertex — on the sf100 co-supply graph (454M edges, ~91%-complete
+    1000-node replica blocks, mean degree ~900) that is ~2·10¹¹ rows
+    and OOMed a 32-thread executor heap. Degree-ordering caps the
+    out-degree at √(2E) (every out-neighbor has ≥ the vertex's
+    degree), so wedge volume is O(E^1.5) worst-case and halves on
+    near-regular graphs; all three joins are plain equi-joins AQE
+    plans as spillable sort-merge at scale. The remaining cost is the
+    TRIANGLE COUNT ITSELF: a near-complete co-occurrence graph holds
+    ~10¹¹ triangles at sf100 and no exact enumerator dodges writing a
+    row per closed wedge — that regime belongs to
+    ``triangle_count_estimate`` (Doulion edge sampling), with this
+    exact form as its small/sparse-scale oracle."""
+    ends = edges.select(F.col("src").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("v"))
+    )
+    deg = ends.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        edges.join(
+            deg.select(F.col("v").alias("src"), F.col("d").alias("ds")), "src"
+        ).join(
+            deg.select(F.col("v").alias("dst"), F.col("d").alias("dd")), "dst"
+        )
+    )
+    src_first = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = e.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("a"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("b"),
+    )
+    # The wedge self-join and the closure join are LARGE-both-sides
+    # joins whose probe/output volume is the O(E^1.5) wedge set —
+    # hint them to sort-merge explicitly: the session's global
+    # shuffled-hash preference (SCALE.md "Join strategy") has no
+    # build-side spill, and at sf100 the per-partition build of the
+    # oriented edge list overflowed the executor heap (round-11
+    # SparkOutOfMemoryError). SMJ spills both sides and streams the
+    # fan-out; the tiny degree join above still broadcasts.
+    w1 = fwd.select("a", F.col("b").alias("b1")).hint("merge")
+    w2 = fwd.select("a", F.col("b").alias("b2"))
+    wedges = w1.join(w2, "a").filter(F.col("b1") < F.col("b2"))
+    closed = wedges.join(
+        edges.select(
+            F.col("src").alias("b1"), F.col("dst").alias("b2")
+        ).hint("merge"),
+        ["b1", "b2"],
+    )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def triangle_count_estimate(
+    edges: DataFrame, p_mille: int = 100
+) -> DataFrame:
+    """Doulion (Tsourakakis et al., KDD'09) triangle ESTIMATE for the
+    dense regime exact enumeration can't afford: keep each edge with
+    probability p = ``p_mille``/1000 via a DETERMINISTIC portable
+    coin (md5 of "src_dst" — any engine reproduces the same sampled
+    graph, which is how the driver oracle restates this lane), count
+    triangles exactly on the sampled graph, scale by 1/p³. Unbiased;
+    concentration improves with triangle count — precisely the dense
+    regime where it's needed (the sf100 co-supply graph holds ~10¹¹
+    triangles; at p=0.1 the sampled graph's wedge volume shrinks
+    ~1000× below the exact form's).
+
+    Returns one row: (n_sampled_triangles, est_triangles) with the
+    integer scale-up (exact arithmetic on both engine sides)."""
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("src"), F.col("dst"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    sampled = edges.filter(coin < F.lit(p_mille))
+    scale = (1000 // p_mille) ** 3 if 1000 % p_mille == 0 else None
+    n = triangle_count(sampled).select(
+        F.col("n_triangles").alias("n_sampled_triangles")
+    )
+    if scale is not None:
+        est = F.col("n_sampled_triangles") * F.lit(scale)
+    else:
+        est = F.round(
+            F.col("n_sampled_triangles") / F.lit((p_mille / 1000.0) ** 3)
+        ).cast("long")
+    return n.select(
+        "n_sampled_triangles", est.cast("long").alias("est_triangles")
+    )
 
 
 def degree_histogram(edges: DataFrame) -> DataFrame:

@@ -68,13 +68,15 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
 #
-# Round-12 rotation queue — the 33 names with no driver record after
+# Round-12 rotation queue — the names with no driver record after
 # the r11 window below runs (keep the 15 fixed core, swap the r11
 # tail for all of these — the queue CLEARS in round 12):
-# fun3_benford_audit, quality dq3/dq6, range/as-of x7/x8/x11,
+# q18_large_orders (displaced by gr8), fun3_benford_audit, quality
+# dq3/dq6, range/as-of x7/x8/x11,
 # curation tt4/tt5/tt9/tt10/tt11/tt13 + pipe3_ann_recall (rows-only),
 # similarity s7/s8/s9/s11/s13/s14/s15, streaming st4/st7/st8/st10,
-# windows w7/w8, dedup d4/d5 (rows-only)/d7/d12 (rows-only), graph
+# windows w7/w8, dedup d4/d5 (oracle-paired in r11 via the portable
+# hash families)/d7/d12 (rows-only), graph
 # gr3/gr5/gr6.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core, shrunk 30 -> 15 per the r7 verdict (one name per
@@ -117,8 +119,12 @@ _WINDOW: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q11_important_stock",
     "q17_below_avg_quantity",
-    "q18_large_orders",
     "q22_inactive_high_balance",
+    # gr8 is NEW this round (the Doulion dense-regime triangle lane
+    # that came out of gr1's sf100 OOM finding) — new queries get a
+    # first-round attestation slot; q18_large_orders moves to the r12
+    # queue in its place.
+    "gr8_triangle_estimate",
     # --- base projection/filter/join ops ---
     "p9_exists_flag",
     "p10_collated_eq",

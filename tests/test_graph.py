@@ -129,3 +129,47 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(edges, iterations=3).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_triangle_count_degree_ordered_matches_bruteforce(spark):
+    """The degree-ordered rewrite must count exactly what brute force
+    counts on an irregular graph with hubs, ties, and pendant edges
+    (ties exercise the (degree, id) rank's id tie-break)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    nodes = list(range(24))
+    pairs = sorted(
+        {(a, b) for a in nodes for b in nodes if a < b and rng.random() < 0.3}
+    )
+    adj = set(pairs)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    got = G.triangle_count(_edges_df(spark, pairs)).collect()[0]["n_triangles"]
+    assert got == want
+
+
+def test_triangle_estimate_exact_at_p1_and_unbiased_shape(spark):
+    """p_mille=1000 keeps every edge: the estimate must EQUAL the
+    exact count (scale 1). At p=0.5 on a triangle-rich graph the
+    estimate must land within sampling error and scale by exactly
+    1/p^3 = 8 in integer arithmetic."""
+    k12 = [(a, b) for a in range(12) for b in range(12) if a < b]
+    exact = G.triangle_count(_edges_df(spark, k12)).collect()[0][
+        "n_triangles"
+    ]
+    assert exact == 220  # C(12,3)
+    full = G.triangle_count_estimate(
+        _edges_df(spark, k12), p_mille=1000
+    ).collect()[0]
+    assert full["est_triangles"] == exact == full["n_sampled_triangles"]
+    half = G.triangle_count_estimate(
+        _edges_df(spark, k12), p_mille=500
+    ).collect()[0]
+    assert half["est_triangles"] == half["n_sampled_triangles"] * 8
+    # E[sampled] = 220/8 = 27.5; allow a generous deterministic window
+    assert 5 <= half["n_sampled_triangles"] <= 80
