@@ -165,14 +165,17 @@ def fd_violation_counts(
     never changes the verdict — any injective per-column mapping
     preserves it.
 
-    Measured (interleaved A/B, .scratch/ab_fd_r10.py +
-    .scratch/sf100_r10.py, native slots): an HONEST NEGATIVE at local
-    scale — k-pass med 1.62 s vs shared 2.78 s at sf0.1, and a wash
-    inside host noise at sf100 (145/209 vs 175/201 min/med) — because
-    page-cached decode is CPU-cheap relative to the ×k explode
-    through the aggregate. The shared scan's winning regime is scans
-    whose bytes-read dominate (cold object-store reads, wide tables)
-    plus the k-jobs→1 scheduling collapse; see SCALE.md "dq19".
+    Measured — both regimes (SCALE.md "dq19"): on PAGE-CACHED local
+    parquet the k-pass form wins or washes (k-pass med 1.62 s vs
+    shared 2.78 s at sf0.1; 235.3 vs 240.9 s at sf100 warm) because
+    decode is CPU-cheap relative to the ×k explode through the
+    aggregate. COLD — page cache dropped before each run, fresh JVM,
+    alternating forms, 11 GB sf100 lineitem (round-11 A/B) — the
+    shared scan wins both reps: 266.3/281.6 s vs k-pass 282.8/312.8 s
+    (1.06×/1.11×), the bytes-read-dominated regime this form exists
+    for. The gap is bounded here because the three FDs share most
+    columns (6 vs 4 column-chunk reads); disjoint-column FD sets and
+    object-store scans widen it.
     """
     k_max = max(len(d.determinants) for d in deps)
     dtypes = dict(df.dtypes)

@@ -1136,11 +1136,12 @@ def dq19_fd_multi_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     manual-Expand design (explode into per-FD (tag, keys, dep)
     copies) keeps shuffle rows exactly as narrow as the separate
     passes; the trade is purely the k→1 scan collapse. Measured
-    honestly (SCALE.md "dq19"): on PAGE-CACHED local parquet the
-    k-pass form wins (decode is CPU-cheap; the explode pushes ×k rows
-    through one aggregate) — the shared scan's regime is cold /
-    object-store reads where bytes-read dominates, which is the
-    100-TB deployment shape this lane exists for."""
+    honestly in BOTH regimes (SCALE.md "dq19"): on PAGE-CACHED local
+    parquet the k-pass form wins or washes (decode is CPU-cheap; the
+    explode pushes ×k rows through one aggregate); COLD — page cache
+    dropped per run, sf100, round-11 A/B — the shared scan wins both
+    reps (266/282 s vs 283/313 s), the bytes-read-dominated shape a
+    100-TB object-store deployment actually runs."""
     from aws_csp_datapipeline_spark.operators.quality import (
         FunctionalDependency as FD,
         fd_violation_counts,
