@@ -1156,3 +1156,46 @@ def dq19_fd_multi_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FD("l_partkey->l_suppkey", ("l_partkey",), "l_suppkey"),
     ]
     return fd_violation_counts(li, deps).orderBy("dependency")
+
+
+@register(
+    "dq20_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < 5
+    ORDER BY group_size ASC, c_nationkey, c_mktsegment, bal_bucket
+    LIMIT 200
+    """,
+)
+def dq20_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002): quasi-identifier combinations
+    — here (nation, market segment, account-balance bucket), the
+    generalized attributes a release would publish — whose equivalence
+    class holds FEWER than k=5 records re-identify their members; the
+    gate reports every under-k class before a dataset ships. The
+    privacy twin of the dq-family's integrity gates and the tabular
+    counterpart of the text PII scrub (t-family).
+
+    Scale shape: one narrow groupBy on the generalized QI tuple
+    (map-side combined; |classes| bounded by the generalization grid,
+    not the corpus), HAVING + TakeOrderedAndProject for the report.
+    At 100 TB the same plan holds — the shuffle carries one row per
+    QI class. The balance bucket uses floor(x/1000) so the
+    generalization is part of the audited spec, restated identically
+    by the oracle (IEEE double division + floor on both engines)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < 5)
+        .orderBy("group_size", "c_nationkey", "c_mktsegment", "bal_bucket")
+        .limit(200)
+    )

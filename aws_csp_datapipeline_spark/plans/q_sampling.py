@@ -922,3 +922,184 @@ def tt15_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted lane once the result is actioned (release_caches)
     out._graft_caches = (train_g,)
     return out
+
+
+@register(
+    "tt16_moore_lewis",
+    r"""
+    WITH ref AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      FROM documents WHERE source = 'src0'
+    ),
+    rbg AS (
+      SELECT unnest(list_transform(list_zip(ts[:-2], ts[2:]),
+                                   z -> z[1] || ' ' || z[2])) AS bigram
+      FROM ref WHERE len(ts) >= 2
+    ),
+    bgc_in AS (SELECT bigram, COUNT(*) AS c12 FROM rbg GROUP BY bigram),
+    heads_in AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1
+      FROM bgc_in GROUP BY 1
+    ),
+    v_in AS (
+      SELECT COUNT(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(ts) AS tok FROM ref)
+    ),
+    gen AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      FROM documents
+    ),
+    gbg AS (
+      SELECT unnest(list_transform(list_zip(ts[:-2], ts[2:]),
+                                   z -> z[1] || ' ' || z[2])) AS bigram
+      FROM gen WHERE len(ts) >= 2
+    ),
+    bgc_gen AS (SELECT bigram, COUNT(*) AS c12 FROM gbg GROUP BY bigram),
+    heads_gen AS (
+      SELECT split_part(bigram, ' ', 1) AS w1, SUM(c12) AS c1
+      FROM bgc_gen GROUP BY 1
+    ),
+    v_gen AS (
+      SELECT COUNT(DISTINCT tok) AS vocab
+      FROM (SELECT unnest(ts) AS tok FROM gen)
+    ),
+    tgt AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+      FROM documents WHERE source <> 'src0'
+    ),
+    tbg AS (
+      SELECT doc_id,
+             unnest(list_transform(list_zip(ts[:-2], ts[2:]),
+                                   z -> z[1] || ' ' || z[2])) AS bigram
+      FROM tgt WHERE len(ts) >= 2
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             (COALESCE(bi.c12, 0) + 0.5)
+               / (COALESCE(hi.c1, 0) + 0.5 * v_in.vocab) AS p_in,
+             (COALESCE(bg.c12, 0) + 0.5)
+               / (COALESCE(hg.c1, 0) + 0.5 * v_gen.vocab) AS p_gen
+      FROM tbg t
+      LEFT JOIN bgc_in bi USING (bigram)
+      LEFT JOIN heads_in hi ON split_part(t.bigram, ' ', 1) = hi.w1
+      LEFT JOIN bgc_gen bg USING (bigram)
+      LEFT JOIN heads_gen hg ON split_part(t.bigram, ' ', 1) = hg.w1
+      CROSS JOIN v_in CROSS JOIN v_gen
+    ),
+    docs AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             ROUND(-AVG(log2(p_in)) + AVG(log2(p_gen)), 4) AS ce_diff
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, ce_diff,
+           (NTILE(4) OVER (ORDER BY ce_diff, doc_id) = 1) AS selected
+    FROM docs
+    """,
+)
+def tt16_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010, "Intelligent Selection of Language Model Training
+    Data"): score every pool document by
+    H_in(x) − H_gen(x) — bigram-LM cross-entropy under an IN-DOMAIN
+    reference model (src0 docs; Wikipedia/target-task text in the
+    paper) minus cross-entropy under a GENERAL model trained on the
+    whole pool — and select the lowest quartile. The difference
+    cancels generic fluency: a document scores well only for being
+    in-domain-LIKE, not merely common — the selection operator behind
+    most "quality-filtered to match a reference" training mixes.
+
+    Both models are the t25/t26 machinery (add-k smoothed bigram LM,
+    OOV floors via LEFT join + COALESCE); the target bigram stream is
+    persisted and scored against both models in ONE pass (per-row
+    p_in and p_gen, one per-doc aggregate). Model joins stay unhinted
+    — AQE sizes the build sides (the t26 reasoning: a forced
+    broadcast of a 10M-bigram general model is a driver hazard).
+    Selection uses the distributed exact NTILE over (rounded ce_diff,
+    doc_id) — deterministic cross-engine, no single-partition window.
+    Document bodies never shuffle; only bigram strings and the
+    |docs|-row score frame do."""
+    from aws_csp_datapipeline_spark.functions import text as X
+    from aws_csp_datapipeline_spark.functions.rank import exact_ntile
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    tgt = d.filter(F.col("source") != "src0")
+
+    def model(corpus):
+        bg = corpus.select(F.explode(X.bigrams(F.col("text"))).alias("bigram"))
+        bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+        heads = (
+            bgc.withColumn(
+                "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+            )
+            .groupBy("w1")
+            .agg(F.sum("c12").alias("c1"))
+        )
+        vocab = corpus.select(
+            F.explode(X.tokens(F.col("text"))).alias("tok")
+        ).agg(F.count_distinct("tok").alias("vocab"))
+        return bgc, heads, vocab
+
+    bgc_in, heads_in, v_in = model(ref)
+    bgc_gen, heads_gen, v_gen = model(d)
+    tbg = (
+        tgt.select(
+            "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
+        )
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    def floor_p(c12, c1, vocab):
+        return (F.coalesce(c12, F.lit(0)) + F.lit(0.5)) / (
+            F.coalesce(c1, F.lit(0)) + F.lit(0.5) * vocab
+        )
+
+    scored = (
+        tbg.join(bgc_in.withColumnRenamed("c12", "ci12"), "bigram", "left")
+        .join(
+            heads_in.withColumnRenamed("c1", "ci1").withColumnRenamed(
+                "w1", "wi1"
+            ),
+            F.col("w1") == F.col("wi1"),
+            "left",
+        )
+        .join(bgc_gen.withColumnRenamed("c12", "cg12"), "bigram", "left")
+        .join(
+            heads_gen.withColumnRenamed("c1", "cg1").withColumnRenamed(
+                "w1", "wg1"
+            ),
+            F.col("w1") == F.col("wg1"),
+            "left",
+        )
+        .crossJoin(F.broadcast(v_in.withColumnRenamed("vocab", "v_in")))
+        .crossJoin(F.broadcast(v_gen.withColumnRenamed("vocab", "v_gen")))
+        .select(
+            "doc_id",
+            floor_p(F.col("ci12"), F.col("ci1"), F.col("v_in")).alias("p_in"),
+            floor_p(F.col("cg12"), F.col("cg1"), F.col("v_gen")).alias(
+                "p_gen"
+            ),
+        )
+    )
+    docs = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            -F.avg(F.log2("p_in")) + F.avg(F.log2("p_gen")), 4
+        ).alias("ce_diff"),
+    )
+    tiled = exact_ntile(
+        docs,
+        4,
+        [F.asc("ce_diff"), F.asc("doc_id")],
+        out="__tile",
+        n_hint=table_row_count(sf_dir, "documents"),
+    )
+    out = tiled.select(
+        "doc_id",
+        "n_bigrams",
+        "ce_diff",
+        (F.col("__tile") == 1).alias("selected"),
+    )
+    out._graft_caches = (tbg, *getattr(tiled, "_graft_caches", ()))
+    return out

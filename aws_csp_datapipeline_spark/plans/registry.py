@@ -71,8 +71,8 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # Round-12 rotation queue — the names with no driver record after
 # the r11 window below runs (keep the 15 fixed core, swap the r11
 # tail for all of these — the queue CLEARS in round 12):
-# q18_large_orders (displaced by gr8), fun3_benford_audit, quality
-# dq3/dq6, range/as-of x7/x8/x11,
+# q17/q18/q22 (displaced by the r11 additions gr8/tt16/dq20),
+# fun3_benford_audit, quality dq3/dq6, range/as-of x7/x8/x11,
 # curation tt4/tt5/tt9/tt10/tt11/tt13 + pipe3_ann_recall (rows-only),
 # similarity s7/s8/s9/s11/s13/s14/s15, streaming st4/st7/st8/st10,
 # windows w7/w8, dedup d4/d5 (oracle-paired in r11 via the portable
@@ -118,13 +118,14 @@ _WINDOW: tuple[str, ...] = (
     # --- q-silhouette block ---
     "q6_forecast_revenue",
     "q11_important_stock",
-    "q17_below_avg_quantity",
-    "q22_inactive_high_balance",
-    # gr8 is NEW this round (the Doulion dense-regime triangle lane
-    # that came out of gr1's sf100 OOM finding) — new queries get a
-    # first-round attestation slot; q18_large_orders moves to the r12
-    # queue in its place.
+    # NEW-this-round queries get a first-round attestation slot
+    # (gr8: the Doulion dense-regime triangle lane from gr1's sf100
+    # OOM finding; tt16: Moore-Lewis cross-entropy-difference
+    # selection; dq20: the k-anonymity gate). q17/q18/q22 move to the
+    # r12 queue in their place.
     "gr8_triangle_estimate",
+    "tt16_moore_lewis",
+    "dq20_k_anonymity",
     # --- base projection/filter/join ops ---
     "p9_exists_flag",
     "p10_collated_eq",

@@ -209,3 +209,35 @@ def test_dq19_single_lineitem_scan(spark, sf_oracle):
     df = queries()["dq19_fd_multi_audit"](spark, sf_oracle)
     phys = df._jdf.queryExecution().executedPlan().toString()
     assert phys.count("lineitem.parquet") <= 1 or phys.count("Scan parquet") == 1
+
+
+def test_k_anonymity_flags_under_k_classes(spark, tmp_path):
+    """Planted quasi-identifier classes: a 2-member class must be
+    reported with its size, a 6-member class must not (k=5), and the
+    balance generalization must bucket by floor(x/1000)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_csp_datapipeline_spark.plans.registry import queries
+
+    rows = []
+    for i in range(6):  # safe class: 6 members
+        rows.append((i, 1, "AUTO", 1500.0 + i))
+    for i in range(2):  # leaky class: 2 members
+        rows.append((100 + i, 2, "HOUSE", -250.0))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": [r[0] for r in rows],
+                "c_nationkey": [r[1] for r in rows],
+                "c_mktsegment": [r[2] for r in rows],
+                "c_acctbal": [r[3] for r in rows],
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    got = queries()["dq20_k_anonymity"](spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    (r,) = got
+    assert (r["c_nationkey"], r["c_mktsegment"], r["bal_bucket"],
+            r["group_size"]) == (2, "HOUSE", -1, 2)

@@ -137,3 +137,43 @@ def test_ml2_scaler_fits_on_train_only(spark, sf_oracle):
         .count()
     )
     assert straddle == 0
+
+
+def test_moore_lewis_prefers_indomain_text(spark, tmp_path):
+    """Cross-entropy DIFFERENCE must rank a pool document that copies
+    the in-domain reference's phrasing below (better than) generic
+    pool text — the Moore-Lewis selection property — and the selected
+    flag must mark exactly the bottom quartile."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_csp_datapipeline_spark.plans.registry import queries
+
+    ref_phrase = "the supply chain ledger reconciles every shipment line"
+    rows = []
+    for i in range(4):  # in-domain reference corpus (src0)
+        rows.append((i, f"{ref_phrase} batch {i}", "src0"))
+    rows.append((10, ref_phrase + " again and again", "crawl"))  # in-domain-like
+    rows.extend(
+        (20 + j, f"random noise tokens {j} zz qq xx yy vv ww kk jj", "crawl")
+        for j in range(7)
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "source": [r[2] for r in rows],
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {
+        r["doc_id"]: r
+        for r in queries()["tt16_moore_lewis"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {10} | {20 + j for j in range(7)}  # src0 never scored
+    indomain = out[10]["ce_diff"]
+    assert all(indomain < out[20 + j]["ce_diff"] for j in range(7))
+    assert out[10]["selected"]
+    assert sum(1 for r in out.values() if r["selected"]) == 2  # NTILE(4) of 8
