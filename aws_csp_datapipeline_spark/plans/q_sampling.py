@@ -1009,24 +1009,38 @@ def tt16_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     most "quality-filtered to match a reference" training mixes.
 
     Both models are the t25/t26 machinery (add-k smoothed bigram LM,
-    OOV floors via LEFT join + COALESCE); the target bigram stream is
-    persisted and scored against both models in ONE pass (per-row
-    p_in and p_gen, one per-doc aggregate). Model joins stay unhinted
-    — AQE sizes the build sides (the t26 reasoning: a forced
-    broadcast of a 10M-bigram general model is a driver hazard).
-    Selection uses the distributed exact NTILE over (rounded ce_diff,
-    doc_id) — deterministic cross-engine, no single-partition window.
-    Document bodies never shuffle; only bigram strings and the
-    |docs|-row score frame do."""
+    OOV floors via LEFT join + COALESCE). Document BODIES are
+    materialized exactly TWICE corpus-wide (a first cut derived each
+    model from its own scans — three separate bigram explodes of the
+    full bodies): one source-tagged bigram stream and one
+    source-tagged token stream are persisted, and the in-domain model
+    (filter src0 → group), the general model (group all), the two
+    vocab scalars, and the scored target stream all derive from those
+    two caches. (PLAN_AUDIT's static scan count still shows the
+    cache-embedded FileScans once per consumer; actual body reads =
+    two cache materializations.) The target stream is
+    scored against both models in ONE pass (per-row p_in and p_gen,
+    one per-doc aggregate). Model joins stay unhinted — AQE sizes the
+    build sides (the t26 reasoning: a forced broadcast of a
+    10M-bigram general model is a driver hazard). Selection uses the
+    distributed exact NTILE over (rounded ce_diff, doc_id) —
+    deterministic cross-engine, no single-partition window. Bodies
+    never shuffle; only bigram/token strings and the |docs|-row score
+    frame do."""
     from aws_csp_datapipeline_spark.functions import text as X
     from aws_csp_datapipeline_spark.functions.rank import exact_ntile
 
     d = load_table(spark, sf_dir, "documents")
-    ref = d.filter(F.col("source") == "src0")
-    tgt = d.filter(F.col("source") != "src0")
+    bg_all = d.select(
+        "doc_id",
+        "source",
+        F.explode(X.bigrams(F.col("text"))).alias("bigram"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tok_all = d.select(
+        "source", F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def model(corpus):
-        bg = corpus.select(F.explode(X.bigrams(F.col("text"))).alias("bigram"))
+    def model(bg, toks):
         bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
         heads = (
             bgc.withColumn(
@@ -1035,19 +1049,16 @@ def tt16_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("w1")
             .agg(F.sum("c12").alias("c1"))
         )
-        vocab = corpus.select(
-            F.explode(X.tokens(F.col("text"))).alias("tok")
-        ).agg(F.count_distinct("tok").alias("vocab"))
+        vocab = toks.agg(F.count_distinct("tok").alias("vocab"))
         return bgc, heads, vocab
 
-    bgc_in, heads_in, v_in = model(ref)
-    bgc_gen, heads_gen, v_gen = model(d)
-    tbg = (
-        tgt.select(
-            "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
-        )
-        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    is_ref = F.col("source") == "src0"
+    bgc_in, heads_in, v_in = model(
+        bg_all.filter(is_ref), tok_all.filter(is_ref)
+    )
+    bgc_gen, heads_gen, v_gen = model(bg_all, tok_all)
+    tbg = bg_all.filter(~is_ref).withColumn(
+        "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
     )
 
     def floor_p(c12, c1, vocab):
@@ -1101,5 +1112,5 @@ def tt16_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ce_diff",
         (F.col("__tile") == 1).alias("selected"),
     )
-    out._graft_caches = (tbg, *getattr(tiled, "_graft_caches", ()))
+    out._graft_caches = (bg_all, tok_all, *getattr(tiled, "_graft_caches", ()))
     return out

@@ -111,6 +111,11 @@ HEADLINE = [
     # the honest local-scale negative recorded — SCALE.md "dq19").
     "t25_lm_perplexity",
     "dq19_fd_multi_audit",
+    # round-11 addition: Moore-Lewis selection — the heaviest new
+    # lane (two bigram LMs + a double-scored stream + exact NTILE);
+    # gr8/dq20 stay out (gr8's cost story is the sf100 record, dq20
+    # is a single narrow groupBy).
+    "tt16_moore_lewis",
     # er4_match_stats (the count-only governance form) stays out: the
     # headline already times the same lane machinery twice via
     # er2 + er3; er4's scale story is the sf100 spot record

@@ -36,6 +36,10 @@ def _queries(rec: dict) -> dict[str, float]:
 
         m = re.search(r'"queries_median": \{([^}]*)\}', rec["tail"])
         if m is None:
+            # the captured tail can start MID-KEY (head truncation
+            # lands anywhere): accept any suffix of the key name
+            m = re.search(r'eries_median"?: \{([^}]*)\}', rec["tail"])
+        if m is None:
             m = re.search(r'"queries": \{([^}]*)\}', rec["tail"])
         if m is not None:
             q = {
