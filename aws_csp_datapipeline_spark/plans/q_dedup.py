@@ -566,17 +566,51 @@ def d11_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("d12_kmv_source_overlap", None)
+@register(
+    "d12_kmv_source_overlap",
+    """
+    WITH f AS (
+      SELECT DISTINCT source, md5(lower(text)) AS fp FROM documents
+    ),
+    s AS (SELECT source, COUNT(*) AS n FROM f GROUP BY source),
+    i AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS inter
+      FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+      ROUND(CAST(sa.n + sb.n - COALESCE(i.inter, 0) AS DOUBLE), 1)
+        AS est_union,
+      ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE), 1) AS est_intersection,
+      ROUND(COALESCE(i.inter, 0)
+            / CAST(sa.n + sb.n - COALESCE(i.inter, 0) AS DOUBLE), 4)
+        AS est_jaccard
+    FROM s sa JOIN s sb ON sa.source < sb.source
+    LEFT JOIN i ON i.source_a = sa.source AND i.source_b = sb.source
+    ORDER BY source_a, source_b
+    """,
+    oracle_sf_max=0.01,
+)
 def d12_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch form of `d11`: per-source bottom-k (KMV) sketches over
     document fingerprints, then PAIRWISE union/intersection/Jaccard
     estimates from the sketches alone — the shape cross-source overlap
     takes at 100 TB, where materializing the fingerprint self-join per
     source pair is off the table but |sources| × k longs always fits.
-    Rows-only (hash-family-specific); the estimator's error is pinned
-    against the exact d11 matrix in tests/test_approx_quality.py.
-    One corpus pass builds all sketches; the pair join is
-    |sources|²-sized."""
+
+    Oracle with a machine-enforced exactness window (the a15/d10
+    `oracle_sf_max` pattern): while every source pair's fingerprint
+    UNION fits inside the sketch (< k=256 — true through sf0.01,
+    max pair union 50; sf0.1's 500 crosses), the sketch saw
+    everything and `kmv_pair_estimates` returns EXACT set
+    cardinalities — so DuckDB restates the answer from the distinct
+    md5 fingerprint sets directly, no xxhash needed (the hash only
+    ORDERS the sketch; cardinalities are family-independent modulo a
+    ~n²/2⁶⁴ collision). Beyond the window the driver downgrades to
+    rows-only and the estimator's error stays pinned against the
+    exact d11 matrix in tests/test_approx_quality.py. One corpus pass
+    builds all sketches; the pair join is |sources|²-sized."""
     from pyspark.sql import functions as F
 
     from aws_csp_datapipeline_spark.functions import sketches as SK
