@@ -356,9 +356,10 @@ def dq5_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tagged.groupBy("reason").agg(F.count(F.lit(1)).alias("n"))
 
 
-@register(
-    "t12_bm25_topdocs",
-    r"""
+# Shared by t12 (inline scoring) and t27 (scoring through the
+# persisted inverted-index artifact): the two lanes compute the SAME
+# answer by construction, so they share one oracle.
+_BM25_TOPDOCS_SQL = r"""
     WITH dl AS (
       SELECT doc_id,
              len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
@@ -381,8 +382,10 @@ def dq5_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
     FROM tf JOIN dl USING (doc_id) JOIN dft USING (token), scal
     GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
-    """,
-)
+    """
+
+
+@register("t12_bm25_topdocs", _BM25_TOPDOCS_SQL)
 def t12_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (k1=1.2, b=0.75) retrieval scoring for a fixed query
     ('table merge window'): the inverted-index shape — tokens are
@@ -1198,4 +1201,39 @@ def dq20_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("group_size") < 5)
         .orderBy("group_size", "c_nationkey", "c_mktsegment", "bal_bucket")
         .limit(200)
+    )
+
+
+@register("t27_bm25_index_probe", _BM25_TOPDOCS_SQL)
+def t27_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t12's retrieval through a PERSISTED inverted-index artifact —
+    the text member of the corpus-artifact family (IVF/PQ for
+    vectors, co-supply edges for graphs, semdedup kept-state): the
+    build tokenizes the corpus ONCE and writes token-clustered
+    postings + doc lengths + (N, avgdl); every probe after that reads
+    only the queried terms' postings (file/row-group pruning on the
+    clustered layout) — cost proportional to the query's df, not the
+    corpus. Identical scoring to t12 by construction (same BM25
+    constants, df/avgdl derived from the same definitions), so the
+    two lanes share one oracle and tests/test_artifact_cache.py pins
+    probe == inline as well as call #2 skipping the build. The
+    fingerprint-keyed cache rebuilds when the corpus changes."""
+    from aws_csp_datapipeline_spark.functions import bm25_index as BI
+    from aws_csp_datapipeline_spark.functions.artifact_cache import (
+        get_or_build,
+    )
+
+    def build(staging: str) -> None:
+        BI.build_bm25_index(
+            load_table(spark, sf_dir, "documents"), "text", "doc_id", staging
+        )
+
+    adir = get_or_build(
+        "bm25_index", sf_dir, ["documents"], {"tok": "ws-lower", "v": 1}, build
+    )
+    return (
+        BI.probe_bm25_index(spark, adir, ["table", "merge", "window"])
+        .select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
     )

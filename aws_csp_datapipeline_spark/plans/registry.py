@@ -71,7 +71,7 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # Round-12 rotation queue — the names with no driver record after
 # the r11 window below runs (keep the 15 fixed core, swap the r11
 # tail for all of these — the queue CLEARS in round 12):
-# q17/q18/q22 (displaced by the r11 additions gr8/tt16/dq20),
+# q17/q18/q22/h3 (displaced by the r11 additions gr8/tt16/dq20/t27),
 # fun3_benford_audit, quality dq3/dq6, range/as-of x7/x8/x11,
 # curation tt4/tt5/tt9/tt10/tt11/tt13 + pipe3_ann_recall (rows-only),
 # similarity s7/s8/s9/s11/s13/s14/s15, streaming st4/st7/st8/st10,
@@ -149,7 +149,10 @@ _WINDOW: tuple[str, ...] = (
     "x5_asof_forward",
     # --- histograms / grouping / windows (rank-primitive consumers) ---
     "h2_equidepth_histogram",
-    "h3_log_histogram",
+    # t27 (BM25 through the persisted inverted-index artifact) is new
+    # this round -> first-round slot; h3_log_histogram joins the r12
+    # queue (h2 keeps the histogram family's longitudinal record).
+    "t27_bm25_index_probe",
     "g3_time_rollup",
     "g5_grouping_indicators",
     "w12_period_over_period",

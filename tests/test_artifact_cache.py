@@ -168,3 +168,31 @@ def test_s18_second_call_skips_build(spark, sf_oracle, tmp_path, monkeypatch):
     r2 = {tuple(r) for r in s18_persisted_ivf_probe(spark, sf_oracle).collect()}
     assert len(builds) == 1
     assert r1 == r2 and len(r1) == 10
+
+
+def test_bm25_probe_matches_inline_and_builds_once(
+    spark, sf_oracle, tmp_path, monkeypatch
+):
+    """The persisted BM25 index's probe must EQUAL the inline t12
+    scoring (same formula, same corpus scalars) and must tokenize the
+    corpus exactly once across repeated probes."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    from aws_csp_datapipeline_spark.functions import bm25_index as BI
+    from aws_csp_datapipeline_spark.plans.q_quality import (
+        t12_bm25_topdocs,
+        t27_bm25_index_probe,
+    )
+
+    builds = []
+    real = BI.build_bm25_index
+
+    def counting(*a, **kw):
+        builds.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(BI, "build_bm25_index", counting)
+    inline = [tuple(r) for r in t12_bm25_topdocs(spark, sf_oracle).collect()]
+    p1 = [tuple(r) for r in t27_bm25_index_probe(spark, sf_oracle).collect()]
+    p2 = [tuple(r) for r in t27_bm25_index_probe(spark, sf_oracle).collect()]
+    assert len(builds) == 1
+    assert p1 == p2 == inline and len(inline) == 10
