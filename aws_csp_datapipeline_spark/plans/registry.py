@@ -68,16 +68,17 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
 #
-# Round-12 rotation queue — the names with no driver record after
-# the r11 window below runs (keep the 15 fixed core, swap the r11
-# tail for all of these — the queue CLEARS in round 12):
-# q17/q18/q22/h3 (displaced by the r11 additions gr8/tt16/dq20/t27),
-# fun3_benford_audit, quality dq3/dq6, range/as-of x7/x8/x11,
-# curation tt4/tt5/tt9/tt10/tt11/tt13 + pipe3_ann_recall (rows-only),
-# similarity s7/s8/s9/s11/s13/s14/s15, streaming st4/st7/st8/st10,
-# windows w7/w8, dedup d4/d5 (oracle-paired in r11 via the portable
-# hash families)/d7/d12 (rows-only), graph
-# gr3/gr5/gr6.
+# Round-12 rotation queue — machine-computed this round (all registry
+# names minus every name in any CORRECTNESS_r*.json minus the r11
+# window below): 37 names, clearing in round 12 with a 35-slot tail +
+# a 2-name core swap or a 1-round carryover. Queue:
+# d4/d5/d12 (oracle-paired in r11 via the portable hash families /
+# the KMV exhaustive window — rotated out before the upgrade, so
+# their oracles still lack an external record), d7,
+# dq3/dq6, fun3_benford_audit, gr3/gr5/gr6, h3 + q17/q18/q22
+# (displaced by the r11 additions gr8/tt16/dq20/t27),
+# pipe3 (rows-only), s7/s8/s9/s11/s13/s14/s15,
+# st4/st7/st8/st10, tt4/tt5/tt9/tt10/tt11/tt13, w7/w8, x7/x8/x11.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core, shrunk 30 -> 15 per the r7 verdict (one name per
     # family keeps the longitudinal record; everything rotated out
