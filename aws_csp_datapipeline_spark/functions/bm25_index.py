@@ -29,7 +29,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aws_csp_datapipeline_spark.functions.text import tokens
+from aws_csp_datapipeline_spark.functions.text import token_count, tokens
 
 
 def build_bm25_index(
@@ -51,9 +51,15 @@ def build_bm25_index(
         .write.mode("overwrite")
         .parquet(os.path.join(artifact_dir, "postings"))
     )
+    # token_count, NOT F.size(tokens(..)): split("") is [""] so size
+    # would read 1 for an empty/whitespace-only document while the
+    # inline t12 lane (text.bm25_scores) reads 0 — a silent avgdl
+    # divergence that breaks the probe==inline guarantee. All three
+    # dl definitions (here, bm25_scores, the shared DuckDB oracle's
+    # dl CTE) use the empty→0 rule.
     doclens = df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+        token_count(F.col(text_col)).cast("long").alias("dl"),
     )
     doclens.write.mode("overwrite").parquet(
         os.path.join(artifact_dir, "doclens")

@@ -177,6 +177,11 @@ def triangle_count_estimate(
 
     Returns one row: (n_sampled_triangles, est_triangles) with the
     integer scale-up (exact arithmetic on both engine sides)."""
+    if not 1 <= p_mille <= 1000:
+        # p_mille=0 would ZeroDivisionError in the exact-scale branch;
+        # >1000 keeps every edge (coin is always <1000) yet scales by
+        # (p/1000)^-3 < 1 — a silent underestimate, not a sample.
+        raise ValueError(f"p_mille must be in [1, 1000], got {p_mille}")
     coin = (
         F.conv(
             F.substring(

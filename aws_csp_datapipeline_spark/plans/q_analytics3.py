@@ -242,7 +242,7 @@ def a11_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ap1_zscore_per_user",
     """
     SELECT event_id, user_id,
-           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+           ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) + 0 AS z
     FROM events
     WINDOW w AS (PARTITION BY user_id)
     """,
@@ -394,7 +394,7 @@ def ap2_cogrouped_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(ratio) AS n_ratio_ok,
            COUNT(*) - COUNT(ratio) AS n_div0,
            COUNT(parsed) AS n_parsed,
-           CAST(ROUND(SUM(ratio), 2) AS DOUBLE) AS sum_ratio
+           CAST(ROUND(SUM(ratio), 2) AS DOUBLE) + 0 AS sum_ratio
     FROM (
       SELECT l_extendedprice / NULLIF(l_quantity - 25, 0) AS ratio,
              TRY_CAST(CASE WHEN l_linenumber % 2 = 0

@@ -194,10 +194,10 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a12_regression_stats",
     """
     SELECT l_returnflag,
-           ROUND(corr(l_quantity, l_extendedprice), 4)        AS r,
-           ROUND(regr_slope(l_extendedprice, l_quantity), 4)  AS slope,
-           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
-           ROUND(covar_samp(l_quantity, l_extendedprice), 4)  AS cov,
+           ROUND(corr(l_quantity, l_extendedprice), 4) + 0        AS r,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) + 0  AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) + 0 AS icept,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) + 0  AS cov,
            ROUND(stddev_samp(l_quantity), 4)                  AS sd_qty
     FROM lineitem GROUP BY l_returnflag
     """,

@@ -152,12 +152,12 @@ def fun3_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH stats AS (
       SELECT event_type, COUNT(*) AS n,
-             ROUND(AVG(value) - 3 * stddev_samp(value), 6) AS lo_bound,
+             ROUND(AVG(value) - 3 * stddev_samp(value), 6) + 0 AS lo_bound,
              ROUND(AVG(value) + 3 * stddev_samp(value), 6) AS hi_bound
       FROM events GROUP BY event_type
     )
     SELECT s.event_type, s.n,
-           ROUND(s.lo_bound, 4) AS lo,
+           ROUND(s.lo_bound, 4) + 0 AS lo,
            ROUND(s.hi_bound, 4) AS hi,
            CAST(SUM(CASE WHEN e.value < s.lo_bound OR e.value > s.hi_bound
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
@@ -288,7 +288,7 @@ def f17_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     )
     SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
-           ROUND((n - mu) / sigma, 4) AS zscore
+           ROUND((n - mu) / sigma, 4) + 0 AS zscore
     FROM w WHERE sigma IS NOT NULL AND sigma > 0
     """,
 )

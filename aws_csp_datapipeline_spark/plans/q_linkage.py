@@ -430,10 +430,10 @@ def er4_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s WHERE split = 'train'
     )
     SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           ROUND(AVG((l_quantity - mq) / sq), 4) AS mean_z_qty,
-           ROUND(STDDEV((l_quantity - mq) / sq), 4) AS std_z_qty,
-           ROUND(AVG((l_extendedprice - mp) / sp), 4) AS mean_z_price,
-           ROUND(STDDEV((l_extendedprice - mp) / sp), 4) AS std_z_price
+           ROUND(AVG((l_quantity - mq) / sq), 4) + 0 AS mean_z_qty,
+           ROUND(STDDEV((l_quantity - mq) / sq), 4) + 0 AS std_z_qty,
+           ROUND(AVG((l_extendedprice - mp) / sp), 4) + 0 AS mean_z_price,
+           ROUND(STDDEV((l_extendedprice - mp) / sp), 4) + 0 AS std_z_price
     FROM s, fit
     GROUP BY split
     """,
@@ -475,9 +475,14 @@ def ml2_leakage_safe_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.round(F.avg(zq), 4).alias("mean_z_qty"),
-            F.round(F.stddev(zq), 4).alias("std_z_qty"),
-            F.round(F.avg(zp), 4).alias("mean_z_price"),
-            F.round(F.stddev(zp), 4).alias("std_z_price"),
+            # + 0.0 folds IEEE -0.0 to +0.0 (the train mean of a
+            # z-scored column is ~±1e-17 by construction; ROUND keeps
+            # the sign and the two engines' summation orders can land
+            # on opposite sides of zero — CORRECTNESS_r11 hash fail).
+            # Same fold on the oracle side: `ROUND(..) + 0`.
+            (F.round(F.avg(zq), 4) + F.lit(0.0)).alias("mean_z_qty"),
+            (F.round(F.stddev(zq), 4) + F.lit(0.0)).alias("std_z_qty"),
+            (F.round(F.avg(zp), 4) + F.lit(0.0)).alias("mean_z_price"),
+            (F.round(F.stddev(zp), 4) + F.lit(0.0)).alias("std_z_price"),
         )
     )

@@ -361,8 +361,12 @@ def dq5_quarantine_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # answer by construction, so they share one oracle.
 _BM25_TOPDOCS_SQL = r"""
     WITH dl AS (
+      -- empty/whitespace-only text counts 0 tokens (split('') is [''],
+      -- len 1) — matches text.token_count on the Spark side
       SELECT doc_id,
-             len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+             END AS dl
       FROM documents
     ), tok AS (
       SELECT doc_id,
@@ -1229,7 +1233,9 @@ def t27_bm25_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     adir = get_or_build(
-        "bm25_index", sf_dir, ["documents"], {"tok": "ws-lower", "v": 1}, build
+        # v2: dl switched to token_count (empty doc -> 0) so cached
+        # v1 artifacts with the size(split())-based dl can't be read
+        "bm25_index", sf_dir, ["documents"], {"tok": "ws-lower", "v": 2}, build
     )
     return (
         BI.probe_bm25_index(spark, adir, ["table", "merge", "window"])

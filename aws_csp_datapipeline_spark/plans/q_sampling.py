@@ -988,7 +988,7 @@ def tt15_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     docs AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             ROUND(-AVG(log2(p_in)) + AVG(log2(p_gen)), 4) AS ce_diff
+             ROUND(-AVG(log2(p_in)) + AVG(log2(p_gen)), 4) + 0 AS ce_diff
       FROM scored GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams, ce_diff,

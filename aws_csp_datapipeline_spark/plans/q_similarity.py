@@ -351,7 +351,7 @@ def s10_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s11_embedding_dim_stats",
     """
     SELECT dim,
-           ROUND(AVG(v), 6) AS mean_v,
+           ROUND(AVG(v), 6) + 0 AS mean_v,
            ROUND(stddev_samp(v), 6) AS std_v,
            ROUND(MIN(v), 6) AS min_v,
            ROUND(MAX(v), 6) AS max_v
@@ -394,7 +394,7 @@ def s11_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
       GROUP BY 1, 2
     )
-    SELECT label_a, label_b, ROUND(dot / (x.nrm * y.nrm), 6) AS centroid_cos
+    SELECT label_a, label_b, ROUND(dot / (x.nrm * y.nrm), 6) + 0 AS centroid_cos
     FROM dots
     JOIN norms x ON label_a = x.label
     JOIN norms y ON label_b = y.label
@@ -666,7 +666,7 @@ def s16_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(floor(c * 10) AS INT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(AVG(c), 4) AS avg_cos
+           ROUND(AVG(c), 4) + 0 AS avg_cos
     FROM cs GROUP BY 1 ORDER BY 1
     """,
 )

@@ -394,7 +394,7 @@ BIGRAM_LOGPROB_SQL = r"""
     uc AS (SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS nu
            FROM bg GROUP BY 1)
     SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(AVG(LN(CAST(nb AS DOUBLE) / nu)), 4) AS avg_logprob
+           ROUND(AVG(LN(CAST(nb AS DOUBLE) / nu)), 4) + 0 AS avg_logprob
     FROM bg
     JOIN bc USING (bigram)
     JOIN uc ON split_part(bg.bigram, ' ', 1) = uc.w1

@@ -520,7 +520,7 @@ def w14_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     )
     SELECT user_id, event_id,
-           ROUND((value - mu) / sd, 4) AS z,
+           ROUND((value - mu) / sd, 4) + 0 AS z,
            CASE WHEN ABS((value - mu) / sd) > 3 THEN 1 ELSE 0 END AS is_anomaly
     FROM r
     WHERE n >= 10 AND sd > 0

@@ -8,7 +8,13 @@ hashing values (see /root/repo/__spark_entry__.py docstring).
 
 Float discipline: aggregate outputs of double columns are ROUNDed on
 BOTH sides so engine-order-dependent last-bit drift can't break the
-value hash.
+value hash. IEEE -0.0 rule (CORRECTNESS_r11's ml2 fail): DuckDB's
+ROUND preserves the sign of a tiny negative (-1e-17 -> -0.0) while
+Spark's BigDecimal-backed round always returns +0.0, so every oracle
+ROUND over a SIGNED quantity that can land near zero (z-scores,
+centered means, slopes, cosines, log-ratios, diffs) must carry a
+`+ 0` zero-fold; tools/audit_negzero.py sweeps the registry for
+violations and tests/test_registry_oracle.py enforces it.
 
 Registry keys map to SURVEY.md §2 operator ids in each docstring.
 """
@@ -80,86 +86,82 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # pipe3 (rows-only), s7/s8/s9/s11/s13/s14/s15,
 # st4/st7/st8/st10, tt4/tt5/tt9/tt10/tt11/tt13, w7/w8, x7/x8/x11.
 _WINDOW: tuple[str, ...] = (
-    # --- fixed core, shrunk 30 -> 15 per the r7 verdict (one name per
-    # family keeps the longitudinal record; everything rotated out
-    # stays green in tests/test_registry_oracle.py) ---
+    # --- fixed core, shrunk 15 -> 12 for this round only: d3/s1/x1
+    # step out because their families are saturated by the rotation
+    # tail below (d4/d5/d7/d12, the s7-s15 block, x7/x8/x11) and the
+    # 37-name queue + the ml2 re-attestation need 38 slots. They
+    # return to the core in r13; meanwhile they stay green in
+    # tests/test_registry_oracle.py. ---
     "q1_pricing_summary",
     "m1_serial_insert",
     "m4_soft_delete_visible",
     "f7_messy_dates",
     "d1_exact_dedup",
-    "d3_minhash_lsh_pairs",
     "t1_token_stats",
-    "s1_cosine_topk",
     "st1_stream_ingest_dedup",
     "tt1_hash_split",
     "w1_topk_per_group",
-    "x1_asof_join",
     "gr1_triangle_count",
     "dq1_column_profile",
     "pipe4_full_curation",
-    # --- round-11 rotation: 35 first-ever driver attestations ---
-    # Everything rotated OUT (the r10 tail: d13/d14/q23/w16/dq18/
-    # tt14/tt15/t24/s18/s19/s20/mm8 + the queue sweep er1/ml1/ap1/
-    # ap2/pm2/pm7/x3/x10/h1/g2/dq10/dq14/w4/w11/tt2/tt12/s4/s17/d8/
-    # d11/gr2/m3/f10) stays green in tests/test_registry_oracle.py.
-    # Leading: the 5 round-10 additions the r10 verdict called out
-    # as pytest-only (t26/gr7/ml2/inc4/dq19) plus t25, then a
-    # cross-family sweep of the 68-name never-attested queue. The
-    # 33 names still queued after this window (fun3, dq3/dq6,
-    # x7/x8/x11, tt4/tt5/tt9/tt10/tt11/tt13, pipe3, the s7-s15
-    # block, st4/st7/st8/st10, w7/w8, d4/d5/d7/d12, gr3/gr5/gr6)
-    # clear in round 12.
-    "t26_ccnet_buckets",
-    "gr7_label_propagation",
+    # --- ml2 re-attestation: r11's only red row (IEEE -0.0 after
+    # ROUND of a z-scored train mean; zero-folded on both sides this
+    # round, q_linkage.py) — must face the driver hash again. ---
     "ml2_leakage_safe_scaler",
-    "inc4_semdedup_state",
-    "dq19_fd_multi_audit",
-    "t25_lm_perplexity",
-    # --- q-silhouette block ---
-    "q6_forecast_revenue",
-    "q11_important_stock",
-    # NEW-this-round queries get a first-round attestation slot
-    # (gr8: the Doulion dense-regime triangle lane from gr1's sf100
-    # OOM finding; tt16: Moore-Lewis cross-entropy-difference
-    # selection; dq20: the k-anonymity gate). q17/q18/q22 move to the
-    # r12 queue in their place.
-    "gr8_triangle_estimate",
-    "tt16_moore_lewis",
-    "dq20_k_anonymity",
-    # --- base projection/filter/join ops ---
-    "p9_exists_flag",
-    "p10_collated_eq",
-    "j1_broadcast_dim_join",
-    "f1_enum_fold",
-    "f4_coerce_boolean",
-    "f11_unpivot",
-    # --- mutations ---
-    "m6_guarded_update",
-    "m6_guarded_rejected",
-    "m11_dynamic_partition_overwrite",
-    "m12_pit_lookup",
-    # --- pipelines / pattern mining ---
-    "pipe1_curation_pipeline",
-    "pipe2_cdc_refresh",
-    "pm3_time_to_convert",
-    "pm5_markov_transitions",
-    "pm8_session_durations",
-    # --- range / as-of ---
-    "x4_gap_fill",
-    "x5_asof_forward",
-    # --- histograms / grouping / windows (rank-primitive consumers) ---
-    "h2_equidepth_histogram",
-    # t27 (BM25 through the persisted inverted-index artifact) is new
-    # this round -> first-round slot; h3_log_histogram joins the r12
-    # queue (h2 keeps the histogram family's longitudinal record).
-    "t27_bm25_index_probe",
-    "g3_time_rollup",
-    "g5_grouping_indicators",
-    "w12_period_over_period",
-    "w13_gini_coefficient",
-    # --- quality ---
-    "dq11_entropy_profile",
+    # --- round-12 rotation: the COMPLETE never-attested queue (37
+    # names, machine-computed: all registry names minus every name in
+    # any CORRECTNESS_r*.json minus the r11 window). After this
+    # window, every registry query has at least one driver record.
+    # Everything rotated OUT (the r11 tail incl. t26/gr7/inc4/dq19/
+    # t25/gr8/tt16/dq20/t27 and the q/p/j/f/m/pipe/pm/x/h/g/w blocks)
+    # stays green in tests/test_registry_oracle.py. ---
+    # q-silhouettes displaced by r11 additions
+    "q17_below_avg_quantity",
+    "q18_large_orders",
+    "q22_inactive_high_balance",
+    # dedup: signatures/candidates oracle-paired in r11 via the
+    # portable-md5 pattern but never externally attested
+    "d4_simhash_candidates",
+    "d5_minhash_signatures",
+    "d7_canonical_corpus",
+    "d12_kmv_source_overlap",
+    # graph: ride the shared edge artifact
+    "gr3_pagerank_top",
+    "gr5_kcore",
+    "gr6_neighbor_jaccard",
+    # similarity block
+    "s7_quantize_uint8",
+    "s8_cosine_neardup_pairs",
+    "s9_array_battery",
+    "s11_embedding_dim_stats",
+    "s13_centroid_distances",
+    "s14_truncated_recall",
+    "s15_softmax_entropy",
+    # streaming batch-equivalence lanes (silent drift hides longest)
+    "st4_stream_stream_join",
+    "st7_stream_cdc_upsert",
+    "st8_stream_static_enrich",
+    "st10_sliding_counts",
+    # training-data ops
+    "tt4_per_group_sample",
+    "tt5_split_leakage",
+    "tt9_mixture_reweight",
+    "tt10_per_source_cap",
+    "tt11_deterministic_shuffle",
+    "tt13_temperature_mixture",
+    # quality / audit
+    "dq3_snapshot_diff",
+    "dq6_freshness_lag",
+    "fun3_benford_audit",
+    # histograms / windows / range
+    "h3_log_histogram",
+    "w7_share_of_total",
+    "w8_range_frame",
+    "x7_time_downsample",
+    "x8_explode_outer",
+    "x11_minmax_downsample",
+    # pipelines (rows-only)
+    "pipe3_ann_recall",
 )
 
 

@@ -77,6 +77,30 @@ def assert_type_parity(spark_df, rel) -> None:
     )
 
 
+def _assert_no_negzero(rows, cols, side: str) -> None:
+    """The driver's value hash is sign-of-zero sensitive while this
+    module's _norm_cell folds -0.0 — which is exactly how r11's ml2
+    defect shipped: DuckDB's ROUND preserves -0.0 (Spark's never
+    does). A -0.0 in either result means the query pair is missing
+    the `+ 0` zero-fold after a ROUND of a signed quantity."""
+    def neg0(v) -> bool:
+        if isinstance(v, float):
+            return v == 0.0 and math.copysign(1.0, v) < 0
+        if isinstance(v, (list, tuple)):
+            return any(neg0(x) for x in v)
+        return False
+
+    for r in rows:
+        for c, v in zip(cols, r):
+            if neg0(v):
+                raise AssertionError(
+                    f"IEEE -0.0 in {side} column {c!r}: the driver hash "
+                    "distinguishes it from +0.0 — add a `+ 0` zero-fold "
+                    "after the ROUND on the oracle side (registry.py "
+                    "float discipline)"
+                )
+
+
 def compare(spark_df, sql: str, sf_dir: str) -> None:
     """Assert the Spark result and the DuckDB oracle result match."""
     con = duck_connection(sf_dir)
@@ -90,6 +114,8 @@ def compare(spark_df, sql: str, sf_dir: str) -> None:
 
     got_cols = list(spark_df.columns)
     got_rows = [tuple(r) for r in spark_df.collect()]
+    _assert_no_negzero(exp_rows, exp_cols, "oracle")
+    _assert_no_negzero(got_rows, got_cols, "spark")
 
     assert sorted(got_cols) == sorted(exp_cols), (
         f"column mismatch: spark={sorted(got_cols)} oracle={sorted(exp_cols)}"

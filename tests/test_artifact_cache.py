@@ -196,3 +196,43 @@ def test_bm25_probe_matches_inline_and_builds_once(
     p2 = [tuple(r) for r in t27_bm25_index_probe(spark, sf_oracle).collect()]
     assert len(builds) == 1
     assert p1 == p2 == inline and len(inline) == 10
+
+
+def test_bm25_dl_empty_doc_alignment(spark, tmp_path, monkeypatch):
+    """dl for empty/whitespace-only documents is 0 in the persisted
+    index, matching text.token_count and the inline lane (r11 ADVICE:
+    size(split('')) reads 1, silently shifting avgdl between t12 and
+    t27 on any corpus holding a degenerate document)."""
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    from aws_csp_datapipeline_spark.functions import bm25_index as BI
+    from aws_csp_datapipeline_spark.functions.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table merge window table"),
+            (1, ""),
+            (2, "   "),
+            (3, "window scan filter"),
+        ],
+        "doc_id long, text string",
+    )
+    adir = str(tmp_path / "idx")
+    adir_obj = tmp_path / "idx"
+    adir_obj.mkdir()
+    meta = BI.build_bm25_index(docs, "text", "doc_id", adir)
+    dls = {
+        r["doc_id"]: r["dl"]
+        for r in spark.read.parquet(os.path.join(adir, "doclens")).collect()
+    }
+    assert dls[1] == 0 and dls[2] == 0
+    assert abs(meta["avgdl"] - (4 + 0 + 0 + 3) / 4) < 1e-12
+    terms = ["table", "merge", "window"]
+    inline = sorted(
+        (r["doc_id"], round(r["score"], 6))
+        for r in bm25_scores(docs, terms).collect()
+    )
+    probe = sorted(
+        (r["doc_id"], round(r["score"], 6))
+        for r in BI.probe_bm25_index(spark, adir, terms).collect()
+    )
+    assert probe == inline

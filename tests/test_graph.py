@@ -3,6 +3,7 @@ known small graph; triangle count and degree histogram on hand-checked
 fixtures (the registry oracle covers them at sf0.01)."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from aws_csp_datapipeline_spark.operators import graph as G
@@ -173,3 +174,13 @@ def test_triangle_estimate_exact_at_p1_and_unbiased_shape(spark):
     assert half["est_triangles"] == half["n_sampled_triangles"] * 8
     # E[sampled] = 220/8 = 27.5; allow a generous deterministic window
     assert 5 <= half["n_sampled_triangles"] <= 80
+
+
+def test_triangle_estimate_rejects_bad_p_mille(spark):
+    """p_mille outside [1, 1000] is an error, not a silent
+    underestimate (r11 ADVICE: 0 raised ZeroDivisionError from the
+    integer-scale branch; 1001 kept every edge yet scaled down)."""
+    df = _edges_df(spark, [(0, 1), (1, 2), (0, 2)])
+    for bad in (0, -1, 1001):
+        with pytest.raises(ValueError, match="p_mille"):
+            G.triangle_count_estimate(df, p_mille=bad)
