@@ -327,22 +327,40 @@ def dq10_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a20_cms_heavy_hitters", None)
+@register(
+    "a20_cms_heavy_hitters",
+    """
+    SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM lineitem GROUP BY l_suppkey
+    ORDER BY est_count DESC, l_suppkey LIMIT 10
+    """,
+    oracle_sf_max=0.01,
+)
 def a20_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heavy-hitter detection via a Count-Min Sketch (rows-only: the
-    estimates ride on Spark's xxhash64 family): build the d=4 x w=256
-    relational sketch over lineitem's supplier column, then rank the
-    candidate keys by estimated frequency. The sketch is mergeable
-    (UNION + re-aggregate) — the same table maintained per day rolls
-    up to any grain without re-scanning raw rows, the frequency
-    analogue of a17's HLL rollup. Estimate error is pinned by
-    tests/test_approx_quality.py."""
+    """Heavy-hitter detection via a Count-Min Sketch: build the
+    d=4 x w=1024 relational sketch over lineitem's supplier column,
+    then rank the candidate keys by estimated frequency. The sketch
+    is mergeable (UNION + re-aggregate) — the same table maintained
+    per day rolls up to any grain without re-scanning raw rows, the
+    frequency analogue of a17's HLL rollup.
+
+    Exactness window (the d10/d12 oracle pattern): the hash family is
+    deterministic (xxhash64, fixed seeds), so on a fixed corpus the
+    estimates are a fixed function of the key set. At sf0.01 the 100
+    distinct suppliers occupy 1024 buckets per row; a key is inflated
+    only if it collides in ALL 4 rows (P ~ (100/1024)^4 ~ 9e-5 per
+    key), and a direct check shows ZERO inflated keys at sf0.001 and
+    sf0.01 (width 256 left 2 inflated keys — why the lane was
+    no-oracle until r12). Inside that window min-of-4 equals the true
+    count and the exact-count SQL is a valid oracle; beyond it
+    (oracle_sf_max=0.01) the driver downgrades to rows-only, and the
+    eps*N error bound stays pinned by tests/test_approx_quality.py."""
     from aws_csp_datapipeline_spark.functions.sketches import cms_build, cms_estimate
 
     li = load_table(spark, sf_dir, "lineitem")
-    sketch = cms_build(li, F.col("l_suppkey"), depth=4, width=256)
+    sketch = cms_build(li, F.col("l_suppkey"), depth=4, width=1024)
     candidates = li.select("l_suppkey").distinct()
-    est = cms_estimate(sketch, candidates, "l_suppkey", depth=4, width=256)
+    est = cms_estimate(sketch, candidates, "l_suppkey", depth=4, width=1024)
     return est.orderBy(F.desc("est_count"), F.asc("l_suppkey")).limit(10)
 
 

@@ -236,3 +236,54 @@ def test_bm25_dl_empty_doc_alignment(spark, tmp_path, monkeypatch):
         for r in BI.probe_bm25_index(spark, adir, terms).collect()
     )
     assert probe == inline
+
+
+def test_two_writer_race_leaves_one_winner(tmp_path, monkeypatch):
+    """Two concurrent builders for the same (corpus, config) key: the
+    atomic-rename publish protocol (artifact_cache.get_or_build) must
+    leave exactly ONE complete published artifact, both callers must
+    return the same directory, and the loser's staging dir must be
+    cleaned up — the concurrent-builder claim of the module docstring,
+    pinned under an actual race (r11 verdict item 7)."""
+    import threading
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACT_DIR", str(tmp_path / "cache"))
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    (corpus / "t.parquet").write_bytes(b"fingerprint-input")
+
+    barrier = threading.Barrier(2)
+    results: dict[int, str] = {}
+    errors: list[Exception] = []
+    builds: list[str] = []
+
+    def build(staging):
+        builds.append(staging)
+        barrier.wait(timeout=10)  # both builders inside build_fn at once
+        with open(os.path.join(staging, "payload"), "w") as fh:
+            fh.write(f"built-by-{threading.get_ident()}")
+
+    def worker(i):
+        try:
+            results[i] = AC.get_or_build(
+                "race", str(corpus), ["t"], {"a": 1}, build
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=30)
+    assert not errors, errors
+    assert len(builds) == 2  # both raced past the isdir check
+    assert results[0] == results[1]
+    # exactly one published artifact, complete payload inside
+    cache = tmp_path / "cache"
+    published = [p for p in os.listdir(cache) if not p.startswith(".")]
+    staging_left = [p for p in os.listdir(cache) if p.startswith(".")]
+    assert published == [os.path.basename(results[0])]
+    assert staging_left == []  # loser's staging removed
+    with open(os.path.join(results[0], "payload")) as fh:
+        assert fh.read().startswith("built-by-")
