@@ -432,3 +432,107 @@ def gr8_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact at p=1 and the integer 1/p³ scale-up; the registry oracle
     pins the full sampled-count arithmetic at sf0.01)."""
     return G.triangle_count_estimate(_edges(spark, sf_dir), p_mille=100)
+
+
+def _gr9_oracle(k: int = 24, bands: int = 8, r: int = 3) -> str:
+    """Restates ``operators/graph.neighbor_jaccard_estimate`` in the
+    portable family end-to-end: the 31-bit md5 base hash per
+    neighbor, the identical (a_j·x + b_j) mod 2^31 permutation
+    constants (``dedup._perm_constants`` as literals), the same
+    bands×r banding keys, the same DISTINCT candidate join, and the
+    same matching-slot estimate. est_jaccard = matches/k is
+    non-negative, so no -0.0 fold is needed."""
+    from aws_csp_datapipeline_spark.functions.dedup import _perm_constants
+
+    consts = _perm_constants(k)
+    mins = ",\n             ".join(
+        f"MIN((h * {a} + {b}) % 2147483648) AS mh{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT node, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * r + i} AS VARCHAR)" for i in range(r)
+        )
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(k)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    sym AS (
+      SELECT src AS node, dst AS nbr FROM e
+      UNION ALL SELECT dst, src FROM e
+    ),
+    hx AS (
+      SELECT node,
+             [list_reduce([strpos('0123456789abcdef', m[i]) - 1
+                           FOR i IN range(1, 9)],
+                          (a, b) -> a * 16 + b) % 2147483648
+              FOR m IN [md5(CAST(nbr AS VARCHAR))]][1] AS h
+      FROM sym
+    ),
+    sig AS (
+      SELECT node,
+             {mins}
+      FROM hx GROUP BY node
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT a.node AS node_a, b.node AS node_b
+      FROM banded a JOIN banded b USING (band, key)
+      WHERE a.node < b.node
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT node_a, node_b,
+             ({matches}) / {k}.0 AS ej
+      FROM cand
+      JOIN sig sa ON cand.node_a = sa.node
+      JOIN sig sb ON cand.node_b = sb.node
+    )
+    SELECT node_a, node_b, ROUND(ej, 4) AS est_jaccard
+    FROM est ORDER BY est_jaccard DESC, node_a, node_b LIMIT 20
+    """
+
+
+@register("gr9_neighbor_jaccard_estimate", _gr9_oracle())
+def gr9_neighbor_jaccard_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neighbor-set Jaccard ESTIMATE via MinHash-LSH over adjacency —
+    the dense-regime lane for gr6 exactly as gr8 (Doulion) is for
+    gr1. gr6's exact 2-hop join is work-bound on near-complete graphs
+    (Σ deg(n)² ≈ 8·10¹¹ rows at sf100, gr1's regime); this lane is
+    one linear signature pass (each neighbor hashed once; k=24
+    permutations as integer multiply-adds; one groupBy(node) with 24
+    map-side-combined MINs) plus a banded bucket join bounded by
+    bucket populations — d3's LSH architecture applied to the graph.
+    The 8×3 banding catches J ≥ 0.8 pairs with P ≥ 98.7%; the
+    estimate's σ is √(J(1-J)/24) ≈ 0.08 at J = 0.5. Portable hash
+    family end-to-end (md5-derived base + engine-neutral integer
+    permutations), so the oracle reproduces candidates AND estimates
+    exactly; the xxhash64 family in
+    ``operators/graph.neighbor_minhash_signatures`` stays the
+    cheaper in-engine default. Estimator-vs-exact accuracy is pinned
+    in tests/test_graph.py on a known graph."""
+    est = G.neighbor_jaccard_estimate(
+        _edges(spark, sf_dir), k=24, bands=8, rows_per_band=3, hash="portable"
+    )
+    return (
+        est.select(
+            "node_a", "node_b", F.round("est_jaccard", 4).alias("est_jaccard")
+        )
+        .orderBy(F.desc("est_jaccard"), F.asc("node_a"), F.asc("node_b"))
+        .limit(20)
+    )

@@ -74,17 +74,21 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # Everything rotated OUT stays green in tests/test_registry_oracle.py
 # (same DuckDB compare, all 200+ queries).
 #
-# Round-12 rotation queue — machine-computed this round (all registry
-# names minus every name in any CORRECTNESS_r*.json minus the r11
-# window below): 37 names, clearing in round 12 with a 35-slot tail +
-# a 2-name core swap or a 1-round carryover. Queue:
-# d4/d5/d12 (oracle-paired in r11 via the portable hash families /
-# the KMV exhaustive window — rotated out before the upgrade, so
-# their oracles still lack an external record), d7,
-# dq3/dq6, fun3_benford_audit, gr3/gr5/gr6, h3 + q17/q18/q22
-# (displaced by the r11 additions gr8/tt16/dq20/t27),
-# pipe3 (rows-only), s7/s8/s9/s11/s13/s14/s15,
-# st4/st7/st8/st10, tt4/tt5/tt9/tt10/tt11/tt13, w7/w8, x7/x8/x11.
+# Round-13 rotation queue — machine-computed in r12. After the r12
+# window below lands, every registry name has at least one driver
+# record; what remains is the ORACLE-UPGRADE tail: 8 names whose last
+# driver record predates their oracle pairing (their record says
+# `no_oracle` but a hash oracle now exists, so the driver has never
+# hash-checked them): a20_cms_heavy_hitters (r12's exactness-window
+# upgrade), dq14_file_manifest, t5_winnow_fingerprints,
+# mm1_media_features, mm5_audio_features, mm6_video_meta,
+# mm7_image_dhash_groups, mm8_image_neardup_pairs. Plus the r12
+# addition gr9_neighbor_jaccard_estimate (new lanes get a first-round
+# slot). Rotate these 9 in for r13 and restore the d3/s1/x1 core
+# names; 12 lanes remain
+# rows-only BY DESIGN (index/sketch/stream/BPE-internal outputs:
+# pipe3, a9, a17, s3, s5, s18, s19, s20, st9, t17, t18, pipe5), each
+# with a behavioral pytest in lieu of a SQL oracle.
 _WINDOW: tuple[str, ...] = (
     # --- fixed core, shrunk 15 -> 12 for this round only: d3/s1/x1
     # step out because their families are saturated by the rotation

@@ -184,3 +184,53 @@ def test_triangle_estimate_rejects_bad_p_mille(spark):
     for bad in (0, -1, 1001):
         with pytest.raises(ValueError, match="p_mille"):
             G.triangle_count_estimate(df, p_mille=bad)
+
+
+def test_neighbor_jaccard_estimate_tracks_exact(spark):
+    """gr9's sketch vs gr6's exact arithmetic on a known graph: two
+    hubs with 90%-overlapping neighbor sets must surface as the top
+    candidate pair with an estimate within the k=24 sampling band of
+    the true Jaccard; and a high-k signature (k=96) must tighten
+    toward it (consistency, the gr8-style estimator contract)."""
+    # hubs 1000 and 1001 share neighbors 0..17, each has 2 private ones
+    shared = list(range(18))
+    na = shared + [100, 101]
+    nb = shared + [200, 201]
+    pairs = [(min(1000, x), max(1000, x)) for x in na]
+    pairs += [(min(1001, x), max(1001, x)) for x in nb]
+    df = _edges_df(spark, pairs)
+    true_j = 18 / 22  # |∩| / |∪| ≈ 0.818
+    for k, bands, r, tol in ((24, 8, 3, 0.25), (96, 8, 3, 0.15)):
+        est = G.neighbor_jaccard_estimate(
+            df, k=k, bands=bands, rows_per_band=r, hash="portable"
+        )
+        rows = {
+            (r_["node_a"], r_["node_b"]): r_["est_jaccard"]
+            for r_ in est.collect()
+        }
+        assert (1000, 1001) in rows, (k, sorted(rows))
+        assert abs(rows[(1000, 1001)] - true_j) <= tol, (k, rows)
+
+
+def test_neighbor_jaccard_estimate_families_agree_on_candidates(spark):
+    """The xxhash64 (in-engine) and portable (oracle) families are
+    different hash functions but the SAME architecture: on a graph
+    with one overwhelming near-duplicate pair both must surface it."""
+    shared = list(range(12))
+    pairs = [(min(50, x), max(50, x)) for x in shared]
+    pairs += [(min(51, x), max(51, x)) for x in shared]  # identical sets
+    df = _edges_df(spark, pairs)
+    for fam in ("xxhash64", "portable"):
+        est = G.neighbor_jaccard_estimate(df, hash=fam)
+        top = {
+            (r_["node_a"], r_["node_b"]): r_["est_jaccard"]
+            for r_ in est.collect()
+        }
+        # identical neighbor sets -> identical signatures -> est 1.0
+        assert top.get((50, 51)) == 1.0, (fam, top)
+
+
+def test_neighbor_jaccard_estimate_rejects_short_signature(spark):
+    df = _edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError, match="slots"):
+        G.neighbor_jaccard_estimate(df, k=8, bands=8, rows_per_band=3)
