@@ -16,8 +16,44 @@ one co-partitioned shuffle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def _pin_edges(df: DataFrame) -> DataFrame:
+    """Materialize an edge-scale frame with DISK_ONLY blocks.
+
+    ``localCheckpoint`` defaults to deserialized on-heap storage
+    (MEMORY_AND_DISK); at sf100 the symmetric co-supply edge list is
+    ~900 M rows and 32 concurrent unroll buffers of multi-GiB
+    deserialized partitions blew a 48 g heap (r12 measurement —
+    SCALE.md "gr3/gr5 at sf100"). DISK_ONLY keeps the truncated
+    lineage while storing serialized blocks straight to local disk:
+    the iterative lanes' working set on the heap is then just the
+    current shuffle, independent of graph size. Node-sized frames
+    (ranks, drop sets, labels) keep the default level — they are two
+    longs per node and belong in memory.
+
+    Cluster note: ``localCheckpoint`` blocks are not replicated, so
+    losing an executor mid-iteration kills the job. For multi-node
+    runs set ``SPARK_GRAFT_CHECKPOINT_DIR`` to shared storage and the
+    snapshots become RELIABLE checkpoints (``df.checkpoint`` — the
+    GraphX discipline): replayable from any surviving executor, at
+    the cost of a write to the shared filesystem per round. In local
+    mode (one JVM) the failure domains coincide, so the cheaper
+    local variant is the default. Reliable checkpoint files live
+    until the app exits unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` is set."""
+    ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckdir:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
 
 def co_occurrence_edges(
@@ -220,34 +256,55 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
 
 
 def pagerank(
-    edges: DataFrame, damping: float = 0.85, iterations: int = 12
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 12,
+    broadcast_max_nodes: int = 30_000_000,
 ) -> DataFrame:
     """PageRank on an undirected edge list (each edge walked both
     ways). Returns (node, pr) with ranks summing to ~1.
 
     Iterative join+aggregate: the (src, dst, out_deg) relation is
-    cached once; each iteration shuffles rank mass along edges and
-    folds it per destination. ``localCheckpoint`` truncates lineage so
-    the plan doesn't grow with the iteration count (the classic
-    iterative-DataFrame trap). Undirected graphs have no dangling
-    nodes, so no rank leak term is needed.
+    checkpointed once (DISK_ONLY — see ``_pin_edges``); each iteration
+    scatters rank mass along edges and folds it per destination.
+    ``localCheckpoint`` truncates lineage so the plan doesn't grow
+    with the iteration count (the classic iterative-DataFrame trap).
+    Undirected graphs have no dangling nodes, so no rank leak term.
+
+    The rank vector is NODE-sized (two longs) while ``adj`` is
+    EDGE-sized, so when ``n <= broadcast_max_nodes`` (~480 MB of rank
+    rows) the per-iteration join broadcasts ranks: ``adj`` then
+    streams straight from its checkpoint blocks every round and the
+    only shuffle left is the map-side-combined partial sums of the
+    groupBy (at most |nodes| keys per map partition). Without the
+    hint, every iteration re-shuffled all of ``adj`` for a sort-merge
+    join — ~15 GB of retained shuffle files PER ITERATION at sf100,
+    which overran the disk before iteration 12 (r12 measurement,
+    SCALE.md "gr3/gr5 at sf100"). The hint must be explicit: a
+    checkpointed frame reports unknown size stats, so the 64 MB
+    auto-broadcast threshold never fires on it. Beyond the node
+    bound, the co-partitioned shuffle join is the correct regime and
+    the caller should budget disk for it.
     """
     bi = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = bi.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    adj = bi.join(deg, "src").localCheckpoint(eager=True)
+    adj = _pin_edges(bi.join(deg, "src"))
 
     nodes = adj.select(F.col("src").alias("node")).distinct()
     n = nodes.count()
     ranks = nodes.select("node", F.lit(1.0 / n).alias("pr"))
+    small = n <= broadcast_max_nodes
 
     base = (1.0 - damping) / n
     for _ in range(iterations):
-        contribs = adj.join(ranks, adj.src == ranks.node).select(
+        r = F.broadcast(ranks) if small else ranks
+        contribs = adj.join(r, adj.src == r.node).select(
             F.col("dst").alias("node"),
             (F.col("pr") / F.col("out_deg")).alias("c"),
         )
+        prev = ranks
         ranks = (
             contribs.groupBy("node")
             .agg(F.sum("c").alias("mass"))
@@ -256,6 +313,7 @@ def pagerank(
             )
         )
         ranks = ranks.localCheckpoint(eager=True)
+        prev.unpersist()
     return ranks
 
 
@@ -274,22 +332,38 @@ def kcore(edges: DataFrame, k: int, max_iters: int = 50) -> DataFrame:
     sym = edges.unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
-    cur = sym.localCheckpoint()
+    cur = _pin_edges(sym)
     for _ in range(max_iters):
         deg = cur.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
         drop = deg.filter(F.col("degree") < k).select("node").localCheckpoint()
-        if drop.count() == 0:
+        n_drop = drop.count()
+        if n_drop == 0:
             return deg
-        cur = (
-            cur.join(drop, "node", "left_anti")
-            .join(drop.withColumnRenamed("node", "nbr"), "nbr", "left_anti")
-            .localCheckpoint()
+        # The to-drop set is node-sized while cur is edge-sized; the
+        # fixpoint probe just paid for |drop|, so the broadcast
+        # decision is free. Broadcasting both anti-join sides keeps
+        # cur streaming from its checkpoint blocks instead of
+        # re-shuffling the full edge list twice per peel round
+        # (checkpointed frames report unknown stats, so the
+        # auto-broadcast threshold never fires on its own).
+        d = F.broadcast(drop) if n_drop <= 30_000_000 else drop
+        prev = cur
+        cur = _pin_edges(
+            cur.join(d, "node", "left_anti")
+            .join(d.withColumnRenamed("node", "nbr"), "nbr", "left_anti")
         )
+        # The peel keeps only the newest snapshot: superseded rounds'
+        # blocks are dropped eagerly rather than waiting on the
+        # ContextCleaner, so total footprint is O(|E|) disk, not
+        # O(rounds x |E|).
+        prev.unpersist()
     return cur.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
 
 
 def label_propagation(
-    edges: DataFrame, iterations: int = 3
+    edges: DataFrame,
+    iterations: int = 3,
+    broadcast_max_nodes: int = 30_000_000,
 ) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) over an
     undirected edge list (canonical src<dst rows) — the classic
@@ -305,13 +379,18 @@ def label_propagation(
 
     Returns (node, label) after the final round.
 
-    Scale shape per round: one equi-join of the (node, label) frame
-    onto the doubled edge list (shuffle keyed by node), one grouped
-    count, one per-node top-1 window (partitioned by node — parallel,
-    never a global window). The labels frame is two longs per node;
-    document-scale payloads never enter. Rounds chain lazily —
-    callers wanting many rounds should localCheckpoint every few to
-    bound lineage (the pagerank discipline above)."""
+    Scale shape per round (the pagerank discipline): the (node,
+    label) frame is NODE-sized, so when ``n <= broadcast_max_nodes``
+    it broadcasts and the doubled edge list is never shuffled by the
+    join; the per-node top-1 is a ``max_by`` HASH aggregate over the
+    (node, label) counts — map-side-combinable on both grouping
+    steps, so what crosses the wire is bounded by distinct keys per
+    map partition, not by |E| — and ``max_by(label, (c, -label))``
+    encodes exactly the count-desc/label-asc tie rule a sort-based
+    row_number window would (labels are non-negative ids, so the
+    negation can't overflow). Document-scale payloads never enter.
+    Rounds chain lazily — callers wanting many rounds should
+    localCheckpoint every few to bound lineage."""
     und = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionByName(
@@ -320,22 +399,18 @@ def label_propagation(
     labels = und.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    from pyspark.sql import Window
+    small = labels.count() <= broadcast_max_nodes
 
     for _ in range(iterations):
+        lab = F.broadcast(labels) if small else labels
         nbr = und.join(
-            labels.withColumnRenamed("node", "v"), "v"
+            lab.withColumnRenamed("node", "v"), "v"
         ).select(F.col("u").alias("node"), "label")
         counts = nbr.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("c")
         )
-        w = Window.partitionBy("node").orderBy(
-            F.desc("c"), F.asc("label")
-        )
-        labels = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "label")
+        labels = counts.groupBy("node").agg(
+            F.expr("max_by(label, struct(c, -label))").alias("label")
         )
     return labels
 

@@ -75,6 +75,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Iterative lanes (pagerank/kcore/LPA/CC) retire a shuffle +
+        # a broadcast per round, but their files are only deleted
+        # after the driver GCs the dependency objects — with a large
+        # driver heap the default 30min periodic GC lets dead shuffle
+        # files accumulate for the whole job (gr3 at sf100 overran
+        # the disk this way before the broadcast fix). 5min bounds
+        # the garbage window at negligible GC cost.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
