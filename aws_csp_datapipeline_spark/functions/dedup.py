@@ -922,12 +922,17 @@ def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # per-round joins don't inherit the full shuffle-partition count —
     # with default 200 partitions each tiny iteration pays 200-task
     # scheduling overhead, which dominates the loop's wall clock.
+    # Partition on "b" — the JOIN key below — so the cached
+    # partitioning satisfies the join's required distribution and the
+    # edge list is never re-shuffled inside the loop (only the
+    # node-sized labels move each round; the r12 iterative-lane
+    # discipline, SCALE.md "gr3/gr5 at sf100").
     nparts = pairs.sparkSession.sparkContext.defaultParallelism
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
-        .repartition(nparts, "a")
+        .repartition(nparts, "b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = edges.select(F.col("a").alias("doc")).distinct().withColumn(
@@ -950,7 +955,13 @@ def neardup_groups(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 F.least(F.col("grp"), F.coalesce("nbr_grp", "grp")).alias("grp"),
             )
         )
+        prev_labels = labels
         labels = new_labels.localCheckpoint(eager=True)
+        # Drop the superseded round's checkpoint blocks eagerly: at
+        # corpus scale the label frame is doc-count-sized and 20
+        # retained rounds would hold 20 copies (the kcore lesson).
+        if prev_sum is not None:
+            prev_labels.unpersist()
         cur_sum = labels.agg(F.sum("grp")).first()[0]
         if cur_sum == prev_sum:
             break
