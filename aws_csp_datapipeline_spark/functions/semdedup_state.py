@@ -49,6 +49,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from aws_csp_datapipeline_spark.functions.similarity import (
     _as_double,
@@ -276,8 +277,13 @@ def incremental_from_state(
         # plan over the grown directory and flips every batch-accepted
         # row to rejected (cosine 1.0 against its own appended copy) —
         # observed, not hypothetical (test_append_makes_next_batch_
-        # see_accepted fails under the persist form).
-        out = out.localCheckpoint(eager=True)
+        # see_accepted fails under the persist form). DISK_ONLY: the
+        # frame is batch-scale WITH the embedding payload (__unit), so
+        # a production-sized increment doesn't belong in deserialized
+        # heap blocks (the r12 iterative-lane discipline).
+        out = out.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
         accepted = out.filter(F.col("accepted")).select(
             F.col(meta["id_col"]).alias("id"),
             "bucket",

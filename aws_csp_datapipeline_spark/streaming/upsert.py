@@ -22,6 +22,7 @@ from __future__ import annotations
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from aws_csp_datapipeline_spark.operators.crud import apply_cdc
 
@@ -45,7 +46,16 @@ def stream_upsert_cdc(
     (one uploaded file ≡ one trigger).
     """
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="upsert_ckpt_")
-    state = {"snap": snapshot.localCheckpoint(eager=True)}
+    # The snapshot is TABLE-scale, so its per-batch materializations
+    # go to serialized disk blocks, and each fold drops the superseded
+    # batch's blocks — otherwise N micro-batches retain N full-table
+    # copies on the heap (the r12 iterative-lane discipline,
+    # SCALE.md "gr3/gr5 at sf100").
+    state = {
+        "snap": snapshot.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+    }
 
     stream = (
         spark.readStream.schema(
@@ -62,7 +72,11 @@ def stream_upsert_cdc(
         merged = apply_cdc(
             state["snap"], batch_df, key, op_col=op_col, seq_col=seq_col
         )
-        state["snap"] = merged.localCheckpoint(eager=True)
+        prev = state["snap"]
+        state["snap"] = merged.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        prev.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(fold)
