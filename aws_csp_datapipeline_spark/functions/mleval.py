@@ -1,0 +1,144 @@
+"""Distributed classifier-evaluation primitives: ROC-AUC and
+reliability tables.
+
+A training-data pipeline that gates documents on a learned quality
+score (FastText-style filters, CCNet perplexity buckets, toxicity
+classifiers) needs to EVALUATE those scorers at corpus scale before
+trusting them as filters. The reference exposes no ML surface
+(lambda/lambda_function.py routes CRUD + aggregates only); these are
+north-star extensions in the same family as ml1/ml2
+(plans/q_linkage.py).
+
+Scale shape (the repo's unpartitioned-Window policy, SCALE.md
+"Round 10: the unpartitioned-Window sweep"): both operators first
+reduce to PER-SCORE-GROUP aggregates — one map-side-combinable
+shuffle keyed on the score — so the only ordered pass runs over the
+DISTINCT score domain, which is bounded by construction for the
+integer/bucketed scores these lanes use (a continuous score should be
+quantized first; the AUC of a monotone transform is unchanged, so
+fixed-grid quantization only coarsens tie handling).
+
+Numeric determinism (the oracle-hash discipline): AUC is the
+tie-aware Mann-Whitney statistic
+
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg)
+
+with R_pos the sum of average ranks of positives. Average ranks are
+half-integers, so 2*R_pos = sum(pos_s * (2*cum_before + n_s + 1)) is
+an INTEGER; it is accumulated exactly in decimal(38,0) (HUGEINT on
+the DuckDB side), and only the final numerator/denominator are cast
+to double before one division — two correctly-rounded casts and one
+IEEE division produce bit-identical doubles on any engine, so the
+driver's value-hash compare is safe without any rounding fold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """One-row (n_pos, n_neg, auc): tie-aware ROC-AUC of ``score_col``
+    as a ranking of the binary ``label_col`` (higher score = predicted
+    positive). Equivalent to the normalized Mann-Whitney U with
+    average ranks for ties — what sklearn.metrics.roc_auc_score
+    computes (pinned against a numpy reference in tests/test_mleval).
+
+    ``label_col`` may be boolean or 0/1 numeric. NULL scores or
+    labels are excluded (a row without a score cannot be ranked).
+    ``auc`` is NULL when either class is empty (undefined, not 0.5 —
+    the caller should notice, not average it away).
+    """
+    base = df.select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    per = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("__y").alias("pos_s"),
+    )
+    # Ordered pass over the DISTINCT score domain only (see module
+    # docstring): cumulative count of rows with strictly smaller score.
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per.withColumn(
+        "cum_before", F.coalesce(F.sum("n_s").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("pos_s").cast(_DEC)
+            * (2 * F.col("cum_before") + F.col("n_s") + 1).cast(_DEC)
+        ).alias("two_rpos"),
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum(F.col("n_s") - F.col("pos_s")).cast("long").alias("n_neg"),
+    )
+    num = (
+        F.col("two_rpos")
+        - F.col("n_pos").cast(_DEC) * (F.col("n_pos") + 1).cast(_DEC)
+    ).cast("double")
+    den = (
+        (2 * F.col("n_pos")).cast(_DEC) * F.col("n_neg").cast(_DEC)
+    ).cast("double")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0), num / den
+        ).alias("auc"),
+    )
+
+
+def score_reliability(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability table: equal-width bins over the score range with
+    per-bin (n_rows, avg_score, frac_pos) — the monotonicity /
+    calibration view of a scorer (does P(label | score bin) actually
+    rise with the score?). Binning is pure integer-free arithmetic on
+    (score - min) * n_bins / (max - min): both engines evaluate the
+    same rational expression, and the floor lands identically except
+    exactly ON a bin edge, which the half-open [lo, hi) rule plus the
+    max-score clamp makes deterministic.
+
+    avg_score is ROUNDed and can be a tiny SIGNED mean → zero-folded
+    (+0.0) per the repo's IEEE -0.0 oracle rule (tests/oracle.py).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    ext = base.agg(
+        F.min("__s").alias("lo"), F.max("__s").alias("hi")
+    )
+    binned = base.crossJoin(F.broadcast(ext)).select(
+        F.when(
+            F.col("hi") == F.col("lo"), F.lit(0)
+        )
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("__s") - F.col("lo"))
+                    * n_bins
+                    / (F.col("hi") - F.col("lo"))
+                ),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        "__s",
+        "__y",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.round(F.avg("__s"), 4) + F.lit(0.0)).alias("avg_score"),
+            (F.round(F.avg("__y"), 4) + F.lit(0.0)).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

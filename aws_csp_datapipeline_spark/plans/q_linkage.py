@@ -486,3 +486,102 @@ def ml2_leakage_safe_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.stddev(zp), 4) + F.lit(0.0)).alias("std_z_price"),
         )
     )
+
+
+@register(
+    "ml3_roc_auc",
+    """
+    WITH base AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    per AS (SELECT s, COUNT(*) AS n_s, SUM(y) AS pos_s FROM base GROUP BY s),
+    cum AS (
+      SELECT n_s, pos_s,
+             COALESCE(SUM(n_s) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM per
+    ),
+    agg AS (
+      SELECT SUM(CAST(pos_s AS HUGEINT)
+                 * CAST(2 * cum_before + n_s + 1 AS HUGEINT)) AS two_rpos,
+             CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+             CAST(SUM(n_s - pos_s) AS BIGINT) AS n_neg
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(two_rpos - CAST(n_pos AS HUGEINT)
+                             * CAST(n_pos + 1 AS HUGEINT) AS DOUBLE)
+             / CAST(2 * CAST(n_pos AS HUGEINT)
+                      * CAST(n_neg AS HUGEINT) AS DOUBLE)
+           END AS auc
+    FROM agg
+    """,
+)
+def ml3_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tie-aware ROC-AUC (functions/mleval.roc_auc): how
+    well ship-date recency RANKS non-returned (l_returnflag = 'N') lines — the
+    classifier-evaluation primitive a quality-score-gated corpus
+    pipeline runs before trusting a scorer as a filter. Exact
+    Mann-Whitney with average-rank ties; integer/decimal arithmetic
+    until two final casts + one IEEE division, so the oracle hash
+    needs no rounding fold (see functions/mleval.py docstring).
+    Score domain is the integer day offset (~bounded hundreds), so the
+    ordered pass runs over a bounded frame per the unpartitioned-
+    Window policy."""
+    from aws_csp_datapipeline_spark.functions.mleval import roc_auc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("s"),
+        (F.col("l_returnflag") == F.lit("N")).alias("y"),
+    )
+    return roc_auc(li, "s", "y")
+
+
+@register(
+    "ml4_score_reliability",
+    """
+    WITH base AS (
+      SELECT CAST(CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS DOUBLE) AS s,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    ext AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM base),
+    b AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE CAST(LEAST(FLOOR((s - lo) * 10 / (hi - lo)), 9) AS INT)
+             END AS bin,
+             s, y
+      FROM base, ext
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(AVG(s), 4) + 0 AS avg_score,
+           ROUND(AVG(CAST(y AS DOUBLE)), 4) + 0 AS frac_pos
+    FROM b GROUP BY bin
+    """,
+)
+def ml4_score_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table for the same scorer
+    (functions/mleval.score_reliability): 10 equal-width bins over
+    the ship-date offset with per-bin empirical P(returnflag = 'N') — the calibration /
+    monotonicity view. Bin edges are one shared rational expression
+    on both engines (identical float ops in identical order), and the
+    signed per-bin mean is zero-folded after ROUND per the IEEE -0.0
+    oracle rule."""
+    from aws_csp_datapipeline_spark.functions.mleval import (
+        score_reliability,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .cast("double")
+        .alias("s"),
+        (F.col("l_returnflag") == F.lit("N")).alias("y"),
+    )
+    return score_reliability(li, "s", "y", n_bins=10)
