@@ -90,6 +90,77 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
 
 
+def threshold_sweep(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Per-threshold confusion counts and operating-point metrics:
+    for every distinct score s (as the decision threshold "keep rows
+    with score >= s"), the exact (tp, fp, fn) plus precision, recall,
+    f1, and keep_rate — the table a corpus-filter builder reads to
+    pick a gate. One shuffle keyed on the score, then the bounded
+    ordered pass over the DISTINCT score domain (module docstring).
+
+    Numeric determinism: counts are exact integers; every derived
+    metric is a SINGLE division of two exactly-representable integers
+    (f1 via the 2tp/(2tp+fp+fn) identity — algebraically equal to the
+    harmonic mean but one correctly-rounded IEEE op instead of three),
+    so both engines produce bit-identical doubles and the driver hash
+    needs no rounding fold. No -0.0 hazard: every quantity is >= 0.
+    """
+    base = df.select(
+        F.col(score_col).alias("s"),
+        F.col(label_col).cast("int").alias("__y"),
+    ).filter(F.col("s").isNotNull() & F.col("__y").isNotNull())
+    per = base.groupBy("s").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("__y").alias("pos_s"),
+    )
+    # keep = rows with score >= s: cumulate from the top score down.
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "s",
+        F.sum("pos_s").over(w).cast("long").alias("tp"),
+        (F.sum(F.col("n_s") - F.col("pos_s")).over(w)).cast("long").alias("fp"),
+        F.sum("pos_s").over(w_all).cast("long").alias("n_pos"),
+        F.sum("n_s").over(w_all).cast("long").alias("n_total"),
+    )
+    dbl = lambda c: c.cast("double")  # noqa: E731
+    return cum.select(
+        "s",
+        "tp",
+        "fp",
+        (F.col("n_pos") - F.col("tp")).alias("fn"),
+        (dbl(F.col("tp")) / dbl(F.col("tp") + F.col("fp"))).alias("precision"),
+        F.when(
+            F.col("n_pos") > 0, dbl(F.col("tp")) / dbl(F.col("n_pos"))
+        ).alias("recall"),
+        (
+            dbl(2 * F.col("tp"))
+            / dbl(F.col("tp") + F.col("fp") + F.col("n_pos"))
+        ).alias("f1"),
+        (dbl(F.col("tp") + F.col("fp")) / dbl(F.col("n_total"))).alias(
+            "keep_rate"
+        ),
+    )
+
+
+def best_operating_point(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """One row: the threshold that maximizes F1, lowest threshold on
+    exact-double ties (ties CAN happen — e.g. a run of thresholds
+    adding only negatives below the last positive keeps tp/fn fixed
+    while f1 strictly falls, but distinct scores with equal (tp,fp)
+    never arise; the tie-break still pins the order for safety).
+    Deterministic across engines because f1 is bit-identical (see
+    threshold_sweep)."""
+    sweep = threshold_sweep(df, score_col, label_col)
+    return sweep.orderBy(F.desc("f1"), F.asc("s")).limit(1)
+
+
 def score_reliability(
     df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
 ) -> DataFrame:

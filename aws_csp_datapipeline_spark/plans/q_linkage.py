@@ -585,3 +585,80 @@ def ml4_score_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == F.lit("N")).alias("y"),
     )
     return score_reliability(li, "s", "y", n_bins=10)
+
+
+_ML5_CUM_SQL = """
+    WITH base AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    per AS (SELECT s, COUNT(*) AS n_s, SUM(y) AS pos_s FROM base GROUP BY s),
+    cum AS (
+      SELECT s,
+             CAST(SUM(pos_s) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tp,
+             CAST(SUM(n_s - pos_s) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS fp,
+             CAST(SUM(pos_s) OVER () AS BIGINT) AS n_pos,
+             CAST(SUM(n_s) OVER () AS BIGINT) AS n_total
+      FROM per
+    ),
+    sweep AS (
+      SELECT s, tp, fp, n_pos - tp AS fn,
+             CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS "precision",
+             CASE WHEN n_pos > 0
+                  THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE)
+             END AS recall,
+             CAST(2 * tp AS DOUBLE) / CAST(tp + fp + n_pos AS DOUBLE) AS f1,
+             CAST(tp + fp AS DOUBLE) / CAST(n_total AS DOUBLE) AS keep_rate
+      FROM cum
+    )
+"""
+
+
+@register("ml5_threshold_sweep", _ML5_CUM_SQL + "SELECT * FROM sweep")
+def ml5_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-threshold confusion table for the ml3 scorer
+    (functions/mleval.threshold_sweep): for every distinct score s,
+    the exact (tp, fp, fn) of the filter "keep score >= s" plus
+    precision / recall / f1 / keep_rate — the full operating-curve a
+    corpus-filter builder sweeps before picking a gate. Counts are
+    exact integers off one map-side-combinable shuffle; every metric
+    is a single integer->double division (f1 via 2tp/(2tp+fp+fn)), so
+    the hash compare needs no rounding fold. The ordered pass runs
+    over the DISTINCT day domain (bounded by the calendar, not the
+    corpus — the unpartitioned-Window policy)."""
+    from aws_csp_datapipeline_spark.functions.mleval import threshold_sweep
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("s"),
+        (F.col("l_returnflag") == F.lit("N")).alias("y"),
+    )
+    return threshold_sweep(li, "s", "y")
+
+
+@register(
+    "ml6_best_operating_point",
+    _ML5_CUM_SQL + "SELECT * FROM sweep ORDER BY f1 DESC, s ASC LIMIT 1",
+)
+def ml6_best_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The answer row of ml5: the threshold maximizing F1, lowest
+    threshold on exact-double ties (functions/mleval.
+    best_operating_point). Spark plan is TakeOrderedAndProject over
+    the sweep — k rows per partition, no global sort."""
+    from aws_csp_datapipeline_spark.functions.mleval import (
+        best_operating_point,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("s"),
+        (F.col("l_returnflag") == F.lit("N")).alias("y"),
+    )
+    return best_operating_point(li, "s", "y")

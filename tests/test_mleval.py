@@ -113,3 +113,53 @@ def test_score_reliability_degenerate_and_validation(spark):
     assert rows[0]["frac_pos"] == pytest.approx(0.6667)
     with pytest.raises(ValueError, match="n_bins"):
         score_reliability(_df(spark, [1], [1]), "score", "label", n_bins=0)
+
+
+def test_threshold_sweep_matches_bruteforce(spark):
+    from aws_csp_datapipeline_spark.functions.mleval import threshold_sweep
+
+    rng = np.random.default_rng(7)
+    scores = rng.integers(0, 15, size=300)
+    labels = (scores + rng.integers(0, 12, size=300) > 13).astype(int)
+    rows = threshold_sweep(_df(spark, scores, labels), "score", "label").collect()
+    n_pos = int(labels.sum())
+    assert len(rows) == len(set(scores.tolist()))
+    for r in rows:
+        keep = scores >= r["s"]
+        tp = int(labels[keep].sum())
+        fp = int(keep.sum() - tp)
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, n_pos - tp)
+        assert r["precision"] == tp / (tp + fp)
+        assert r["recall"] == tp / n_pos
+        assert r["f1"] == 2 * tp / (2 * tp + fp + (n_pos - tp))
+        assert r["keep_rate"] == keep.sum() / 300
+    # thresholds descend in recall order: tp monotone non-decreasing
+    by_s = sorted(rows, key=lambda r: -r["s"])
+    assert all(a["tp"] <= b["tp"] for a, b in zip(by_s, by_s[1:]))
+
+
+def test_best_operating_point_argmax_and_tiebreak(spark):
+    from aws_csp_datapipeline_spark.functions.mleval import (
+        best_operating_point,
+        threshold_sweep,
+    )
+
+    rng = np.random.default_rng(11)
+    scores = rng.integers(0, 15, size=300)
+    labels = (scores + rng.integers(0, 12, size=300) > 13).astype(int)
+    df = _df(spark, scores, labels)
+    sweep = threshold_sweep(df, "score", "label").collect()
+    best = best_operating_point(df, "score", "label").collect()
+    assert len(best) == 1
+    want = min(sweep, key=lambda r: (-r["f1"], r["s"]))
+    assert (best[0]["s"], best[0]["f1"]) == (want["s"], want["f1"])
+
+
+def test_threshold_sweep_no_positives_recall_null(spark):
+    from aws_csp_datapipeline_spark.functions.mleval import threshold_sweep
+
+    rows = threshold_sweep(
+        _df(spark, [1, 2, 3], [0, 0, 0]), "score", "label"
+    ).collect()
+    assert all(r["recall"] is None for r in rows)
+    assert all(r["tp"] == 0 and r["precision"] == 0.0 for r in rows)
