@@ -284,3 +284,76 @@ def dsir_logweights(
             F.col("__doc").alias(id_col), "n_tokens", "dsir_logweight"
         )
     )
+
+
+def purged_time_split(
+    df: DataFrame,
+    time_col: str,
+    entity_col: str,
+    test_frac: float = 0.2,
+    embargo_days: int = 30,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL split for time-correlated corpora: the
+    last ``test_frac`` of the observed date RANGE is the test window,
+    the ``embargo_days`` immediately before it are quarantined (rows
+    too close to the test window leak near-future information into
+    training), and earlier rows of any entity that ALSO appears in
+    the test window are labeled ``purged`` — an entity seen at eval
+    time must not be memorized from its own training-era rows. The
+    purge is the embargo idea applied on the ENTITY axis (cf. the
+    purged/embargoed cross-validation construction in the
+    quantitative-ML literature); tt5_split_leakage audits a hash
+    split for exactly this overlap, this operator PREVENTS it.
+
+    Returns one labeled row per input row: (entity, day, split) with
+    split in {train, embargo, test, purged} and day the integer
+    offset from the corpus' first date.
+
+    Scale shape: one tiny extent aggregate broadcast back, a narrow
+    per-row day/label projection, then ONE equi-join of the corpus
+    against the distinct test-window entities — keyed shuffle, AQE's
+    strategy call (the distinct-entity side is corpus-dependent, so
+    no broadcast hint). Day cutoffs use a single double multiply +
+    floor, identical on any IEEE engine.
+    """
+    if not 0.0 < test_frac < 1.0:
+        raise ValueError(f"test_frac must be in (0, 1), got {test_frac}")
+    if embargo_days < 0:
+        raise ValueError(f"embargo_days must be >= 0, got {embargo_days}")
+    base = df.select(
+        F.col(time_col).cast("date").alias("__t"),
+        F.col(entity_col).alias("entity"),
+    ).filter(F.col("__t").isNotNull() & F.col("entity").isNotNull())
+    ext = base.agg(F.min("__t").alias("__lo"), F.max("__t").alias("__hi"))
+    tagged = (
+        base.crossJoin(F.broadcast(ext))
+        .select(
+            "entity",
+            F.datediff("__t", "__lo").cast("long").alias("day"),
+            F.floor(
+                F.datediff("__hi", "__lo") * F.lit(1.0 - test_frac)
+            ).alias("__ts"),
+        )
+        .withColumn(
+            "__split0",
+            F.when(F.col("day") >= F.col("__ts"), "test")
+            .when(F.col("day") >= F.col("__ts") - embargo_days, "embargo")
+            .otherwise("train"),
+        )
+    )
+    test_entities = (
+        tagged.filter(F.col("__split0") == "test")
+        .select("entity")
+        .distinct()
+        .withColumn("__in_test", F.lit(True))
+    )
+    return tagged.join(test_entities, "entity", "left").select(
+        "entity",
+        "day",
+        F.when(
+            (F.col("__split0") == "train") & F.col("__in_test").isNotNull(),
+            "purged",
+        )
+        .otherwise(F.col("__split0"))
+        .alias("split"),
+    )

@@ -1114,3 +1114,62 @@ def tt16_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out._graft_caches = (bg_all, tok_all, *getattr(tiled, "_graft_caches", ()))
     return out
+
+
+@register(
+    "tt17_purged_time_split",
+    """
+    WITH base AS (
+      SELECT CAST(o_orderdate AS DATE) AS t, o_custkey AS e
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+    ),
+    ext AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM base),
+    tagged AS (
+      SELECT e,
+             CAST(datediff('day', lo, t) AS BIGINT) AS day,
+             CASE
+               WHEN datediff('day', lo, t)
+                    >= FLOOR(datediff('day', lo, hi) * 0.8) THEN 'test'
+               WHEN datediff('day', lo, t)
+                    >= FLOOR(datediff('day', lo, hi) * 0.8) - 30
+                 THEN 'embargo'
+               ELSE 'train'
+             END AS split0
+      FROM base, ext
+    ),
+    te AS (SELECT DISTINCT e FROM tagged WHERE split0 = 'test'),
+    lab AS (
+      SELECT t.day,
+             t.e,
+             CASE WHEN t.split0 = 'train' AND te.e IS NOT NULL
+                  THEN 'purged' ELSE t.split0 END AS split
+      FROM tagged t LEFT JOIN te ON t.e = te.e
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT e) AS BIGINT) AS n_entities,
+           MIN(day) AS min_day,
+           MAX(day) AS max_day
+    FROM lab GROUP BY split
+    """,
+)
+def tt17_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged + embargoed temporal split over orders
+    (functions/sampling.purged_time_split): last 20% of the date
+    range is test, the 30 days before it are embargoed, and pre-
+    embargo rows of customers who appear in the test window are
+    PURGED — the leakage-safe split for time-correlated training
+    data (tt5 audits this overlap after the fact; tt17 removes it by
+    construction). Summarized per split as exact integer counts and
+    day extents, so the oracle hash has no float surface at all."""
+    orders = load_table(spark, sf_dir, "orders")
+    lab = SMP.purged_time_split(
+        orders, "o_orderdate", "o_custkey", test_frac=0.2, embargo_days=30
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("entity").alias("n_entities"),
+        F.min("day").alias("min_day"),
+        F.max("day").alias("max_day"),
+    )

@@ -177,3 +177,95 @@ def test_moore_lewis_prefers_indomain_text(spark, tmp_path):
     assert all(indomain < out[20 + j]["ce_diff"] for j in range(7))
     assert out[10]["selected"]
     assert sum(1 for r in out.values() if r["selected"]) == 2  # NTILE(4) of 8
+
+
+class TestPurgedTimeSplit:
+    """purged_time_split: planted calendar where every boundary is
+    hand-checkable. Dates span day 0..100 -> test starts at
+    floor(100*0.8)=80, embargo at 80-10=70 (embargo_days=10)."""
+
+    def _fixture(self, spark):
+        import datetime as dt
+
+        d0 = dt.date(2020, 1, 1)
+        rows = [
+            # entity A: only early rows -> clean train
+            ("A", 0), ("A", 50),
+            # entity B: early row AND a test-window row -> early row purged
+            ("B", 10), ("B", 90),
+            # entity C: embargo-zone row (day 75) -> embargo, NOT purged
+            # even though C never reaches test
+            ("C", 75),
+            # entity D: test-only
+            ("D", 100),
+        ]
+        return spark.createDataFrame(
+            [(e, d0 + dt.timedelta(days=k)) for e, k in rows],
+            "entity string, ts date",
+        )
+
+    def test_labels(self, spark):
+        from aws_csp_datapipeline_spark.functions.sampling import (
+            purged_time_split,
+        )
+
+        out = purged_time_split(
+            self._fixture(spark), "ts", "entity", test_frac=0.2, embargo_days=10
+        )
+        got = {(r["entity"], r["day"]): r["split"] for r in out.collect()}
+        assert got == {
+            ("A", 0): "train",
+            ("A", 50): "train",
+            ("B", 10): "purged",
+            ("B", 90): "test",
+            ("C", 75): "embargo",
+            ("D", 100): "test",
+        }
+
+    def test_boundary_days_inclusive(self, spark):
+        import datetime as dt
+
+        from aws_csp_datapipeline_spark.functions.sampling import (
+            purged_time_split,
+        )
+
+        d0 = dt.date(2020, 1, 1)
+        df = spark.createDataFrame(
+            [("x", d0), ("y", d0 + dt.timedelta(days=80)),
+             ("z", d0 + dt.timedelta(days=70)),
+             ("w", d0 + dt.timedelta(days=69)),
+             ("t", d0 + dt.timedelta(days=100))],
+            "entity string, ts date",
+        )
+        got = {r["entity"]: r["split"] for r in purged_time_split(
+            df, "ts", "entity", test_frac=0.2, embargo_days=10
+        ).collect()}
+        # day 80 = first test day (>=), day 70 = first embargo day,
+        # day 69 = last train day
+        assert got["y"] == "test" and got["z"] == "embargo"
+        assert got["w"] == "train" and got["x"] == "train"
+
+    def test_no_entity_overlap_between_train_and_test(self, spark):
+        from aws_csp_datapipeline_spark.functions.sampling import (
+            purged_time_split,
+        )
+
+        out = purged_time_split(
+            self._fixture(spark), "ts", "entity", test_frac=0.2, embargo_days=10
+        ).collect()
+        train = {r["entity"] for r in out if r["split"] == "train"}
+        test = {r["entity"] for r in out if r["split"] == "test"}
+        assert not train & test
+
+    def test_validation(self, spark):
+        import pytest
+
+        from aws_csp_datapipeline_spark.functions.sampling import (
+            purged_time_split,
+        )
+
+        df = self._fixture(spark)
+        with pytest.raises(ValueError, match="test_frac"):
+            purged_time_split(df, "ts", "entity", test_frac=1.0)
+        with pytest.raises(ValueError, match="embargo_days"):
+            purged_time_split(df, "ts", "entity", embargo_days=-1)
