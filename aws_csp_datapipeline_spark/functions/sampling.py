@@ -357,3 +357,74 @@ def purged_time_split(
         .otherwise(F.col("__split0"))
         .alias("split"),
     )
+
+
+def epoch_expand(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weight_col: str,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Fractional-epoch mixture expansion: materialize a training
+    stream where every source gets an EQUAL share of the weight
+    budget (``weight_col``, e.g. chars or tokens) by repeating each
+    document ``e_s = min(total_w / (n_sources * w_s), max_epochs)``
+    times — floor(e_s) full copies plus one extra copy with
+    probability frac(e_s), decided by the repo's portable md5 coin
+    (first 6 hex chars as a 24-bit integer), so the realized stream
+    is a pure function of the corpus: reproducible across runs,
+    partitionings, and engines. Over-represented sources (e_s < 1)
+    are DOWN-sampled by the same coin; ``max_epochs`` caps repetition
+    of tiny sources (repeating data beyond a few epochs degrades
+    models faster than it helps).
+
+    Returns one row per EMITTED copy: (source, id, copy_idx >= 1).
+
+    Scale shape: one map-side-combinable aggregate to per-source
+    weights, a broadcast of the n_sources-row epoch table back onto
+    the corpus, then a narrow explode — the expansion never shuffles
+    the corpus. Epoch arithmetic is two exact-integer casts, one IEEE
+    division, one multiply+floor: identical on any engine.
+    """
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be > 0, got {max_epochs}")
+    per = df.groupBy(source_col).agg(
+        F.sum(weight_col).cast("long").alias("__ws")
+    )
+    tot = per.agg(
+        F.sum("__ws").cast("long").alias("__wt"),
+        F.count(F.lit(1)).alias("__ns"),
+    )
+    e = F.least(
+        F.col("__wt").cast("double")
+        / (F.col("__ns") * F.col("__ws")).cast("double"),
+        F.lit(float(max_epochs)),
+    )
+    eps = per.crossJoin(F.broadcast(tot)).select(
+        source_col, e.alias("__e")
+    )
+    coin = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    extra_gate = F.floor(
+        (F.col("__e") - F.floor(F.col("__e"))) * F.lit(16777216.0)
+    ).cast("long")
+    k = (
+        F.floor("__e").cast("long")
+        + F.when(coin < extra_gate, F.lit(1)).otherwise(F.lit(0))
+    ).alias("__k")
+    return (
+        df.join(F.broadcast(eps), source_col)
+        .select(source_col, id_col, k)
+        .select(
+            source_col,
+            id_col,
+            F.explode(
+                F.when(
+                    F.col("__k") >= 1,
+                    F.sequence(F.lit(1).cast("long"), F.col("__k")),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("copy_idx"),
+        )
+    )

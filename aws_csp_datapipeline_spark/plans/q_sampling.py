@@ -1173,3 +1173,47 @@ def tt17_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").alias("min_day"),
         F.max("day").alias("max_day"),
     )
+
+
+@register(
+    "tt18_epoch_expansion",
+    """
+    WITH per AS (
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS ws
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(ws) AS BIGINT) AS wt, COUNT(*) AS ns FROM per
+    ),
+    eps AS (
+      SELECT source,
+             LEAST(CAST(wt AS DOUBLE) / CAST(ns * ws AS DOUBLE), 4.0) AS e
+      FROM per, tot
+    ),
+    planned AS (
+      SELECT d.source, d.doc_id,
+             CAST(FLOOR(e) AS BIGINT)
+             + CASE WHEN CAST(concat('0x', substr(
+                        md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+                    < CAST(FLOOR((e - FLOOR(e)) * 16777216.0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS k
+      FROM documents d JOIN eps USING (source)
+    )
+    SELECT source, doc_id,
+           CAST(unnest(generate_series(1, k)) AS BIGINT) AS copy_idx
+    FROM planned
+    """,
+)
+def tt18_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-char-budget mixture expansion of the documents corpus
+    (functions/sampling.epoch_expand): each source's documents are
+    repeated ~e_s = total_chars/(n_sources * chars_s) times (capped
+    at 4 epochs), fractional epochs resolved per document by the
+    portable md5 coin — tt13 computes target mixture SHARES, tt18
+    materializes the repeated stream that realizes them. Emitted
+    copies are a pure function of the corpus; no RNG, no shuffle of
+    the corpus (n_sources-row epoch table broadcasts back)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SMP.epoch_expand(
+        docs, "source", "doc_id", "n_chars", max_epochs=4.0
+    )

@@ -269,3 +269,74 @@ class TestPurgedTimeSplit:
             purged_time_split(df, "ts", "entity", test_frac=1.0)
         with pytest.raises(ValueError, match="embargo_days"):
             purged_time_split(df, "ts", "entity", embargo_days=-1)
+
+
+class TestEpochExpand:
+    """epoch_expand: hand-computable weights -> exact copy counts,
+    reproduced against a python md5-coin reference."""
+
+    def _fixture(self, spark):
+        # source A: 2 docs x weight 100 (ws=200); B: 8 docs x 100
+        # (ws=800). total=1000, ns=2 -> e_A=2.5, e_B=0.625.
+        rows = [(f"A", i, 100) for i in range(2)] + [
+            ("B", 10 + i, 100) for i in range(8)
+        ]
+        return spark.createDataFrame(
+            rows, "source string, doc_id long, w long"
+        )
+
+    @staticmethod
+    def _ref_k(doc_id, e):
+        import hashlib
+        import math
+
+        coin = int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:6], 16
+        )
+        frac_gate = math.floor((e - math.floor(e)) * 16777216.0)
+        return int(math.floor(e)) + (1 if coin < frac_gate else 0)
+
+    def test_exact_copy_counts(self, spark):
+        from aws_csp_datapipeline_spark.functions.sampling import epoch_expand
+
+        out = epoch_expand(
+            self._fixture(spark), "source", "doc_id", "w"
+        ).collect()
+        got = {}
+        for r in out:
+            got[r["doc_id"]] = got.get(r["doc_id"], 0) + 1
+            assert 1 <= r["copy_idx"] <= got[r["doc_id"]] + 3
+        for d in range(2):
+            assert got.get(d, 0) == self._ref_k(d, 2.5)
+        for d in range(10, 18):
+            assert got.get(d, 0) == self._ref_k(d, 0.625)
+        # copy_idx is dense 1..k per doc
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r["copy_idx"])
+        assert all(
+            sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values()
+        )
+
+    def test_max_epochs_cap_is_exact(self, spark):
+        from aws_csp_datapipeline_spark.functions.sampling import epoch_expand
+
+        # tiny source: 1 doc weight 1 vs 99 -> uncapped e = 100/2 = 50
+        df = spark.createDataFrame(
+            [("tiny", 1, 1), ("big", 2, 99)],
+            "source string, doc_id long, w long",
+        )
+        out = epoch_expand(df, "source", "doc_id", "w", max_epochs=4.0).collect()
+        tiny = [r for r in out if r["source"] == "tiny"]
+        # e capped at exactly 4.0 -> frac 0 -> exactly 4 copies, no coin
+        assert len(tiny) == 4
+
+    def test_validation(self, spark):
+        import pytest
+
+        from aws_csp_datapipeline_spark.functions.sampling import epoch_expand
+
+        with pytest.raises(ValueError, match="max_epochs"):
+            epoch_expand(
+                self._fixture(spark), "source", "doc_id", "w", max_epochs=0
+            )
