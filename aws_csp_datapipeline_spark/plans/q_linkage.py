@@ -662,3 +662,69 @@ def ml6_best_operating_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == F.lit("N")).alias("y"),
     )
     return best_operating_point(li, "s", "y")
+
+
+def _ml7_sql() -> str:
+    from aws_csp_datapipeline_spark.plans.q_text import QUALITY_EXPR_SQL
+
+    return f"""
+    WITH base AS (
+      SELECT CAST(FLOOR(({QUALITY_EXPR_SQL}) * 10000) AS BIGINT) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL
+    ),
+    per AS (SELECT s, COUNT(*) AS n_s, SUM(y) AS pos_s FROM base GROUP BY s),
+    cum AS (
+      SELECT n_s, pos_s,
+             COALESCE(SUM(n_s) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM per
+    ),
+    agg AS (
+      SELECT SUM(CAST(pos_s AS HUGEINT)
+                 * CAST(2 * cum_before + n_s + 1 AS HUGEINT)) AS two_rpos,
+             CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+             CAST(SUM(n_s - pos_s) AS BIGINT) AS n_neg
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             CAST(two_rpos - CAST(n_pos AS HUGEINT)
+                             * CAST(n_pos + 1 AS HUGEINT) AS DOUBLE)
+             / CAST(2 * CAST(n_pos AS HUGEINT)
+                      * CAST(n_neg AS HUGEINT) AS DOUBLE)
+           END AS auc
+    FROM agg
+    """
+
+
+@register("ml7_scorer_auc", _ml7_sql())
+def ml7_scorer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval family pointed at one of the REPO'S OWN scorers:
+    does t2's composite quality score (stopword density + length +
+    punctuation, functions/text.quality_score) rank English
+    documents above the rest? This is the corpus-scale sanity check
+    a filter builder runs BEFORE gating on a scorer — and on the
+    synthetic corpus the answer is "no signal" (AUC ~= 0.495 at
+    sf0.01: every language draws from the same quality
+    distribution), which is exactly the outcome the check exists to
+    surface: gating this corpus on t2 would NOT skew it toward
+    English. Scores are quantized to 1e-4 buckets (floor(q * 10000)) so
+    the ordered pass runs over a <= ~10k-bucket domain regardless of
+    corpus size; quantizing a monotone score only coarsens tie
+    handling. The quantized score is bit-identical across engines
+    because t2's oracle already restates the same double expression
+    tree exactly."""
+    from aws_csp_datapipeline_spark.functions.mleval import roc_auc
+    from aws_csp_datapipeline_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.floor(quality_score(F.col("text")) * 10000)
+        .cast("long")
+        .alias("s"),
+        (F.col("lang") == F.lit("en")).alias("y"),
+    )
+    return roc_auc(scored, "s", "y")

@@ -163,3 +163,18 @@ def test_threshold_sweep_no_positives_recall_null(spark):
     ).collect()
     assert all(r["recall"] is None for r in rows)
     assert all(r["tp"] == 0 and r["precision"] == 0.0 for r in rows)
+
+
+def test_ml7_quality_scorer_auc_structure(spark):
+    """ml7 asks whether t2's quality score ranks 'en' documents above
+    the rest; on the synthetic corpus the answer is "no signal"
+    (AUC ~0.495 — all languages draw from one quality distribution),
+    which is the finding the lane exists to surface. Pin the
+    mechanics here (class counts, AUC near chance, not degenerate);
+    the DuckDB hash replay pins the exact value."""
+    from aws_csp_datapipeline_spark.plans.q_linkage import ml7_scorer_auc
+
+    row = ml7_scorer_auc(spark, "/root/testdata/sf0.01").collect()[0]
+    assert row["n_pos"] > 0 and row["n_neg"] > 0
+    assert row["n_pos"] + row["n_neg"] == 500
+    assert 0.4 < row["auc"] < 0.6  # near chance, but a real number
