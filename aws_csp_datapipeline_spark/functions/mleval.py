@@ -147,6 +147,73 @@ def threshold_sweep(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     )
 
 
+def pr_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """One row (n_pos, n_neg, ap): average precision — the area under
+    the precision-recall curve by the step-interpolation rule
+    AP = sum_k (dTP_k / n_pos) * P_k over distinct thresholds in
+    DESCENDING score order (ties grouped, the
+    sklearn.metrics.average_precision_score definition; pinned
+    against a numpy reference in tests). For the imbalanced regimes a
+    corpus filter usually lives in, AP is the more honest scalar than
+    ROC-AUC (ml3), which a flood of easy negatives inflates.
+
+    Determinism: each term is a few exact-integer casts and IEEE ops;
+    the SUM accumulates through an ORDERED running-window frame, so
+    both engines perform the identical sequence of additions
+    (the w14 EWMA precedent) — no rounding fold needed. NULL when no
+    positives (undefined, not 0)."""
+    base = df.select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    per = base.groupBy("__s").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("__y").alias("pos_s"),
+    )
+    w = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "__s",
+        F.sum("pos_s").over(w).cast("long").alias("tp"),
+        F.sum("n_s").over(w).cast("long").alias("kept"),
+        F.sum("pos_s").over(w_all).cast("long").alias("n_pos"),
+        F.sum("n_s").over(w_all).cast("long").alias("n_total"),
+        F.col("pos_s").cast("long").alias("d_tp"),
+    )
+    # the n_pos > 0 guard must wrap the TERM (when() evaluates its
+    # branch lazily), not just the outer sum — ANSI mode errors on any
+    # divide-by-zero, and window-aggregate inputs evaluate per row
+    # before the outer projection's when() can skip them
+    term = F.when(
+        F.col("n_pos") > 0,
+        (F.col("d_tp").cast("double") / F.col("n_pos").cast("double"))
+        * (F.col("tp").cast("double") / F.col("kept").cast("double")),
+    ).otherwise(F.lit(0.0))
+    w_run = Window.orderBy(F.desc("__s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # Spark's UNBOUNDED PRECEDING..CURRENT frame accumulates row-at-a-
+    # time in frame order; the oracle restates the same sequential add
+    # chain as a recursive CTE (the w14 EWMA pattern) because a
+    # windowed FLOAT sum's association order is otherwise an engine
+    # implementation detail. The integer tp/kept window sums above
+    # need no such care — integer addition is associative.
+    scanned = cum.select(
+        "__s",
+        "n_pos",
+        (F.col("n_total") - F.col("n_pos")).alias("n_neg"),
+        F.when(F.col("n_pos") > 0, F.sum(term).over(w_run)).alias("__ap"),
+    )
+    # the fully-accumulated row is the lowest threshold
+    return scanned.orderBy(F.asc("__s")).limit(1).select(
+        "n_pos", "n_neg", F.col("__ap").alias("ap")
+    )
+
+
 def best_operating_point(
     df: DataFrame, score_col: str, label_col: str
 ) -> DataFrame:

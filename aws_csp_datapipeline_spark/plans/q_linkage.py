@@ -728,3 +728,65 @@ def ml7_scorer_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == F.lit("en")).alias("y"),
     )
     return roc_auc(scored, "s", "y")
+
+
+@register(
+    "ml8_pr_auc",
+    """
+    WITH RECURSIVE base AS (
+      SELECT CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS s,
+             CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    per AS (SELECT s, COUNT(*) AS n_s, SUM(y) AS pos_s FROM base GROUP BY s),
+    ranked AS (
+      SELECT s,
+             CAST(pos_s AS BIGINT) AS d_tp,
+             CAST(SUM(pos_s) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS tp,
+             CAST(SUM(n_s) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS kept,
+             CAST(ROW_NUMBER() OVER (ORDER BY s DESC) AS BIGINT) AS rn,
+             CAST(SUM(pos_s) OVER () AS BIGINT) AS n_pos,
+             CAST(SUM(n_s) OVER () AS BIGINT) AS n_total
+      FROM per
+    ),
+    rec AS (
+      SELECT rn, n_pos, n_total,
+             CASE WHEN n_pos > 0 THEN
+               (CAST(d_tp AS DOUBLE) / CAST(n_pos AS DOUBLE))
+               * (CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE))
+             ELSE 0.0 END AS acc
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT r2.rn, r2.n_pos, r2.n_total,
+             rec.acc + CASE WHEN r2.n_pos > 0 THEN
+               (CAST(r2.d_tp AS DOUBLE) / CAST(r2.n_pos AS DOUBLE))
+               * (CAST(r2.tp AS DOUBLE) / CAST(r2.kept AS DOUBLE))
+             ELSE 0.0 END
+      FROM ranked r2 JOIN rec ON r2.rn = rec.rn + 1
+    )
+    SELECT n_pos, n_total - n_pos AS n_neg,
+           CASE WHEN n_pos > 0 THEN acc END AS ap
+    FROM rec ORDER BY rn DESC LIMIT 1
+    """,
+)
+def ml8_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve,
+    step rule, ties grouped) of the ml3 scorer — the imbalance-honest
+    companion scalar to ml3's ROC-AUC (functions/mleval.pr_auc). The
+    float accumulation runs through an ORDERED running frame on the
+    Spark side and the SAME sequential add chain as a recursive CTE
+    on the oracle side (the w14 EWMA precedent), so the hash needs no
+    rounding fold; everything before it is exact-integer."""
+    from aws_csp_datapipeline_spark.functions.mleval import pr_auc
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("s"),
+        (F.col("l_returnflag") == F.lit("N")).alias("y"),
+    )
+    return pr_auc(li, "s", "y")

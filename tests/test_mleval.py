@@ -178,3 +178,46 @@ def test_ml7_quality_scorer_auc_structure(spark):
     assert row["n_pos"] > 0 and row["n_neg"] > 0
     assert row["n_pos"] + row["n_neg"] == 500
     assert 0.4 < row["auc"] < 0.6  # near chance, but a real number
+
+
+def _ap_ref(scores, labels):
+    """Average precision, step rule with ties grouped (the
+    sklearn.metrics.average_precision_score definition)."""
+    s = np.asarray(scores, dtype=float)
+    y = np.asarray(labels, dtype=int)
+    n_pos = int(y.sum())
+    ap, tp, kept = 0.0, 0, 0
+    for t in sorted(set(s.tolist()), reverse=True):
+        at = s == t
+        d_tp = int(y[at].sum())
+        tp += d_tp
+        kept += int(at.sum())
+        ap += (d_tp / n_pos) * (tp / kept)
+    return ap
+
+
+def test_pr_auc_matches_numpy_reference(spark):
+    from aws_csp_datapipeline_spark.functions.mleval import pr_auc
+
+    rng = np.random.default_rng(23)
+    scores = rng.integers(0, 30, size=500)
+    labels = (scores + rng.integers(0, 25, size=500) > 27).astype(int)
+    assert 0 < labels.sum() < 500
+    row = pr_auc(_df(spark, scores, labels), "score", "label").collect()[0]
+    assert row["n_pos"] == int(labels.sum())
+    assert row["auc" if "auc" in row.asDict() else "ap"] == pytest.approx(
+        _ap_ref(scores, labels), abs=1e-12
+    )
+
+
+def test_pr_auc_perfect_and_no_positives(spark):
+    from aws_csp_datapipeline_spark.functions.mleval import pr_auc
+
+    # perfect ranking: AP = 1.0 exactly
+    row = pr_auc(
+        _df(spark, [1, 2, 3, 4], [0, 0, 1, 1]), "score", "label"
+    ).collect()[0]
+    assert row["ap"] == 1.0
+    # no positives: NULL, one row
+    rows = pr_auc(_df(spark, [1, 2], [0, 0]), "score", "label").collect()
+    assert len(rows) == 1 and rows[0]["ap"] is None
