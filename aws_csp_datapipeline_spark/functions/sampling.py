@@ -396,10 +396,17 @@ def epoch_expand(
         F.sum("__ws").cast("long").alias("__wt"),
         F.count(F.lit(1)).alias("__ns"),
     )
-    e = F.least(
-        F.col("__wt").cast("double")
-        / (F.col("__ns") * F.col("__ws")).cast("double"),
-        F.lit(float(max_epochs)),
+    # a zero-weight source (all-empty docs) has an undefined share;
+    # repeating it is free, so it gets the cap — and the when() guard
+    # keeps ANSI mode from erroring on the division
+    e = F.when(
+        F.col("__ws") <= 0, F.lit(float(max_epochs))
+    ).otherwise(
+        F.least(
+            F.col("__wt").cast("double")
+            / (F.col("__ns") * F.col("__ws")).cast("double"),
+            F.lit(float(max_epochs)),
+        )
     )
     eps = per.crossJoin(F.broadcast(tot)).select(
         source_col, e.alias("__e")

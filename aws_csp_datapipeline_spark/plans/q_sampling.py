@@ -1187,7 +1187,10 @@ def tt17_purged_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     eps AS (
       SELECT source,
-             LEAST(CAST(wt AS DOUBLE) / CAST(ns * ws AS DOUBLE), 4.0) AS e
+             CASE WHEN ws <= 0 THEN 4.0
+                  ELSE LEAST(CAST(wt AS DOUBLE)
+                             / CAST(ns * ws AS DOUBLE), 4.0)
+             END AS e
       FROM per, tot
     ),
     planned AS (

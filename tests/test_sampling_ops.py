@@ -340,3 +340,18 @@ class TestEpochExpand:
             epoch_expand(
                 self._fixture(spark), "source", "doc_id", "w", max_epochs=0
             )
+
+
+def test_epoch_expand_zero_weight_source_gets_cap(spark):
+    """A source whose docs are all zero-weight has an undefined share;
+    repeating it is free, so it gets max_epochs exactly (and the
+    guard keeps ANSI mode from erroring on the division)."""
+    from aws_csp_datapipeline_spark.functions.sampling import epoch_expand
+
+    df = spark.createDataFrame(
+        [("empty", 1, 0), ("empty", 2, 0), ("real", 3, 100)],
+        "source string, doc_id long, w long",
+    )
+    out = epoch_expand(df, "source", "doc_id", "w", max_epochs=3.0).collect()
+    empty = [r for r in out if r["source"] == "empty"]
+    assert len(empty) == 6  # 2 docs x exactly 3 copies, no coin
