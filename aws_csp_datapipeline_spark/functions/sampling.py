@@ -435,3 +435,42 @@ def epoch_expand(
             ).alias("copy_idx"),
         )
     )
+
+
+def scaling_law_subsets(
+    df: DataFrame,
+    key_col: str,
+    base_frac: float = 1.0 / 64,
+    k: int = 6,
+) -> DataFrame:
+    """NESTED geometric training subsets for scaling-law runs: subset
+    i targets a ``base_frac * 2**i`` fraction of the corpus, and
+    because every gate tests the SAME md5 coin against a doubling
+    threshold, subset 0 ⊂ subset 1 ⊂ ... ⊂ subset k-1 BY
+    CONSTRUCTION — each larger training run strictly extends the
+    smaller one, which is what makes points on a scaling curve
+    comparable. Adds ``subset_id``: the smallest subset containing
+    the row (a row in subset i is in every j > i), NULL if in none.
+
+    Deterministic and engine-portable (24-bit md5 coin vs integer
+    gates, the repo's split-family convention); a narrow projection —
+    no shuffle, stable under repartitioning and corpus growth.
+    """
+    if not 0.0 < base_frac <= 1.0:
+        raise ValueError(f"base_frac must be in (0, 1], got {base_frac}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if base_frac * 2 ** (k - 1) > 1.0 + 1e-12:
+        raise ValueError(
+            f"largest subset frac {base_frac * 2 ** (k - 1)} exceeds 1.0"
+        )
+    coin = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    label: Column = F.lit(None).cast("int")
+    # build the when-chain from the LARGEST subset down so the
+    # smallest matching subset wins
+    for i in range(k - 1, -1, -1):
+        gate = int(base_frac * 2**i * 16777216)
+        label = F.when(coin < F.lit(gate), F.lit(i)).otherwise(label)
+    return df.withColumn("subset_id", label)

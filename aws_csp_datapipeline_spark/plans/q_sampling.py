@@ -1220,3 +1220,35 @@ def tt18_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.epoch_expand(
         docs, "source", "doc_id", "n_chars", max_epochs=4.0
     )
+
+
+def _tt19_sql() -> str:
+    gates = [int((1.0 / 64) * 2**i * 16777216) for i in range(6)]
+    chain = " ".join(
+        f"WHEN coin < {g} THEN {i}" for i, g in enumerate(gates)
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) AS coin
+      FROM documents
+    )
+    SELECT doc_id, CAST(CASE {chain} END AS INT) AS subset_id
+    FROM c
+    """
+
+
+@register("tt19_scaling_law_subsets", _tt19_sql())
+def tt19_scaling_law_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested geometric subsets of the documents corpus for
+    scaling-law experiments (functions/sampling.scaling_law_subsets):
+    six subsets targeting 1/64 .. 1/2 of the corpus, nested by
+    construction because every gate tests the same md5 coin — each
+    larger training run strictly extends the smaller. subset_id is
+    the smallest containing subset (NULL = only in the full corpus).
+    Pure narrow projection: no shuffle, stable under corpus growth."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SMP.scaling_law_subsets(docs, "doc_id").select(
+        "doc_id", "subset_id"
+    )

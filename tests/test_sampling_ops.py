@@ -355,3 +355,47 @@ def test_epoch_expand_zero_weight_source_gets_cap(spark):
     out = epoch_expand(df, "source", "doc_id", "w", max_epochs=3.0).collect()
     empty = [r for r in out if r["source"] == "empty"]
     assert len(empty) == 6  # 2 docs x exactly 3 copies, no coin
+
+
+class TestScalingLawSubsets:
+    def test_labels_match_python_coin_and_nesting(self, spark):
+        import hashlib
+
+        from aws_csp_datapipeline_spark.functions.sampling import (
+            scaling_law_subsets,
+        )
+
+        df = spark.createDataFrame(
+            [(i,) for i in range(2000)], "doc_id long"
+        )
+        rows = scaling_law_subsets(df, "doc_id").collect()
+        gates = [int((1.0 / 64) * 2**i * 16777216) for i in range(6)]
+        n_in = [0] * 6
+        for r in rows:
+            coin = int(
+                hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:6], 16
+            )
+            want = next((i for i, g in enumerate(gates) if coin < g), None)
+            assert r["subset_id"] == want
+            if want is not None:
+                for i in range(want, 6):
+                    n_in[i] += 1
+        # nested sizes roughly geometric: each subset about double the
+        # previous (coin uniformity over 2000 keys)
+        assert n_in[5] > n_in[0] > 0
+        assert abs(n_in[5] / 2000 - 0.5) < 0.06
+
+    def test_validation(self, spark):
+        import pytest
+
+        from aws_csp_datapipeline_spark.functions.sampling import (
+            scaling_law_subsets,
+        )
+
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        with pytest.raises(ValueError, match="base_frac"):
+            scaling_law_subsets(df, "doc_id", base_frac=0.0)
+        with pytest.raises(ValueError, match="k must"):
+            scaling_law_subsets(df, "doc_id", k=0)
+        with pytest.raises(ValueError, match="exceeds"):
+            scaling_law_subsets(df, "doc_id", base_frac=0.5, k=3)
