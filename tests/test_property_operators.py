@@ -834,3 +834,100 @@ def test_ccnet_buckets_tile_formula_on_heavy_ties(spark):
     assert [got[100 + j] for j in range(9)] == (
         ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
     )
+
+
+_SCORED = st.lists(
+    st.tuples(st.integers(0, 12), st.booleans()),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_SCORED)
+@settings(**SETTINGS)
+def test_roc_auc_property_vs_rank_reference(spark, rows):
+    """roc_auc == the average-rank Mann-Whitney statistic for ANY
+    score/label multiset, including all-one-class (NULL) and total-tie
+    cases hypothesis likes to find."""
+    from aws_csp_datapipeline_spark.functions.mleval import roc_auc
+
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in rows], "score double, label int"
+    )
+    got = roc_auc(df, "score", "label").collect()[0]
+    scores = [s for s, _ in rows]
+    labels = [int(y) for _, y in rows]
+    n_pos, n_neg = sum(labels), len(labels) - sum(labels)
+    assert (got["n_pos"], got["n_neg"]) == (n_pos, n_neg)
+    if n_pos == 0 or n_neg == 0:
+        assert got["auc"] is None
+        return
+    # average ranks, computed independently
+    order = sorted(range(len(scores)), key=lambda i: scores[i])
+    ranks = [0.0] * len(scores)
+    i = 0
+    while i < len(order):
+        j = i
+        while j < len(order) and scores[order[j]] == scores[order[i]]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for idx in order[i:j]:
+            ranks[idx] = avg
+        i = j
+    rpos = sum(r for r, y in zip(ranks, labels) if y)
+    want = (rpos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    assert got["auc"] == pytest.approx(want, abs=1e-12)
+
+
+@given(rows=_SCORED)
+@settings(**SETTINGS)
+def test_pr_auc_property_vs_step_reference(spark, rows):
+    from aws_csp_datapipeline_spark.functions.mleval import pr_auc
+
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in rows], "score double, label int"
+    )
+    got = pr_auc(df, "score", "label").collect()[0]
+    labels = [int(y) for _, y in rows]
+    n_pos = sum(labels)
+    assert got["n_pos"] == n_pos
+    if n_pos == 0:
+        assert got["ap"] is None
+        return
+    ap, tp, kept = 0.0, 0, 0
+    for t in sorted({s for s, _ in rows}, reverse=True):
+        d_tp = sum(1 for s, y in rows if s == t and y)
+        tp += d_tp
+        kept += sum(1 for s, _ in rows if s == t)
+        ap += (d_tp / n_pos) * (tp / kept)
+    assert got["ap"] == pytest.approx(ap, abs=1e-12)
+    assert 0.0 < got["ap"] <= 1.0
+
+
+@given(rows=_SCORED)
+@settings(**SETTINGS)
+def test_threshold_sweep_property_invariants(spark, rows):
+    """Structural invariants for any input: one row per distinct
+    score, tp+fp monotone in descending threshold, last row keeps
+    everything, precision/recall/f1 consistent with the counts."""
+    from aws_csp_datapipeline_spark.functions.mleval import threshold_sweep
+
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in rows], "score double, label int"
+    )
+    out = sorted(
+        threshold_sweep(df, "score", "label").collect(),
+        key=lambda r: -r["s"],
+    )
+    n = len(rows)
+    n_pos = sum(y for _, y in rows)
+    assert len(out) == len({s for s, _ in rows})
+    assert out[-1]["tp"] == n_pos and out[-1]["tp"] + out[-1]["fp"] == n
+    prev_kept = 0
+    for r in out:
+        kept = r["tp"] + r["fp"]
+        assert kept > prev_kept
+        prev_kept = kept
+        assert r["tp"] + r["fn"] == n_pos
+        assert r["precision"] == r["tp"] / kept
+        assert r["f1"] == 2 * r["tp"] / (2 * r["tp"] + r["fp"] + r["fn"])
