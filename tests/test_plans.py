@@ -287,3 +287,40 @@ def test_incremental_semdedup_consistent_with_full_pass(spark, sf_oracle):
     assert rejected <= full_dropped
     # and the incremental pass can only be MORE permissive
     assert len(rejected) <= len(full_dropped)
+
+
+def test_eval_lanes_have_bounded_ordered_pass(spark, sf_oracle):
+    """The ml eval lanes' scale contract: exactly ONE keyed exchange
+    (the per-score-group aggregate) plus one single-partition
+    exchange whose input is the distinct-score domain — never a
+    corpus-scale global sort — and all window functions fused into a
+    single Window node."""
+    for name in ("ml3_roc_auc", "ml5_threshold_sweep", "ml8_pr_auc"):
+        plan = _plan(queries()[name](spark, sf_oracle))
+        assert plan.count("Exchange") == 2, (name, plan)
+        assert plan.count("SinglePartition") == 1, (name, plan)
+        # ml3/ml5 fuse all window functions into one Window node; ml8
+        # needs a second (its running sum consumes the first node's
+        # outputs) but it rides the SAME sort — no third exchange
+        assert plan.count("Window") <= 2, (name, plan)
+
+
+def test_best_operating_point_is_take_ordered(spark, sf_oracle):
+    plan = _plan(queries()["ml6_best_operating_point"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scaling_law_subsets_is_narrow(spark, sf_oracle):
+    """tt19 is a pure projection: any Exchange would mean the subset
+    assignment stopped being partitioning-independent."""
+    plan = _plan(queries()["tt19_scaling_law_subsets"](spark, sf_oracle))
+    assert "Exchange" not in plan, plan
+
+
+def test_epoch_expansion_broadcasts_epoch_table(spark, sf_oracle):
+    """tt18's corpus side must never shuffle: the per-source epoch
+    table joins back via broadcast, and the only exchanges feed the
+    tiny per-source aggregate."""
+    plan = _plan(queries()["tt18_epoch_expansion"](spark, sf_oracle))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
