@@ -153,6 +153,8 @@ def test_corpus_report_tool(tmp_path):
         "Duplication",
         "Passage duplication",
         "Near-dup banding",
+        "Scorer evaluation",
+        "Scaling-law subsets",
         "Pre-flight diagnostics",
     ):
         assert section in text

@@ -160,6 +160,68 @@ def main() -> None:
         )
     )
 
+    # Scorer evaluation: BEFORE gating a corpus on a learned/heuristic
+    # quality score, measure whether the score separates anything —
+    # here t2's composite quality vs the lang='en' label (ml7's
+    # question), plus the full operating point the sweep recommends.
+    # An AUC near 0.5 (this synthetic corpus) means a quality gate
+    # would NOT skew the language mix — worth knowing either way.
+    from aws_csp_datapipeline_spark.catalog import load_table
+    from aws_csp_datapipeline_spark.functions.mleval import (
+        best_operating_point,
+        pr_auc,
+    )
+    from aws_csp_datapipeline_spark.functions.text import quality_score
+
+    auc = q("ml7_scorer_auc").collect()[0]
+    scored = load_table(spark, sf_dir, "documents").select(
+        F.floor(quality_score(F.col("text")) * 10000)
+        .cast("long")
+        .alias("s"),
+        (F.col("lang") == F.lit("en")).alias("y"),
+    )
+    ap = pr_auc(scored, "s", "y").collect()[0]
+    bop = best_operating_point(scored, "s", "y").collect()[0]
+    sections.append(
+        (
+            "Scorer evaluation (t2 quality vs lang='en')",
+            f"- ROC-AUC: **{round(auc['auc'], 4)}** "
+            f"({auc['n_pos']} pos / {auc['n_neg']} neg; "
+            f"~0.5 ⇒ the quality gate is language-neutral on this corpus)\n"
+            f"- PR-AUC (average precision): **{round(ap['ap'], 4)}** "
+            f"(baseline = prevalence "
+            f"{round(ap['n_pos'] / max(1, ap['n_pos'] + ap['n_neg']), 4)})\n"
+            f"- best-F1 gate: quality >= **{bop['s'] / 10000}** → "
+            f"precision {round(bop['precision'], 3)}, "
+            f"recall {round(bop['recall'], 3)}, "
+            f"keeps {round(100 * bop['keep_rate'], 1)}% of the corpus\n",
+        )
+    )
+
+    # Scaling-law subsets: the nested geometric carve-out sizes a
+    # scaling-law experiment would train on (tt19).
+    sizes = (
+        q("tt19_scaling_law_subsets")
+        .groupBy("subset_id")
+        .count()
+        .orderBy("subset_id")
+        .collect()
+    )
+    cum = 0
+    lines = []
+    for r in sizes:
+        if r["subset_id"] is None:
+            continue
+        cum += r["count"]
+        lines.append(
+            f"- subset {r['subset_id']} "
+            f"(target {round(100 * (1 / 64) * 2 ** r['subset_id'], 1)}%): "
+            f"**{cum}** docs cumulative"
+        )
+    sections.append(
+        ("Scaling-law subsets (nested)", "\n".join(lines) + "\n")
+    )
+
     sections.append(
         (
             "Pre-flight diagnostics",
