@@ -40,6 +40,24 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,0)"
 
 
+def _per_score(
+    df: DataFrame, score_col: str, label_col: str, alias: str = "__s"
+) -> DataFrame:
+    """Shared first stage of every metric here: NULL-filtered
+    (score, label) projection reduced to per-distinct-score
+    (``alias``, n_s, pos_s) — the one corpus-scale shuffle, map-side
+    combinable. NULL scores or labels are excluded (a row without a
+    score cannot be ranked)."""
+    base = df.select(
+        F.col(score_col).alias(alias),
+        F.col(label_col).cast("int").alias("__y"),
+    ).filter(F.col(alias).isNotNull() & F.col("__y").isNotNull())
+    return base.groupBy(alias).agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum("__y").alias("pos_s"),
+    )
+
+
 def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """One-row (n_pos, n_neg, auc): tie-aware ROC-AUC of ``score_col``
     as a ranking of the binary ``label_col`` (higher score = predicted
@@ -47,19 +65,12 @@ def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     average ranks for ties — what sklearn.metrics.roc_auc_score
     computes (pinned against a numpy reference in tests/test_mleval).
 
-    ``label_col`` may be boolean or 0/1 numeric. NULL scores or
-    labels are excluded (a row without a score cannot be ranked).
-    ``auc`` is NULL when either class is empty (undefined, not 0.5 —
-    the caller should notice, not average it away).
+    ``label_col`` may be boolean or 0/1 numeric. NULL handling per
+    ``_per_score``. ``auc`` is NULL when either class is empty
+    (undefined, not 0.5 — the caller should notice, not average it
+    away).
     """
-    base = df.select(
-        F.col(score_col).alias("__s"),
-        F.col(label_col).cast("int").alias("__y"),
-    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
-    per = base.groupBy("__s").agg(
-        F.count(F.lit(1)).alias("n_s"),
-        F.sum("__y").alias("pos_s"),
-    )
+    per = _per_score(df, score_col, label_col)
     # Ordered pass over the DISTINCT score domain only (see module
     # docstring): cumulative count of rows with strictly smaller score.
     w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
@@ -105,14 +116,7 @@ def threshold_sweep(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     so both engines produce bit-identical doubles and the driver hash
     needs no rounding fold. No -0.0 hazard: every quantity is >= 0.
     """
-    base = df.select(
-        F.col(score_col).alias("s"),
-        F.col(label_col).cast("int").alias("__y"),
-    ).filter(F.col("s").isNotNull() & F.col("__y").isNotNull())
-    per = base.groupBy("s").agg(
-        F.count(F.lit(1)).alias("n_s"),
-        F.sum("__y").alias("pos_s"),
-    )
+    per = _per_score(df, score_col, label_col, alias="s")
     # keep = rows with score >= s: cumulate from the top score down.
     w = Window.orderBy(F.desc("s")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -162,14 +166,7 @@ def pr_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     both engines perform the identical sequence of additions
     (the w14 EWMA precedent) — no rounding fold needed. NULL when no
     positives (undefined, not 0)."""
-    base = df.select(
-        F.col(score_col).alias("__s"),
-        F.col(label_col).cast("int").alias("__y"),
-    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
-    per = base.groupBy("__s").agg(
-        F.count(F.lit(1)).alias("n_s"),
-        F.sum("__y").alias("pos_s"),
-    )
+    per = _per_score(df, score_col, label_col)
     w = Window.orderBy(F.desc("__s")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -193,9 +190,6 @@ def pr_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         (F.col("d_tp").cast("double") / F.col("n_pos").cast("double"))
         * (F.col("tp").cast("double") / F.col("kept").cast("double")),
     ).otherwise(F.lit(0.0))
-    w_run = Window.orderBy(F.desc("__s")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
     # Spark's UNBOUNDED PRECEDING..CURRENT frame accumulates row-at-a-
     # time in frame order; the oracle restates the same sequential add
     # chain as a recursive CTE (the w14 EWMA pattern) because a
@@ -206,7 +200,7 @@ def pr_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         "__s",
         "n_pos",
         (F.col("n_total") - F.col("n_pos")).alias("n_neg"),
-        F.when(F.col("n_pos") > 0, F.sum(term).over(w_run)).alias("__ap"),
+        F.when(F.col("n_pos") > 0, F.sum(term).over(w)).alias("__ap"),
     )
     # the fully-accumulated row is the lowest threshold
     return scanned.orderBy(F.asc("__s")).limit(1).select(

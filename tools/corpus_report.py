@@ -170,31 +170,49 @@ def main() -> None:
     from aws_csp_datapipeline_spark.functions.mleval import (
         best_operating_point,
         pr_auc,
+        roc_auc,
     )
     from aws_csp_datapipeline_spark.functions.text import quality_score
 
-    auc = q("ml7_scorer_auc").collect()[0]
+    def _r(x, nd=4):
+        # metrics are NULL on degenerate labels (mleval contract:
+        # "the caller should notice") — the report must say so, not
+        # crash in round()
+        return "undefined (one-class label)" if x is None else round(x, nd)
+
+    # ONE regex-heavy quality_score scan feeds all three metrics (the
+    # same projection ml7_scorer_auc attests; roc_auc(scored) ==
+    # the ml7 lane by construction)
     scored = load_table(spark, sf_dir, "documents").select(
         F.floor(quality_score(F.col("text")) * 10000)
         .cast("long")
         .alias("s"),
         (F.col("lang") == F.lit("en")).alias("y"),
+    ).persist()
+    try:
+        auc = roc_auc(scored, "s", "y").collect()[0]
+        ap = pr_auc(scored, "s", "y").collect()[0]
+        bop_rows = best_operating_point(scored, "s", "y").collect()
+    finally:
+        scored.unpersist()
+    gate = (
+        f"- best-F1 gate: quality >= **{bop_rows[0]['s'] / 10000}** → "
+        f"precision {_r(bop_rows[0]['precision'], 3)}, "
+        f"recall {_r(bop_rows[0]['recall'], 3)}, "
+        f"keeps {_r(100 * bop_rows[0]['keep_rate'], 1)}% of the corpus\n"
+        if bop_rows
+        else "- best-F1 gate: undefined (empty corpus)\n"
     )
-    ap = pr_auc(scored, "s", "y").collect()[0]
-    bop = best_operating_point(scored, "s", "y").collect()[0]
     sections.append(
         (
             "Scorer evaluation (t2 quality vs lang='en')",
-            f"- ROC-AUC: **{round(auc['auc'], 4)}** "
+            f"- ROC-AUC (= the attested ml7 lane): **{_r(auc['auc'])}** "
             f"({auc['n_pos']} pos / {auc['n_neg']} neg; "
             f"~0.5 ⇒ the quality gate is language-neutral on this corpus)\n"
-            f"- PR-AUC (average precision): **{round(ap['ap'], 4)}** "
+            f"- PR-AUC (average precision): **{_r(ap['ap'])}** "
             f"(baseline = prevalence "
             f"{round(ap['n_pos'] / max(1, ap['n_pos'] + ap['n_neg']), 4)})\n"
-            f"- best-F1 gate: quality >= **{bop['s'] / 10000}** → "
-            f"precision {round(bop['precision'], 3)}, "
-            f"recall {round(bop['recall'], 3)}, "
-            f"keeps {round(100 * bop['keep_rate'], 1)}% of the corpus\n",
+            + gate,
         )
     )
 
