@@ -813,3 +813,57 @@ def mm8_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
         .limit(500)
     )
+
+
+@register(
+    "st11_stream_gate_monitor",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+    FROM events GROUP BY event_type
+    """,
+)
+def st11_stream_gate_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gate-health monitor: the per-class keep-rate of a
+    value-threshold gate (value >= 50 stands in for "quality score
+    above the ml6-chosen operating point"), maintained incrementally
+    by a streaming aggregation — the production drift monitor that
+    notices a corpus filter suddenly keeping too little (or all) of a
+    class. Complete-mode aggregate over the events landing file; the
+    drained result equals the batch GROUP BY, which is the oracle.
+    keep_rate is one integer->double division (the ml5 discipline),
+    so the hash needs no rounding fold."""
+    landing = tempfile.mkdtemp(prefix="st11_landing_")
+    ckpt = tempfile.mkdtemp(prefix="st11_ckpt_")
+    os.symlink(
+        table_path(sf_dir, "events"), os.path.join(landing, "events.parquet")
+    )
+
+    stream = _events_stream(spark, landing)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("value") >= 50, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("st11_gate")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("st11_gate").select(
+        "event_type",
+        "n_events",
+        "n_kept",
+        (
+            F.col("n_kept").cast("double") / F.col("n_events").cast("double")
+        ).alias("keep_rate"),
+    )

@@ -86,10 +86,10 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # additions gr9_neighbor_jaccard_estimate, ml3_roc_auc,
 # ml4_score_reliability, ml5_threshold_sweep,
 # ml6_best_operating_point, ml7_scorer_auc, ml8_pr_auc,
-# tt17_purged_time_split, tt18_epoch_expansion, and
-# tt19_scaling_law_subsets (new lanes get a first-round slot). Rotate
-# these 18 in for r13 and restore the d3/s1/x1 core names; 12 lanes
-# remain
+# tt17_purged_time_split, tt18_epoch_expansion,
+# tt19_scaling_law_subsets, and st11_stream_gate_monitor (new lanes
+# get a first-round slot). Rotate these 19 in for r13 and restore the
+# d3/s1/x1 core names; 12 lanes remain
 # rows-only BY DESIGN (index/sketch/stream/BPE-internal outputs:
 # pipe3, a9, a17, s3, s5, s18, s19, s20, st9, t17, t18, pipe5), each
 # with a behavioral pytest in lieu of a SQL oracle.
