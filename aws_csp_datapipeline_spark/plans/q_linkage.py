@@ -11,6 +11,14 @@
 * ``ml1_loo_target_encoding`` — leakage-safe leave-one-out target
   encoding, the standard categorical-feature transform for training
   tables.
+* ``ml2``–``ml8`` — the feature-prep / scorer-evaluation family:
+  leakage-safe standardization (ml2), tie-aware ROC-AUC (ml3),
+  reliability/calibration table (ml4), per-threshold confusion sweep
+  (ml5), best-F1 operating point (ml6), the AUC audit of the repo's
+  own t2 quality scorer (ml7), and PR-AUC / average precision (ml8).
+  Core metric implementations live in ``functions/mleval.py``; every
+  lane reduces to per-score-group aggregates before any ordered pass
+  (the bounded-domain Window policy).
 
 Reference scope: engine extensions (no counterpart in the reference's
 Lambda CRUD surface); part of the training-data-pipeline north star.
