@@ -93,6 +93,36 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # rows-only BY DESIGN (index/sketch/stream/BPE-internal outputs:
 # pipe3, a9, a17, s3, s5, s18, s19, s20, st9, t17, t18, pipe5), each
 # with a behavioral pytest in lieu of a SQL oracle.
+#
+# NEXT_WINDOW_QUEUE is the machine-checkable form of the paragraph
+# above: tests/test_registry_window.py asserts every registry name is
+# either driver-attested (appears in a committed CORRECTNESS_r*.json),
+# in the current _WINDOW, or in this queue — so attestation debt
+# cannot accrue silently when lanes are added mid-round.
+NEXT_WINDOW_QUEUE: tuple[str, ...] = (
+    # oracle-upgrade tail (last driver record predates the oracle)
+    "a20_cms_heavy_hitters",
+    "dq14_file_manifest",
+    "t5_winnow_fingerprints",
+    "mm1_media_features",
+    "mm5_audio_features",
+    "mm6_video_meta",
+    "mm7_image_dhash_groups",
+    "mm8_image_neardup_pairs",
+    # r12 additions awaiting a first attestation round
+    "gr9_neighbor_jaccard_estimate",
+    "ml3_roc_auc",
+    "ml4_score_reliability",
+    "ml5_threshold_sweep",
+    "ml6_best_operating_point",
+    "ml7_scorer_auc",
+    "ml8_pr_auc",
+    "tt17_purged_time_split",
+    "tt18_epoch_expansion",
+    "tt19_scaling_law_subsets",
+    "st11_stream_gate_monitor",
+)
+
 _WINDOW: tuple[str, ...] = (
     # --- fixed core, shrunk 15 -> 12 for this round only: d3/s1/x1
     # step out because their families are saturated by the rotation
