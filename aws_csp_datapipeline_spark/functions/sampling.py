@@ -474,3 +474,48 @@ def scaling_law_subsets(
         gate = int(base_frac * 2**i * 16777216)
         label = F.when(coin < F.lit(gate), F.lit(i)).otherwise(label)
     return df.withColumn("subset_id", label)
+
+
+def weighted_topk_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement (the
+    Efraimidis-Spirakis exponential-key construction): each row draws
+    the deterministic md5 unit coin u and is ranked by
+    log(u) / w — the k largest keys are a weighted-without-replacement
+    sample, with inclusion probability proportional to weight at every
+    prefix. This is the SELECTION step that consumes importance
+    weights (tt14's DSIR weights, quality scores): tt7's Bernoulli
+    gate keeps a random-SIZED sample; this keeps exactly k.
+
+    Deterministic per corpus (the coin is a pure function of the key),
+    but NOT oracle-paired: the ranking key is transcendental (log),
+    and IEEE says nothing about cross-engine agreement of log's last
+    ulp — two engines could order a near-tied pair differently. The
+    repo's hash gate demands bit-exactness, so this lane is rows-only
+    with a behavioral pytest that also asserts the realized key
+    margins are orders of magnitude above ulp scale
+    (tests/test_sampling_ops.py). Rows with weight <= 0 or NULL are
+    excluded (zero-weight rows have inclusion probability 0).
+
+    Scale shape: narrow key computation + one TakeOrderedAndProject
+    (k rows per partition, no global sort) — the o3 top-k plan.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        + 1
+    ) / F.lit(16777217.0)  # (0, 1]: log never sees 0
+    key = F.log(coin) / F.col(weight_col).cast("double")
+    return (
+        df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("__es_key", key)
+        .orderBy(F.desc("__es_key"), F.asc(key_col))
+        .limit(k)
+        .drop("__es_key")
+    )

@@ -1252,3 +1252,21 @@ def tt19_scaling_law_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SMP.scaling_law_subsets(docs, "doc_id").select(
         "doc_id", "subset_id"
     )
+
+
+@register("tt20_weighted_topk_sample")
+def tt20_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sample of the documents corpus, weight =
+    n_chars (functions/sampling.weighted_topk_sample — the
+    Efraimidis-Spirakis exponential-key construction): the SELECTION
+    step that consumes importance weights, keeping exactly k=50 docs
+    with inclusion probability proportional to length. Rows-only BY
+    DESIGN: the ranking key is log(u)/w and IEEE leaves log's last
+    ulp engine-specific, so a DuckDB hash twin cannot be guaranteed —
+    the behavioral pytest reproduces the selection against an
+    independent python reference and asserts the realized key margins
+    sit orders of magnitude above ulp scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return SMP.weighted_topk_sample(docs, "doc_id", "n_chars", k=50).select(
+        "doc_id", "n_chars"
+    )

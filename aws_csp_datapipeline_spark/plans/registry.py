@@ -89,9 +89,11 @@ def register(name: str, oracle: str | None = None, oracle_sf_max: float | None =
 # tt17_purged_time_split, tt18_epoch_expansion,
 # tt19_scaling_law_subsets, and st11_stream_gate_monitor (new lanes
 # get a first-round slot). Rotate these 19 in for r13 and restore the
-# d3/s1/x1 core names; 12 lanes remain
-# rows-only BY DESIGN (index/sketch/stream/BPE-internal outputs:
-# pipe3, a9, a17, s3, s5, s18, s19, s20, st9, t17, t18, pipe5), each
+# d3/s1/x1 core names; 13 lanes remain
+# rows-only BY DESIGN (index/sketch/stream/BPE-internal outputs plus
+# one transcendental-key sampler: pipe3, a9, a17, s3, s5, s18, s19,
+# s20, st9, t17, t18, pipe5, tt20 — tt20's E-S ranking key is
+# log(u)/w, and IEEE leaves log's last ulp engine-specific), each
 # with a behavioral pytest in lieu of a SQL oracle.
 #
 # NEXT_WINDOW_QUEUE is the machine-checkable form of the paragraph
@@ -121,6 +123,7 @@ NEXT_WINDOW_QUEUE: tuple[str, ...] = (
     "tt18_epoch_expansion",
     "tt19_scaling_law_subsets",
     "st11_stream_gate_monitor",
+    "tt20_weighted_topk_sample",  # rows-only lane: first driver record
 )
 
 _WINDOW: tuple[str, ...] = (

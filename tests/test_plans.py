@@ -324,3 +324,10 @@ def test_epoch_expansion_broadcasts_epoch_table(spark, sf_oracle):
     plan = _plan(queries()["tt18_epoch_expansion"](spark, sf_oracle))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_topk_sample_is_take_ordered(spark, sf_oracle):
+    """tt20's exact-k selection must plan as TakeOrderedAndProject —
+    k rows per partition, never a global sort of the keyed corpus."""
+    plan = _plan(queries()["tt20_weighted_topk_sample"](spark, sf_oracle))
+    assert "TakeOrderedAndProject" in plan, plan

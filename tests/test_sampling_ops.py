@@ -399,3 +399,69 @@ class TestScalingLawSubsets:
             scaling_law_subsets(df, "doc_id", k=0)
         with pytest.raises(ValueError, match="exceeds"):
             scaling_law_subsets(df, "doc_id", base_frac=0.5, k=3)
+
+
+class TestWeightedTopkSample:
+    def test_matches_python_reference_with_safe_margins(self, spark):
+        """The E-S selection reproduced independently: same md5 coin,
+        same key formula in python floats. Cross-engine log() can
+        differ in the last ulp, so also assert every adjacent key gap
+        around the k-boundary is astronomically larger than ulp scale
+        — the honest precondition for the selection being stable."""
+        import hashlib
+        import math
+
+        from aws_csp_datapipeline_spark.functions.sampling import (
+            weighted_topk_sample,
+        )
+
+        rows = [(i, 10 + (i * 37) % 490) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = sorted(
+            r["doc_id"]
+            for r in weighted_topk_sample(df, "doc_id", "w", k=25).collect()
+        )
+
+        def key(i, w):
+            u = (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) + 1
+            ) / 16777217.0
+            return math.log(u) / float(w)
+
+        ranked = sorted(rows, key=lambda r: (-key(*r), r[0]))
+        want = sorted(i for i, _ in ranked[:25])
+        assert got == want
+        ks = sorted((key(*r) for r in rows), reverse=True)
+        boundary_gap = ks[24] - ks[25]
+        assert boundary_gap > 1e-9  # >> 1 ulp (~1e-17 at this scale)
+
+    def test_excludes_nonpositive_weights_and_validates(self, spark):
+        import pytest
+
+        from aws_csp_datapipeline_spark.functions.sampling import (
+            weighted_topk_sample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, None), (4, 7)],
+            "doc_id long, w long",
+        )
+        got = {r["doc_id"] for r in weighted_topk_sample(df, "doc_id", "w", 10).collect()}
+        assert got == {1, 4}
+        with pytest.raises(ValueError, match="k must"):
+            weighted_topk_sample(df, "doc_id", "w", 0)
+
+    def test_heavier_rows_selected_more_often(self, spark):
+        """Statistical sanity over disjoint key salts: a 10x-weight
+        row family should dominate the selection."""
+        from aws_csp_datapipeline_spark.functions.sampling import (
+            weighted_topk_sample,
+        )
+
+        rows = [(i, 100 if i < 100 else 10) for i in range(1100)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        got = [r["doc_id"] for r in weighted_topk_sample(df, "doc_id", "w", 100).collect()]
+        n_heavy = sum(1 for i in got if i < 100)
+        # heavy family is 100 of 1100 rows but 10x weight each: expect
+        # roughly half the sample; require a clear majority effect
+        assert n_heavy > 30
