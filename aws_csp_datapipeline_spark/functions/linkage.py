@@ -99,6 +99,20 @@ def _candidate_name_pairs(
     name_a < name_b, from pigeonhole lanes over the DISTINCT
     (block, name) representatives of ``df`` (module docstring)."""
     names = df.select(*block_cols, name_col).distinct()
+    # Spread the per-name lane construction (r12): the distinct's
+    # output is bytes-tiny relative to its downstream ×9 lane
+    # explosion, so AQE (rightly, by bytes) coalesces it — on the
+    # single-row-group local extract to ONE partition, serializing
+    # the lane substring/concat work (measured 1.4 s single-task at
+    # sf0.1). An explicit round-robin spread of the pre-explosion
+    # frame costs ≤1/9 of the adjacent unavoidable lane shuffle at
+    # any scale and keeps the explosion parallel under any layout
+    # (the _expand_to_ids precedent; explicit repartitions are exempt
+    # from AQE re-coalescing).
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    names = names.repartition(n_parts)
     name = F.col(name_col)
     ln = F.length(name)
     s = F.substring(name, F.greatest(F.lit(1), ln - 8), F.lit(9))
@@ -138,7 +152,17 @@ def _candidate_name_pairs(
 
     # sizes counts DISTINCT NAMES per lane (not records): duplication
     # never triggers the split, only genuine name-space density does.
-    sizes = laned.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    # r12: the count comes from a WINDOW over the lane frame (one
+    # hash shuffle on k) instead of the former groupBy + sort-merge
+    # join back — the join shuffled the laned frame a second time and
+    # sorted both sides for nothing a partition-local count needs
+    # (guide §2.4 "remove shuffles outright"; the same one-pass shape
+    # _shifted_candidate_name_pairs already used for its index sizes).
+    from pyspark.sql import Window
+
+    sized = laned.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
     # Oversized lane-blocks emit 4 sub-keys (one per unpinned char),
     # small ones the lane key itself — frequency-aware, recall-safe.
     subkeys = F.array(
@@ -147,33 +171,62 @@ def _candidate_name_pairs(
             for i in range(4)
         ]
     )
-    # Join-strategy note: static size estimates cannot see the ×9
-    # explode fan-out (the scan side is small, the lane relations are
-    # not), so Catalyst's initial plan broadcast BOTH the sizes join
-    # and the self-join below — on an id-level formulation at sf10
-    # that built a 13.5M-row broadcast and OOM'd the driver;
-    # shuffled-hash then OOM'd the per-partition build map (no spill
-    # fallback — the session-level SHJ caveat, session.py). merge
-    # (sort-merge) is the only strategy here that degrades by
-    # spilling instead of failing, which is what a frequency-blind
-    # operator must pick: this is the inverse of the repo's "no
-    # broadcast hints on scaled inputs" rule, not an exception to it.
-    # Bonus: the two self-join sides sort+shuffle an identical
-    # subtree, so the exchange is computed once and reused.
-    keyed = laned.join(sizes.hint("merge"), "k").select(
+    keyed = sized.select(
         *block_cols,
         "_n",
         F.explode(
             F.when(F.col("n") > cap, subkeys).otherwise(F.array(F.col("k")))
         ).alias("fk"),
     )
-    a = keyed.select(*block_cols, F.col("_n").alias("name_a"), "fk")
-    b = keyed.select(F.col("_n").alias("name_b"), "fk")
+    # Join-strategy note: static size estimates cannot see the ×9
+    # explode fan-out (the scan side is small, the lane relations are
+    # not), so Catalyst's initial plan broadcast the self-join below —
+    # on an id-level formulation at sf10 that built a 13.5M-row
+    # broadcast and OOM'd the driver; shuffled-hash then OOM'd the
+    # per-partition build map (no spill fallback — the session-level
+    # SHJ caveat, session.py). merge (sort-merge) is the only strategy
+    # here that degrades by spilling instead of failing, which is what
+    # a frequency-blind operator must pick: this is the inverse of the
+    # repo's "no broadcast hints on scaled inputs" rule, not an
+    # exception to it.
+    #
+    # Exchange-reuse contract (r12): the two self-join sides must be
+    # CANONICALLY IDENTICAL so the sorted lane exchange is computed
+    # once and fed to both sides of the merge join (the round-11 plan
+    # computed the whole scan→distinct→lanes→sizes pipeline TWICE —
+    # zero ReusedExchange nodes — because the b side pruned the block
+    # columns and carried asymmetric inferred IsNotNull constraints).
+    # Both sides therefore project the SAME columns in the SAME order,
+    # and the join condition includes the block columns: redundant for
+    # correctness — fk equality already implies block equality, the
+    # lane key embeds the \x1f-joined block values as its prefix — but
+    # it keeps the constraint inference symmetric. Verified in the
+    # committed plan: one lane subtree + ReusedExchange.
+    # Both sides alias EVERY column (a pass-through AttributeReference
+    # on one side vs an Alias on the other breaks plan canonical
+    # equality, hence reuse).
+    a = keyed.select(
+        *[F.col(c).alias(f"_ra_{c}") for c in block_cols],
+        F.col("_n").alias("name_a"),
+        F.col("fk").alias("_ra_fk"),
+    )
+    b = keyed.select(
+        *[F.col(c).alias(f"_rb_{c}") for c in block_cols],
+        F.col("_n").alias("name_b"),
+        F.col("fk").alias("_rb_fk"),
+    )
+    cond = [F.col("_ra_fk") == F.col("_rb_fk")] + [
+        F.col(f"_ra_{c}") == F.col(f"_rb_{c}") for c in block_cols
+    ]
     return (
         a.hint("merge")
-        .join(b, ["fk"])
+        .join(b, cond)
         .filter(F.col("name_a") < F.col("name_b"))
-        .select(*block_cols, "name_a", "name_b")
+        .select(
+            *[F.col(f"_ra_{c}").alias(c) for c in block_cols],
+            "name_a",
+            "name_b",
+        )
         .distinct()
     )
 
@@ -398,6 +451,16 @@ def _shifted_candidate_name_pairs(
     and er3 the completeness lane; the measured budget numbers and
     their dense-serial ceiling are in the window comment below."""
     names = df.select(*block_cols, name_col).distinct()
+    # Spread the ~37-lane-per-name explosion (r12): AQE coalesces the
+    # distinct's bytes-tiny output — to ONE partition on the local
+    # single-row-group extract — and the per-name probe-lane
+    # construction (dozens of substring/concat_ws exprs) then ran
+    # serially (measured 2.4 s single-task at sf0.1). The explicit
+    # round-robin spread costs ≤1/37 of the adjacent lane shuffle at
+    # any scale (the _expand_to_ids precedent).
+    names = names.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    )
     name = F.col(name_col)
     ln = F.length(name)
     sstart = F.greatest(F.lit(1), ln - 8)  # suffix abs start (1-based)
@@ -430,19 +493,28 @@ def _shifted_candidate_name_pairs(
     def _key_sql(*parts: str) -> str:
         return f"concat_ws(chr(31), {_blocks_sql}, {', '.join(parts)})"
 
-    def _lane_sql(k1: str, t: int, dl: int) -> str:
-        return f"named_struct('k1', {k1}, 't', {t}, 'dl', {dl})"
+    # 'r' is the lane ROLE (0 = index, 1 = probe): r12 unified the
+    # formerly separate index and probe lane frames into ONE exploded
+    # frame so each level needs one shuffle (a window keyed on the
+    # lane key) instead of a window on the index side plus a sizes
+    # distinct plus a sort-merge join back onto the probe side — the
+    # round-11 plan paid that join machinery twice (level 1 and 2) and
+    # materialized four caches where two suffice (guide §2.4).
+    def _lane_sql(k1: str, t: int, dl: int, r: int) -> str:
+        return f"named_struct('k1', {k1}, 't', {t}, 'dl', {dl}, 'r', {r})"
 
-    # short lane: both roles, one key per block (never split)
+    # short lane: emitted in BOTH roles, one key per block (never split)
     _short_sql = (
         f"case when {_ln_sql} <= 14 then "
-        f"array({_lane_sql(_key_sql(chr(39) + 'S' + chr(39)), -1, 0)}) end"
+        f"array({_lane_sql(_key_sql(chr(39) + 'S' + chr(39)), -1, 0, 0)}, "
+        f"{_lane_sql(_key_sql(chr(39) + 'S' + chr(39)), -1, 0, 1)}) end"
     )
 
     def laned(lane_sqls: list[str]) -> DataFrame:
         # distinct: shifted probes often re-extract identical content
         # (e.g. inside digit runs) — identical keys add join rows, not
-        # recall
+        # recall. Roles are part of the struct, so an index entry is
+        # never folded into an identical-content probe entry.
         arr = F.expr(
             f"array_distinct(concat(array({', '.join(lane_sqls)}), "
             f"coalesce({_short_sql}, array())))"
@@ -455,6 +527,7 @@ def _shifted_candidate_name_pairs(
             F.col("l.k1").alias("k1"),
             F.col("l.t").alias("t"),
             F.col("l.dl").alias("dl"),
+            F.col("l.r").alias("r"),
         )
 
     # Multi-match-aware probe windows (the PassJoin selection): every
@@ -494,6 +567,7 @@ def _shifted_candidate_name_pairs(
             ),
             t,
             0,
+            0,
         )
         for t in range(3)
     ]
@@ -506,6 +580,7 @@ def _shifted_candidate_name_pairs(
             ),
             t,
             delta,
+            1,
         )
         for t in range(3)
         for delta in range(-2, 3)
@@ -528,21 +603,29 @@ def _shifted_candidate_name_pairs(
 
     from pyspark.sql import Window
 
-    # Index lane sizes come from a WINDOW over the index frame (one
-    # hash shuffle, no join); the probe side joins the distinct
-    # (k1, n) table ONCE per level — an inner join, so probe keys no
-    # index entry uses are pruned here. All split legs below are then
-    # plain FILTERS over these cached frames: the first version
-    # expressed each leg as its own sizes-join and paid ~10 sort-merge
-    # stages for six mostly-empty legs (measured 21 s of the 32 s
-    # name phase at sf0.1; now ~5 shuffles total).
-    idx = cached(
-        laned(idx_lanes).withColumn(
-            "n", F.count(F.lit(1)).over(Window.partitionBy("k1"))
+    # ONE lane frame, ONE shuffle per level (r12): index and probe
+    # lanes ride the same exploded frame (role column r), and the
+    # INDEX lane size every split decision reads comes from a window
+    # over the lane key counting index rows only. The inner
+    # sizes-join's probe pruning (drop probe keys no index entry
+    # uses) becomes the n >= 1 filter. Round 11 shipped a window on
+    # the index frame PLUS a sizes distinct PLUS a sort-merge join
+    # onto the probe frame, per level — two extra shuffles and two
+    # sorts of lane-sized frames each time, and four caches where two
+    # suffice. Window groups now buffer index+probe rows per hot key
+    # (~×13 of the index-only window); both the old SMJ and
+    # WindowExec buffer via the same spillable row-array, so the
+    # degradation mode is unchanged.
+    all1 = cached(
+        laned(idx_lanes + prb_lanes)
+        .withColumn(
+            "n",
+            F.count(F.when(F.col("r") == 0, F.lit(1))).over(
+                Window.partitionBy("k1")
+            ),
         )
+        .filter((F.col("r") == 0) | (F.col("n") >= 1))
     )
-    sizes1 = idx.select("k1", "n").distinct()
-    prb = cached(laned(prb_lanes).join(sizes1.hint("merge"), "k1"))
 
     # Single-char complement coords per (t, part) for the level-3
     # split: everything in t's complement the part didn't pin.
@@ -554,30 +637,31 @@ def _shifted_candidate_name_pairs(
         pinned = set(range(a, a + w))
         return [c for c in comp_coords[t] if c not in pinned]
 
-    def split2(side: DataFrame, probe: bool):
+    def split2(side: DataFrame):
         """Below-cap (or short) lanes keep k1 as the join key;
         oversized lanes emit level-2 keys (k1 + part id + part
         content, probed at the part's displacement window). The
-        small/over decision reads the INDEX lane size carried on both
-        cached frames, so it is consistent across a colliding pair."""
+        small/over decision reads the INDEX lane size carried on the
+        cached frame, so it is consistent across a colliding pair.
+        Role-aware single pass (r12): one variants array covers both
+        roles — index rows (r=0, dl=0) match only their vrl=0, vd=0
+        entries; probe rows their (vrl=1, vd=dl) window."""
         j = side
         small = j.filter((F.col("n") <= cap) | (F.col("t") < 0)).select(
-            *block_cols, name_col, F.col("k1").alias("fk")
+            *block_cols, name_col, "r", F.col("k1").alias("fk")
         )
-        # The (t, part, Δ, ρ) enumeration is DATA (a literal array
-        # filtered per row), not a chain of hundreds of when()
+        # The (role, t, part, Δ, ρ) enumeration is DATA (a literal
+        # array filtered per row), not a chain of hundreds of when()
         # branches: the when-chain form generated ~1.6 MB codegen
         # classes whose compilation dominated the whole name phase
         # (measured: a fixed ~20 s across every corpus size).
         variants = []
         for t in range(3):
             for pi, (a, w) in enumerate(parts_of[t]):
-                if probe:
-                    for delta in range(-2, 3):
-                        for rho in rhos_for(delta, a + w - 1):
-                            variants.append((t, pi, a, w, delta, rho))
-                else:
-                    variants.append((t, pi, a, w, 0, 0))
+                variants.append((0, t, pi, a, w, 0, 0))
+                for delta in range(-2, 3):
+                    for rho in rhos_for(delta, a + w - 1):
+                        variants.append((1, t, pi, a, w, delta, rho))
         # one F.expr per array: building hundreds of literal structs
         # through individual Column calls costs ~100 py4j round-trips
         # per struct — measured 8-12 s of pure DataFrame BUILD time
@@ -585,15 +669,15 @@ def _shifted_candidate_name_pairs(
         # the identical tree (SCALE.md "er3 build cost")
         lit = F.expr(
             "array(" + ",".join(
-                f"named_struct('vt',{t},'vpi',{pi},'va',{a},"
+                f"named_struct('vrl',{rl},'vt',{t},'vpi',{pi},'va',{a},"
                 f"'vw',{w},'vd',{d},'vr',{r})"
-                for (t, pi, a, w, d, r) in variants
+                for (rl, t, pi, a, w, d, r) in variants
             ) + ")"
         )
-        row_match = (
-            (lambda x: (x["vt"] == F.col("t")) & (x["vd"] == F.col("dl")))
-            if probe
-            else (lambda x: x["vt"] == F.col("t"))
+        row_match = lambda x: (  # noqa: E731
+            (x["vrl"] == F.col("r"))
+            & (x["vt"] == F.col("t"))
+            & (x["vd"] == F.col("dl"))
         )
         mk = lambda x: F.struct(  # noqa: E731
             F.concat(
@@ -607,25 +691,29 @@ def _shifted_candidate_name_pairs(
         arr = F.array_distinct(F.transform(F.filter(lit, row_match), mk))
         lv2 = (
             j.filter((F.col("n") > cap) & (F.col("t") >= 0))
-            .select(*block_cols, name_col, "t", "dl", F.explode(arr).alias("l2"))
             .select(
-                *block_cols, name_col, "t", "dl",
+                *block_cols, name_col, "r", "t", "dl",
+                F.explode(arr).alias("l2"),
+            )
+            .select(
+                *block_cols, name_col, "r", "t", "dl",
                 F.col("l2.k2").alias("k2"), F.col("l2.pi").alias("pi"),
             )
         )
         return small, lv2
 
-    idx_s1, idx_lv2 = split2(idx, probe=False)
-    prb_s1, prb_lv2 = split2(prb, probe=True)
-    idx_lv2 = cached(
-        idx_lv2.withColumn(
-            "n2", F.count(F.lit(1)).over(Window.partitionBy("k2"))
+    s1, lv2 = split2(all1)
+    all2 = cached(
+        lv2.withColumn(
+            "n2",
+            F.count(F.when(F.col("r") == 0, F.lit(1))).over(
+                Window.partitionBy("k2")
+            ),
         )
+        .filter((F.col("r") == 0) | (F.col("n2") >= 1))
     )
-    sizes2 = idx_lv2.select("k2", "n2").distinct()
-    prb_lv2 = cached(prb_lv2.join(sizes2.hint("merge"), "k2"))
 
-    def split3(lv2: DataFrame, probe: bool):
+    def split3(lv2: DataFrame):
         """Level-3: a level-2 lane still over cap (low-entropy part
         content — e.g. the constant high-order digits of dense serial
         ids) re-pigeonholes each UNPINNED complement char: the index
@@ -634,10 +722,10 @@ def _shifted_candidate_name_pairs(
         untouched, so the collision guarantee survives this split
         too. No level 4: leaf keys are emitted regardless, keeping
         recall; three pinned regions bound leaf lanes on every corpus
-        measured."""
+        measured. Role-aware single pass (r12), like split2."""
         j = lv2
         small = j.filter(F.col("n2") <= cap).select(
-            *block_cols, name_col, F.col("k2").alias("fk")
+            *block_cols, name_col, "r", F.col("k2").alias("fk")
         )
         # same literal-array-of-variants trick as split2 (the
         # when-chain here was ~500 branches — the worst codegen
@@ -646,30 +734,23 @@ def _shifted_candidate_name_pairs(
         for t in range(3):
             for pi in range(len(parts_of[t])):
                 for c in rest_coords(t, pi):
-                    if probe:
-                        for delta in range(-2, 3):
-                            for rho in rhos_for(delta, c):
-                                variants.append((t, pi, c, delta, rho))
-                    else:
-                        variants.append((t, pi, c, 0, 0))
+                    variants.append((0, t, pi, c, 0, 0))
+                    for delta in range(-2, 3):
+                        for rho in rhos_for(delta, c):
+                            variants.append((1, t, pi, c, delta, rho))
         # single-F.expr literal array — same py4j-chatter fix as split2
         lit = F.expr(
             "array(" + ",".join(
-                f"named_struct('vt',{t},'vpi',{pi},'vc',{c},"
+                f"named_struct('vrl',{rl},'vt',{t},'vpi',{pi},'vc',{c},"
                 f"'vd',{d},'vr',{r})"
-                for (t, pi, c, d, r) in variants
+                for (rl, t, pi, c, d, r) in variants
             ) + ")"
         )
-        row_match = (
-            (
-                lambda x: (x["vt"] == F.col("t"))
-                & (x["vpi"] == F.col("pi"))
-                & (x["vd"] == F.col("dl"))
-            )
-            if probe
-            else (
-                lambda x: (x["vt"] == F.col("t")) & (x["vpi"] == F.col("pi"))
-            )
+        row_match = lambda x: (  # noqa: E731
+            (x["vrl"] == F.col("r"))
+            & (x["vt"] == F.col("t"))
+            & (x["vpi"] == F.col("pi"))
+            & (x["vd"] == F.col("dl"))
         )
         mk = lambda x: F.concat(  # noqa: E731
             F.col("k2"), F.lit(_SEP), x["vc"].cast("string"), F.lit(_SEP),
@@ -679,22 +760,18 @@ def _shifted_candidate_name_pairs(
         )
         arr = F.array_distinct(F.transform(F.filter(lit, row_match), mk))
         deep = j.filter(F.col("n2") > cap).select(
-            *block_cols, name_col, F.explode(arr).alias("fk")
+            *block_cols, name_col, "r", F.explode(arr).alias("fk")
         )
         return small, deep
 
-    idx_s2, idx_lv3 = split3(idx_lv2, probe=False)
-    prb_s2, prb_lv3 = split3(prb_lv2, probe=True)
+    s2, lv3 = split3(all2)
 
-    a = (
-        idx_s1.unionByName(idx_s2)
-        .unionByName(idx_lv3)
-        .select(*block_cols, F.col(name_col).alias("name_a"), "fk")
+    legs = s1.unionByName(s2).unionByName(lv3)
+    a = legs.filter(F.col("r") == 0).select(
+        *block_cols, F.col(name_col).alias("name_a"), "fk"
     )
-    b = (
-        prb_s1.unionByName(prb_s2)
-        .unionByName(prb_lv3)
-        .select(F.col(name_col).alias("name_b"), "fk")
+    b = legs.filter(F.col("r") == 1).select(
+        F.col(name_col).alias("name_b"), "fk"
     )
     out = (
         a.hint("merge")
