@@ -28,7 +28,8 @@ import os
 import re
 from urllib.parse import unquote, urlparse
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 _SIZE_SUFFIX = {
     "": 1, "b": 1,
@@ -84,6 +85,33 @@ def _estimated_local_scan_tasks(spark, files: list[str]) -> int:
             splits = 1
         total += splits
     return total
+
+
+def gate_after_spread(cond: Column) -> Column:
+    """Pin a per-row-expensive gate predicate ABOVE a preceding
+    ``ensure_min_parallelism`` spread.
+
+    Catalyst pushes deterministic filter conjuncts through round-robin
+    repartitions (``PushDownPredicates`` treats RepartitionOperation
+    as transparent), which drags the gate expression back into the
+    single-task scan stage the spread exists to escape — measured:
+    pipe4's quality+trigram gates ran 2.1 s on ONE core at sf0.1 with
+    the spread in place, filter pushed below it. A LEADING always-true
+    nondeterministic conjunct stops the push (the rule pushes only the
+    deterministic PREFIX of a conjunction), at the cost of one
+    ``monotonically_increasing_id()`` evaluation per row.
+
+    This forgoes no real pushdown benefit at scale: these gates are
+    complex expression trees no parquet reader accepts as
+    PushedFilters, and on multi-row-group layouts (where the spread
+    is a no-op and no exchange exists) scan, projection and filter
+    fuse into one WholeStageCodegen stage regardless of filter
+    placement. Bonus: the unpushed form evaluates a gate that is both
+    filtered on and projected out (pipe4's ``__q``) once via column
+    reuse instead of twice (below-filter + above-projection — the
+    guide §4.4 duplication, which applies to large expression trees
+    exactly as to UDFs)."""
+    return (F.monotonically_increasing_id() >= 0) & cond
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -280,6 +280,10 @@ def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shuffle budget (one fingerprint agg + one summary agg)."""
     from aws_csp_datapipeline_spark.functions.dedup import exact_dedup
     from aws_csp_datapipeline_spark.functions.text import quality_score, token_count
+    from aws_csp_datapipeline_spark.parallelism import (
+        ensure_min_parallelism,
+        gate_after_spread,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     # the quality gate is consumed twice inside exact_dedup (the
@@ -287,9 +291,12 @@ def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NARROW keep-id set — never document bodies (cache policy,
     # SCALE.md) — so the per-row quality expression runs once; the
     # two downstream consumers re-scan parquet (streaming-friendly)
-    # and semi-join the cached ids instead of re-running the gate
+    # and semi-join the cached ids instead of re-running the gate.
+    # Spread + pin (r12): without them the gate expression evaluates
+    # serially in the single scan task of a one-row-group extract.
     keep_ids = (
-        docs.filter(quality_score(F.col("text")) >= 0.35)
+        ensure_min_parallelism(docs.select("doc_id", "text"))
+        .filter(gate_after_spread(quality_score(F.col("text")) >= 0.35))
         .select("doc_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -378,7 +385,10 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_csp_datapipeline_spark.functions.dedup import exact_dedup
     from aws_csp_datapipeline_spark.plans.q_text import doc_bigram_logprob
 
-    from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
+    from aws_csp_datapipeline_spark.parallelism import (
+        ensure_min_parallelism,
+        gate_after_spread,
+    )
 
     d = load_table(spark, sf_dir, "documents")
     stats = F.element_at(
@@ -402,13 +412,22 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.quality_score(F.col("text")).alias("__q"),
             stats.alias("__s"),
         )
-        .filter(F.col("__q") >= 0.35)
+        # gate_after_spread: without the pin, Catalyst pushes these
+        # (deterministic, parquet-unpushable) gates below the spread
+        # repartition and the quality/trigram expressions run in the
+        # single-task scan stage (measured 2.1 s serial at sf0.1)
         .filter(
-            (F.col("__s.n") == 0)
-            | (
-                F.lit(1.0)
-                - F.col("__s.nd").cast("double") / F.col("__s.n").cast("double")
-                <= 0.02
+            gate_after_spread(
+                (F.col("__q") >= 0.35)
+                & (
+                    (F.col("__s.n") == 0)
+                    | (
+                        F.lit(1.0)
+                        - F.col("__s.nd").cast("double")
+                        / F.col("__s.n").cast("double")
+                        <= 0.02
+                    )
+                )
             )
         )
         .drop("__s")
@@ -782,10 +801,19 @@ def pipe6_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_csp_datapipeline_spark.functions import dedup as D
     from aws_csp_datapipeline_spark.functions.dedup import exact_dedup
     from aws_csp_datapipeline_spark.functions.text import quality_score, token_count
+    from aws_csp_datapipeline_spark.parallelism import (
+        ensure_min_parallelism,
+        gate_after_spread,
+    )
 
     d = load_table(spark, sf_dir, "documents")
-    keep = d.filter(quality_score(F.col("text")) >= 0.35).select(
-        "doc_id", "lang", "text"
+    # spread before the quality gate + pin the gate above the spread
+    # (r12): single-row-group extracts otherwise evaluate the gate
+    # expression serially in the scan task (see gate_after_spread)
+    keep = (
+        ensure_min_parallelism(d.select("doc_id", "lang", "text"))
+        .filter(gate_after_spread(quality_score(F.col("text")) >= 0.35))
+        .select("doc_id", "lang", "text")
     )
     base = exact_dedup(keep, "text", "doc_id")
     split = SMP.hash_split(base, "doc_id", 0.75)
@@ -1031,6 +1059,11 @@ def tt16_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_csp_datapipeline_spark.functions.rank import exact_ntile
 
     d = load_table(spark, sf_dir, "documents")
+    # NOT spread (r12 A/B): an ensure_min_parallelism spread before
+    # the two cache builds parallelized the explodes but measured
+    # 1.15× SLOWER at sf0.1 (5-round interleaved A/B) — the extra
+    # AQE exchange stages per cache materialization cost more than
+    # the serialized explode they remove on this two-cache shape.
     bg_all = d.select(
         "doc_id",
         "source",

@@ -817,6 +817,8 @@ def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic; document BODIES never shuffle — only bigram strings."""
     from pyspark.storagelevel import StorageLevel
 
+    from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
+
     d = load_table(spark, sf_dir, "documents")
     # the bigram relation is the substrate of BOTH the model (bgc →
     # heads → probs) and the scoring side — persist it so document
@@ -824,8 +826,12 @@ def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst re-scans the corpus per consumer: 4 scans measured in
     # PLAN_AUDIT; with the cache it is the bigram TABLE, orders
     # smaller than the bodies, that feeds every reuse). Caches attach
-    # to the result per the release_caches contract.
-    bg = d.select(
+    # to the result per the release_caches contract. Spread the
+    # narrow projection first (r12): on a single-row-group extract
+    # the bigram/token explodes otherwise run on ONE task per cache
+    # pass (no-op on real multi-row-group layouts).
+    nar = ensure_min_parallelism(d.select("doc_id", "text"))
+    bg = nar.select(
         "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
@@ -834,7 +840,7 @@ def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
-    vocab = d.select(
+    vocab = nar.select(
         F.explode(X.tokens(F.col("text"))).alias("tok")
     ).agg(F.count_distinct("tok").alias("vocab"))
     probs = (
@@ -933,11 +939,16 @@ def t26_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     The tercile split is one window over the per-doc result (rows =
     |docs|, orders smaller than the bigram stream). ntile ties break
     on doc_id so the bucketing is deterministic cross-engine."""
-    from pyspark.sql import Window
+    from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
 
     d = load_table(spark, sf_dir, "documents")
-    ref = d.filter(F.col("source") == "src0")
-    tgt = d.filter(F.col("source") != "src0")
+    # spread once before the four explode consumers (r12): the cheap
+    # source filters may push into the scan, but the expensive bigram/
+    # token explodes stay above the spread and parallelize on
+    # single-row-group extracts (no-op on real layouts)
+    nar = ensure_min_parallelism(d.select("doc_id", "source", "text"))
+    ref = nar.filter(F.col("source") == "src0")
+    tgt = nar.filter(F.col("source") != "src0")
     rbg = ref.select(F.explode(X.bigrams(F.col("text"))).alias("bigram"))
     bgc = rbg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
     heads = (
