@@ -627,6 +627,7 @@ def minhash_lsh_pairs(
     est_prefilter: float | str | None = "auto",
     banding: str = "default",
     bucket_cap: int | str | None = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
 
@@ -725,8 +726,15 @@ def minhash_lsh_pairs(
         # same gating shape as similarity.auto_semdedup_quantizer:
         # every attested corpus (incl. sf10's exactly-500k docs)
         # keeps its measured plan; the cap exists for the regime
-        # where the band join itself is the scale hazard
-        bucket_cap = 64 if df.count() > 500_000 else None
+        # where the band join itself is the scale hazard. Callers
+        # that know the corpus size (parquet footer count —
+        # catalog.table_row_count) pass ``n_rows`` so the knob costs
+        # ZERO jobs; the df.count() fallback is a full-scan job at
+        # plan-build time (the r10 preflight lesson, applied here
+        # in r12 — it was the only remaining eager action on a
+        # headline query path).
+        n = n_rows if n_rows is not None else df.count()
+        bucket_cap = 64 if n > 500_000 else None
     groups = None
     if bucket_cap is not None:
         # signature-identical collapse: exact duplicates (and k-way

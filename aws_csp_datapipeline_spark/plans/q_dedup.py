@@ -79,7 +79,9 @@ def d3_minhash_lsh_pairs(
     exact-Jaccard SQL is a valid oracle here."""
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
-        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding,
+        # footer count: the bucket_cap auto-gate costs zero jobs (r12)
+        n_rows=table_row_count(sf_dir, "documents"),
     )
 
 
@@ -177,7 +179,8 @@ def d6_neardup_groups(
     yielding (doc, group_id) for keep-one-per-group dedup."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding,
+        n_rows=table_row_count(sf_dir, "documents"),
     )
     return D.neardup_groups(pairs)
 
@@ -276,7 +279,8 @@ def d7_canonical_corpus(
 
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding,
+        n_rows=table_row_count(sf_dir, "documents"),
     )
     groups = D.neardup_groups(pairs)
     sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_members"))
@@ -329,7 +333,8 @@ def d8_redundancy_by_source(
 
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding,
+        n_rows=table_row_count(sf_dir, "documents"),
     )
     groups = D.neardup_groups(pairs)
     redundant = groups.filter(F.col("doc") != F.col("group_id")).select(

@@ -674,7 +674,8 @@ def tt12_cluster_aware_split(
 
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(
-        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding
+        d, "text", "doc_id", threshold=0.8, k=32, bands=16, n=3, banding=banding,
+        n_rows=table_row_count(sf_dir, "documents"),
     )
     groups = D.neardup_groups(pairs)
     labeled = d.select("doc_id").join(
