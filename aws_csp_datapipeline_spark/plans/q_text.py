@@ -835,10 +835,17 @@ def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    # heads aggregates the cached STREAM, not bgc (r12): the bgc-
+    # derived form made bgc a two-consumer subtree (heads + probs)
+    # that the executed plan aggregated twice — c1 as a per-head
+    # stream count is the identical exact integer off the same
+    # map-side-combined shuffle width (see tt16 for the measured
+    # duplicate-stage evidence).
     heads = (
-        bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .groupBy("w1")
-        .agg(F.sum("c12").alias("c1"))
+        bg.groupBy(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+        )
+        .agg(F.count(F.lit(1)).alias("c1"))
     )
     vocab = nar.select(
         F.explode(X.tokens(F.col("text"))).alias("tok")
@@ -951,10 +958,13 @@ def t26_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = nar.filter(F.col("source") != "src0")
     rbg = ref.select(F.explode(X.bigrams(F.col("text"))).alias("bigram"))
     bgc = rbg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    # heads from the stream, not bgc — single-consumer subtrees (r12;
+    # see t25/tt16). Same exact integers.
     heads = (
-        bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .groupBy("w1")
-        .agg(F.sum("c12").alias("c1"))
+        rbg.groupBy(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+        )
+        .agg(F.count(F.lit(1)).alias("c1"))
     )
     vocab = ref.select(
         F.explode(X.tokens(F.col("text"))).alias("tok")
