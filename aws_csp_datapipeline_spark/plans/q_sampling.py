@@ -533,9 +533,16 @@ def tt8_ngram_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     attested; SCALE.md "Bloom prefilter vs fingerprint join" has the
     A/B and the asymmetric regime where the bloom shape does win)."""
     from aws_csp_datapipeline_spark.functions import dedup as D
+    from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
 
     d = load_table(spark, sf_dir, "documents")
-    split = SMP.hash_split(d, "doc_id", 0.75)
+    # spread before the 5-gram explode (r12): a single-row-group
+    # extract otherwise shingles the whole corpus in ONE scan task
+    # (measured 2.1 s serial at sf0.1); both consumers read the same
+    # spread exchange. No-op on real layouts.
+    split = SMP.hash_split(
+        ensure_min_parallelism(d.select("doc_id", "text")), "doc_id", 0.75
+    )
     # two consumers re-derive the gram table rather than caching it:
     # the honest cold-cache A/B (clearCache before every run — a
     # warm-cache A/B is confounded by CacheManager plan dedup serving

@@ -55,6 +55,25 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Floor for AQE's byte-based partition coalescer (r12). The
+        # coalescer is blind to per-row COMPUTE cost: stages whose
+        # input is kilobytes but whose work is expensive per row —
+        # er3's candidate merge-join + banded-levenshtein verify
+        # (coalesced to 4 tasks, 1.5 s), pm7's per-session path fold
+        # (1 task, 0.75 s) — get serialized onto 1-4 cores whenever
+        # the shuffled bytes fall under the default 1 MB
+        # minPartitionSize. 256k keeps such stages parallel while
+        # still collapsing genuinely tiny exchanges; the A/B swept
+        # 64k too (more parallel, but the extra tasks on cheap-per-
+        # row stages gave it back: subset total 1.00× vs 256k's
+        # 0.87×). Inert at production partition sizes (AQE only
+        # coalesces below the advisory size; ≥ MB-scale partitions
+        # never touch this floor), so it is a policy default, not a
+        # local[32] tune; env-overridable like every scale knob here.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Prefer shuffled-hash over sort-merge when no side broadcasts:
