@@ -524,6 +524,11 @@ def _cells_and_units(
     if bucket is None:  # sign_bits == 0: all residual splitting to IVF
         bucket = F.lit(0)
     bucket = bucket.cast("long")
+    # NOT spread (r12 A/B): an ensure_min_parallelism here
+    # parallelized the per-row norm/quantize work but measured d10
+    # 1.07×, inc3 1.42× SLOWER at sf0.1 — the spread leaves a
+    # 32-block cache whose many tiny partitions tax every downstream
+    # cache-read stage more than the serialized normalize costs.
     src = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
     if ivf_cells > 0:
         # composite cell id: KMeans coarse cell in the high bits, sign

@@ -110,8 +110,21 @@ def gate_after_spread(cond: Column) -> Column:
     filtered on and projected out (pipe4's ``__q``) once via column
     reuse instead of twice (below-filter + above-projection — the
     guide §4.4 duplication, which applies to large expression trees
-    exactly as to UDFs)."""
-    return (F.monotonically_increasing_id() >= 0) & cond
+    exactly as to UDFs).
+
+    Shape note: the guard wraps ``cond`` inside a CASE WHEN rather
+    than AND-ing it on — a top-level conjunction gets split by
+    ``splitConjunctivePredicates`` and the rule for
+    RepartitionOperation pushes every DETERMINISTIC conjunct
+    independent of position (measured: the first AND-based version
+    protected pipe4's projection-referencing gate but pipe6's
+    direct-over-the-spread gate sank anyway). A CaseWhen whose guard
+    is nondeterministic is one unsplittable nondeterministic
+    predicate; ``mid() >= 0`` is always true, so it evaluates exactly
+    ``cond`` (NULL folds to false in a filter on either form)."""
+    return F.when(
+        F.monotonically_increasing_id() >= 0, cond
+    ).otherwise(F.lit(False))
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
