@@ -817,11 +817,21 @@ def pipe6_train_ready(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     # spread before the quality gate + pin the gate above the spread
     # (r12): single-row-group extracts otherwise evaluate the gate
-    # expression serially in the scan task (see gate_after_spread)
-    keep = (
-        ensure_min_parallelism(d.select("doc_id", "lang", "text"))
+    # expression serially in the scan task (see gate_after_spread).
+    # The gate result is PERSISTED as a narrow keep-id set (the pipe1
+    # pattern — never bodies): downstream, exact_dedup's two
+    # consumers plus the gram and summary branches each re-derive
+    # `keep`, and without the cache the per-row quality expression —
+    # the most expensive projection in this plan — ran once PER
+    # consumer (4x; measured ~15 s CPU per evaluation at sf0.1).
+    keep_ids = (
+        ensure_min_parallelism(d.select("doc_id", "text"))
         .filter(gate_after_spread(quality_score(F.col("text")) >= 0.35))
-        .select("doc_id", "lang", "text")
+        .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keep = d.select("doc_id", "lang", "text").join(
+        keep_ids, "doc_id", "left_semi"
     )
     base = exact_dedup(keep, "text", "doc_id")
     split = SMP.hash_split(base, "doc_id", 0.75)
