@@ -662,23 +662,35 @@ def _shifted_candidate_name_pairs(
                 for delta in range(-2, 3):
                     for rho in rhos_for(delta, a + w - 1):
                         variants.append((1, t, pi, a, w, delta, rho))
-        # one F.expr per array: building hundreds of literal structs
+        # one F.expr per literal: building hundreds of literal structs
         # through individual Column calls costs ~100 py4j round-trips
         # per struct — measured 8-12 s of pure DataFrame BUILD time
         # per er3 invocation; a single SQL text parses JVM-side into
-        # the identical tree (SCALE.md "er3 build cost")
+        # the identical tree (SCALE.md "er3 build cost").
+        # The literal is a MAP keyed by the row's (role, t, Δ) rather
+        # than one flat array FILTERED per row (r12): ArrayFilter over
+        # ~100 structs × a 3-field predicate is interpreted
+        # (higher-order functions are CodegenFallback) and ran on
+        # EVERY over-cap lane row; GetMapValue scans ~18 int keys and
+        # hands the transform only the rows that match. Same
+        # enumeration, same emitted keys.
+        from collections import defaultdict
+
+        groups: dict[int, list] = defaultdict(list)
+        for (rl, t, pi, a, w, d, r) in variants:
+            groups[rl * 100 + t * 10 + (d + 2)].append((pi, a, w, r))
         lit = F.expr(
-            "array(" + ",".join(
-                f"named_struct('vrl',{rl},'vt',{t},'vpi',{pi},'va',{a},"
-                f"'vw',{w},'vd',{d},'vr',{r})"
-                for (rl, t, pi, a, w, d, r) in variants
+            "map(" + ",".join(
+                f"{key}, array(" + ",".join(
+                    f"named_struct('vpi',{pi},'va',{a},'vw',{w},'vr',{r})"
+                    for (pi, a, w, r) in vs
+                ) + ")"
+                for key, vs in groups.items()
             ) + ")"
         )
-        row_match = lambda x: (  # noqa: E731
-            (x["vrl"] == F.col("r"))
-            & (x["vt"] == F.col("t"))
-            & (x["vd"] == F.col("dl"))
-        )
+        row_key = (
+            F.col("r") * 100 + F.col("t") * 10 + (F.col("dl") + 2)
+        ).cast("int")
         mk = lambda x: F.struct(  # noqa: E731
             F.concat(
                 F.col("k1"), F.lit(_SEP), x["vpi"].cast("string"), F.lit(_SEP),
@@ -688,7 +700,7 @@ def _shifted_candidate_name_pairs(
             ).alias("k2"),
             x["vpi"].alias("pi"),
         )
-        arr = F.array_distinct(F.transform(F.filter(lit, row_match), mk))
+        arr = F.array_distinct(F.transform(F.element_at(lit, row_key), mk))
         lv2 = (
             j.filter((F.col("n") > cap) & (F.col("t") >= 0))
             .select(
@@ -738,27 +750,34 @@ def _shifted_candidate_name_pairs(
                     for delta in range(-2, 3):
                         for rho in rhos_for(delta, c):
                             variants.append((1, t, pi, c, delta, rho))
-        # single-F.expr literal array — same py4j-chatter fix as split2
+        # single-F.expr literal — same py4j-chatter fix and same
+        # map-instead-of-filtered-array shape as split2 (this array
+        # was ~500 structs × a 4-field interpreted predicate per
+        # over-cap lv2 row — the worst HOF offender)
+        from collections import defaultdict
+
+        groups: dict[int, list] = defaultdict(list)
+        for (rl, t, pi, c, d, r) in variants:
+            groups[rl * 1000 + t * 100 + pi * 10 + (d + 2)].append((c, r))
         lit = F.expr(
-            "array(" + ",".join(
-                f"named_struct('vrl',{rl},'vt',{t},'vpi',{pi},'vc',{c},"
-                f"'vd',{d},'vr',{r})"
-                for (rl, t, pi, c, d, r) in variants
+            "map(" + ",".join(
+                f"{key}, array(" + ",".join(
+                    f"named_struct('vc',{c},'vr',{r})" for (c, r) in vs
+                ) + ")"
+                for key, vs in groups.items()
             ) + ")"
         )
-        row_match = lambda x: (  # noqa: E731
-            (x["vrl"] == F.col("r"))
-            & (x["vt"] == F.col("t"))
-            & (x["vpi"] == F.col("pi"))
-            & (x["vd"] == F.col("dl"))
-        )
+        row_key = (
+            F.col("r") * 1000 + F.col("t") * 100 + F.col("pi") * 10
+            + (F.col("dl") + 2)
+        ).cast("int")
         mk = lambda x: F.concat(  # noqa: E731
             F.col("k2"), F.lit(_SEP), x["vc"].cast("string"), F.lit(_SEP),
             name.substr(
                 F.greatest(F.lit(1), sstart + x["vc"] - x["vr"] - 1), F.lit(1)
             ),
         )
-        arr = F.array_distinct(F.transform(F.filter(lit, row_match), mk))
+        arr = F.array_distinct(F.transform(F.element_at(lit, row_key), mk))
         deep = j.filter(F.col("n2") > cap).select(
             *block_cols, name_col, "r", F.explode(arr).alias("fk")
         )
