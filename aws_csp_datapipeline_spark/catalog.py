@@ -179,6 +179,31 @@ def _tune_runtime(spark: SparkSession) -> None:
         pass  # read-only conf backend: keep the session as-is
 
 
+# Per-session memo of loaded base-table DataFrames (plan handles, not
+# data): every `spark.read.parquet(path)` is a driver round-trip that
+# lists the path and re-reads footers for schema inference — measured
+# ~90 ms per call, 82 calls / 6.2 s across one pass of the headline
+# registry (guide §5: the driver should not repeat metadata work; §6:
+# Spark itself caches file listings for the same reason). The memo key
+# includes the path's (mtime_ns, size), so a table REWRITTEN in place
+# (CRUD tests, scratch corpora) gets a fresh relation — only genuinely
+# unchanged inputs reuse the plan handle. DataFrames are immutable, so
+# handing the same lazy plan to many queries changes nothing about
+# what each computes, and no data is cached: every action still scans
+# parquet.
+_LOAD_MEMO = None  # WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]
+
+
+def _path_stamp(path: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (0, 0)
+    return (st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table lazily. Parquet carries its own schema; we keep
     the registry as documentation + for CSV/JSON readers that need it.
@@ -192,6 +217,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and yield identical values under the UTC test session.
     """
     _tune_runtime(spark)
+    path = table_path(sf_dir, name)
+    # weak-keyed on the live SparkSession wrapper: a stopped-and-
+    # rebuilt session gets a fresh sub-map (never plan handles bound
+    # to a dead one), and dead sessions drop their entries with GC
+    global _LOAD_MEMO
+    if _LOAD_MEMO is None:
+        import weakref
+
+        _LOAD_MEMO = weakref.WeakKeyDictionary()
+    per_session = _LOAD_MEMO.setdefault(spark, {})
+    key = (path, _path_stamp(path))
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
+    if len(per_session) > 256:  # bound: stamps of rewritten paths pile up
+        per_session.clear()
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # The NTZ→TimestampType branch of normalize_event_ts interprets
@@ -200,9 +241,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # caller-built non-UTC session can't silently shift event times.
         if spark.conf.get("spark.sql.session.timeZone") != "UTC":
             spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", normalize_event_ts(df))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
+        df = df.withColumn("ts", normalize_event_ts(df))
+    else:
+        df = spark.read.parquet(path)
+    per_session[key] = df
+    return df
 
 
 def normalize_event_ts(df: DataFrame):
