@@ -79,6 +79,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from aws_csp_datapipeline_spark.exprcache import cached_column
+from aws_csp_datapipeline_spark.parallelism import shuffle_partitions
+
 # Unit separator: cannot appear in the key fields it joins (documented
 # caller contract — names containing \x1f would need a different sep).
 _SEP = "\x1f"
@@ -109,10 +112,7 @@ def _candidate_name_pairs(
     # any scale and keeps the explosion parallel under any layout
     # (the _expand_to_ids precedent; explicit repartitions are exempt
     # from AQE re-coalescing).
-    n_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    names = names.repartition(n_parts)
+    names = names.repartition(shuffle_partitions(df.sparkSession))
     name = F.col(name_col)
     ln = F.length(name)
     s = F.substring(name, F.greatest(F.lit(1), ln - 8), F.lit(9))
@@ -314,10 +314,9 @@ def _expand_to_ids(
     # round-robin spread of the TINY side costs nothing at any scale
     # and parallelizes the output-bound phase under any join strategy;
     # explicit repartition counts are exempt from AQE re-coalescing.
-    n_parts = int(
-        name_pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    name_pairs = name_pairs.repartition(
+        shuffle_partitions(name_pairs.sparkSession)
     )
-    name_pairs = name_pairs.repartition(n_parts)
     ra = recs.select(
         *[F.col(b).alias(f"_ba_{b}") for b in block_cols],
         F.col(name_col).alias("_na"),
@@ -458,9 +457,7 @@ def _shifted_candidate_name_pairs(
     # serially (measured 2.4 s single-task at sf0.1). The explicit
     # round-robin spread costs ≤1/37 of the adjacent lane shuffle at
     # any scale (the _expand_to_ids precedent).
-    names = names.repartition(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-    )
+    names = names.repartition(shuffle_partitions(df.sparkSession))
     name = F.col(name_col)
     ln = F.length(name)
     sstart = F.greatest(F.lit(1), ln - 8)  # suffix abs start (1-based)
@@ -477,21 +474,35 @@ def _shifted_candidate_name_pairs(
     # substrings) built Column-by-Column cost ~1.5 s of py4j BUILD
     # chatter per invocation; one generated SQL string parses JVM-side
     # into the identical tree (same fix as the split2/split3 variant
-    # arrays below — SCALE.md "er3 build cost").
+    # arrays below — SCALE.md "er3 build cost"). r13: the parsed tree
+    # is additionally memoized per (name_col, block_cols) —
+    # exprcache.cached_column — so repeat invocations skip the JVM
+    # parse entirely (guide §5: driver-side plan build).
     _nm = f"`{name_col}`"
     _blocks_sql = ", ".join(f"cast(`{b}` as string)" for b in block_cols)
     _ln_sql = f"length({_nm})"
     _sstart_sql = f"greatest(1, {_ln_sql} - 8)"
-    _s_sql = f"substring({_nm}, {_sstart_sql}, 9)"
 
-    def _abs_sub_sql(offset: int, width: int) -> str:
-        return (
-            f"substring({_nm}, greatest(1, {_sstart_sql} + {offset - 1}),"
-            f" {width})"
-        )
-
-    def _key_sql(*parts: str) -> str:
-        return f"concat_ws(chr(31), {_blocks_sql}, {', '.join(parts)})"
+    # Shared lane-key sub-expressions (r13, guide §1.2 per-task work):
+    # the 37 lane keys re-derived the SAME pieces per key — the block
+    # casts and partner-length string 37×, each 3-char content window
+    # up to 4× (profiled: the lv1 explode stage summed 18.1 s of task
+    # CPU at sf0.1, the pipeline's CPU center). Computing the 5
+    # partner-length prefixes (one per Δ), the 9 reachable content
+    # triples (one per absolute offset), and the short-lane key ONCE
+    # per row in a projection BELOW the explode leaves each lane key
+    # a 3-piece concat_ws of precomputed columns. CollapseProject
+    # cannot re-inline them (non-cheap aliases referenced more than
+    # once), so the sharing survives optimization — verified in the
+    # committed plan (plans/r13). Key bytes are unchanged:
+    # concat_ws(s, concat_ws(s, blocks..., L), t, c) ==
+    # concat_ws(s, blocks..., L, t, c) for the non-null fields these
+    # keys are built from (the all-NULL-block corner would map to a
+    # "" prefix rather than a skipped field — a per-row-consistent
+    # key remap that cannot lose a collision, and every candidate is
+    # levenshtein-verified downstream regardless).
+    def _cname(off: int) -> str:
+        return f"_g_c{off}" if off >= 0 else f"_g_cm{-off}"
 
     # 'r' is the lane ROLE (0 = index, 1 = probe): r12 unified the
     # formerly separate index and probe lane frames into ONE exploded
@@ -503,23 +514,53 @@ def _shifted_candidate_name_pairs(
     def _lane_sql(k1: str, t: int, dl: int, r: int) -> str:
         return f"named_struct('k1', {k1}, 't', {t}, 'dl', {dl}, 'r', {r})"
 
+    def _lane_key_sql(delta: int, t: int, off: int) -> str:
+        return f"concat_ws(chr(31), _g_p{delta + 2}, '{t}', {_cname(off)})"
+
     # short lane: emitted in BOTH roles, one key per block (never split)
     _short_sql = (
         f"case when {_ln_sql} <= 14 then "
-        f"array({_lane_sql(_key_sql(chr(39) + 'S' + chr(39)), -1, 0, 0)}, "
-        f"{_lane_sql(_key_sql(chr(39) + 'S' + chr(39)), -1, 0, 1)}) end"
+        f"array({_lane_sql('_g_ks', -1, 0, 0)}, "
+        f"{_lane_sql('_g_ks', -1, 0, 1)}) end"
     )
 
-    def laned(lane_sqls: list[str]) -> DataFrame:
+    def laned(lane_sqls: list[str], content_offs: list[int]) -> DataFrame:
+        shared_sqls = {
+            f"_g_p{dlt + 2}": (
+                f"concat_ws(chr(31), {_blocks_sql},"
+                f" cast(({_ln_sql} - {dlt}) as string))"
+            )
+            for dlt in range(-2, 3)
+        }
+        for off in content_offs:
+            shared_sqls[_cname(off)] = (
+                f"substring({_nm}, greatest(1, {_sstart_sql} + {off - 1}), 3)"
+            )
+        shared_sqls["_g_ks"] = f"concat_ws(chr(31), {_blocks_sql}, 'S')"
+        ckey = (name_col, tuple(block_cols))
+        shared = names.select(
+            *block_cols,
+            name_col,
+            *[
+                cached_column(
+                    ("er3_shared", alias, *ckey),
+                    lambda s=sql, a=alias: F.expr(s).alias(a),
+                )
+                for alias, sql in shared_sqls.items()
+            ],
+        )
         # distinct: shifted probes often re-extract identical content
         # (e.g. inside digit runs) — identical keys add join rows, not
         # recall. Roles are part of the struct, so an index entry is
         # never folded into an identical-content probe entry.
-        arr = F.expr(
-            f"array_distinct(concat(array({', '.join(lane_sqls)}), "
-            f"coalesce({_short_sql}, array())))"
+        arr = cached_column(
+            ("er3_lane_arr", *ckey),
+            lambda: F.expr(
+                f"array_distinct(concat(array({', '.join(lane_sqls)}), "
+                f"coalesce({_short_sql}, array())))"
+            ),
         )
-        return names.select(
+        return shared.select(
             *block_cols, name_col, F.explode(arr).alias("l")
         ).select(
             *block_cols,
@@ -558,34 +599,29 @@ def _shifted_candidate_name_pairs(
     def rhos_for(delta: int, end_coord: int):
         return (0,) if end_coord == 9 else RHO[delta]
 
+    # index content = the triple at absolute offset 3t+1 (substring of
+    # the suffix window == the same direct substring of the name, the
+    # suffix never extends past position 9); probe content = the same
+    # window re-extracted at offset 3t+1−ρ — so all 37 keys read from
+    # the 9 shared content columns and the 5 shared Δ-prefixes.
     idx_lanes = [
-        _lane_sql(
-            _key_sql(
-                f"cast({_ln_sql} as string)",
-                f"'{t}'",
-                f"substring({_s_sql}, {3 * t + 1}, 3)",
-            ),
-            t,
-            0,
-            0,
-        )
-        for t in range(3)
+        _lane_sql(_lane_key_sql(0, t, 3 * t + 1), t, 0, 0) for t in range(3)
     ]
     prb_lanes = [
-        _lane_sql(
-            _key_sql(
-                f"cast(({_ln_sql} - {delta}) as string)",
-                f"'{t}'",
-                _abs_sub_sql(3 * t + 1 - rho, 3),
-            ),
-            t,
-            delta,
-            1,
-        )
+        _lane_sql(_lane_key_sql(delta, t, 3 * t + 1 - rho), t, delta, 1)
         for t in range(3)
         for delta in range(-2, 3)
         for rho in rhos_for(delta, 3 * t + 3)
     ]
+    content_offs = sorted(
+        {3 * t + 1 for t in range(3)}
+        | {
+            3 * t + 1 - rho
+            for t in range(3)
+            for delta in range(-2, 3)
+            for rho in rhos_for(delta, 3 * t + 3)
+        }
+    )
     # The split legs (small/over at two levels) each re-reference the
     # laned and level-2 frames; without a persist the whole
     # lane-construction subtree replays per leg (~6×) — measured 3×
@@ -617,7 +653,7 @@ def _shifted_candidate_name_pairs(
     # WindowExec buffer via the same spillable row-array, so the
     # degradation mode is unchanged.
     all1 = cached(
-        laned(idx_lanes + prb_lanes)
+        laned(idx_lanes + prb_lanes, content_offs)
         .withColumn(
             "n",
             F.count(F.when(F.col("r") == 0, F.lit(1))).over(
@@ -679,14 +715,20 @@ def _shifted_candidate_name_pairs(
         groups: dict[int, list] = defaultdict(list)
         for (rl, t, pi, a, w, d, r) in variants:
             groups[rl * 100 + t * 10 + (d + 2)].append((pi, a, w, r))
-        lit = F.expr(
-            "map(" + ",".join(
-                f"{key}, array(" + ",".join(
-                    f"named_struct('vpi',{pi},'va',{a},'vw',{w},'vr',{r})"
-                    for (pi, a, w, r) in vs
+        # the variant table is static — memoize the parsed literal so
+        # repeat invocations skip the JVM parse of the ~100-struct map
+        # (r13, guide §5 driver-side plan build)
+        lit = cached_column(
+            ("er3_split2_map",),
+            lambda: F.expr(
+                "map(" + ",".join(
+                    f"{key}, array(" + ",".join(
+                        f"named_struct('vpi',{pi},'va',{a},'vw',{w},'vr',{r})"
+                        for (pi, a, w, r) in vs
+                    ) + ")"
+                    for key, vs in groups.items()
                 ) + ")"
-                for key, vs in groups.items()
-            ) + ")"
+            ),
         )
         row_key = (
             F.col("r") * 100 + F.col("t") * 10 + (F.col("dl") + 2)
@@ -759,13 +801,18 @@ def _shifted_candidate_name_pairs(
         groups: dict[int, list] = defaultdict(list)
         for (rl, t, pi, c, d, r) in variants:
             groups[rl * 1000 + t * 100 + pi * 10 + (d + 2)].append((c, r))
-        lit = F.expr(
-            "map(" + ",".join(
-                f"{key}, array(" + ",".join(
-                    f"named_struct('vc',{c},'vr',{r})" for (c, r) in vs
+        # static variant table — memoized parse, like split2's (r13;
+        # this map was the worst offender at ~500 structs)
+        lit = cached_column(
+            ("er3_split3_map",),
+            lambda: F.expr(
+                "map(" + ",".join(
+                    f"{key}, array(" + ",".join(
+                        f"named_struct('vc',{c},'vr',{r})" for (c, r) in vs
+                    ) + ")"
+                    for key, vs in groups.items()
                 ) + ")"
-                for key, vs in groups.items()
-            ) + ")"
+            ),
         )
         row_key = (
             F.col("r") * 1000 + F.col("t") * 100 + F.col("pi") * 10

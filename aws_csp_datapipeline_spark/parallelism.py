@@ -87,6 +87,17 @@ def _estimated_local_scan_tasks(spark, files: list[str]) -> int:
     return total
 
 
+def shuffle_partitions(spark) -> int:
+    """The session's shuffle partition count as an int, falling back
+    to ``defaultParallelism`` when the conf is non-numeric (e.g.
+    'auto' under AQE-managed shuffle on some platforms — ADVICE r12:
+    a bare int() here crashed plan build on such deployments)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
 def gate_after_spread(cond: Column) -> Column:
     """Pin a per-row-expensive gate predicate ABOVE a preceding
     ``ensure_min_parallelism`` spread.

@@ -14,6 +14,18 @@ import time
 import pytest
 
 from aws_csp_datapipeline_spark import catalog
+from aws_csp_datapipeline_spark.plans.registry import queries
+
+
+@pytest.fixture()
+def no_aqe(spark):
+    """ReuseExchange runs at plan time only without AQE (with AQE the
+    same dedup happens at runtime, stage-level, via the canonicalized
+    stage cache — not visible in a static plan string)."""
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 class TestLoadTableMemo:
@@ -53,3 +65,31 @@ class TestLoadTableMemo:
         b = catalog.load_table(other, str(tmp_path), "t")
         assert a is not b
         assert b.count() == 4
+
+
+class TestEr3SharedLaneSubexpressions:
+    """The lv1 lane keys are 3-piece concat_ws over SHARED prefix /
+    content columns computed once per row in a projection that must
+    stay ABOVE the round-robin spread (below it the shared work would
+    serialize onto the single-task scan) and BELOW the explode (the
+    whole point: 37 lanes reuse 15 sub-expressions)."""
+
+    def test_shared_projection_above_spread_below_generate(
+        self, spark, sf_oracle
+    ):
+        df = queries()["er3_indel_complete_matches"](spark, sf_oracle)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        lines = plan.splitlines()
+
+        gen = next(
+            i for i, ln in enumerate(lines)
+            if "explode(array_distinct(" in ln
+        )
+        # parents print before children: directly under the lane
+        # explode sits the shared projection, directly under that the
+        # round-robin spread (the cached subtree embeds the physical
+        # plan, so the spread prints as a RoundRobin Exchange)
+        assert " AS _g_p2" in lines[gen + 1], lines[gen + 1][:300]
+        assert (
+            "RoundRobin" in lines[gen + 2] or "Repartition" in lines[gen + 2]
+        ), lines[gen + 2][:300]
