@@ -502,11 +502,21 @@ def _minhash_array(sh: DataFrame, k: int, hash: str = "xxhash64") -> DataFrame:
     permutation), then each permutation is an integer universal hash
     (a_j·x + b_j) mod 2^31 — k multiply-adds per shingle. Products
     stay < 2^62 so ANSI-mode long arithmetic never overflows."""
-    params = F.array(
-        *[
-            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
-            for a, b in _perm_constants(k)
-        ]
+    # static literal params — built as ONE cached parsed expression:
+    # k structs through the Column API cost ~3 py4j round-trips each
+    # (~0.3 s of pure driver chatter per plan build at k=100); the
+    # SQL text parses JVM-side once per (k, seed) and is memoized
+    # (r13, guide §5 driver-side plan build)
+    from aws_csp_datapipeline_spark.exprcache import cached_column
+
+    params = cached_column(
+        ("minhash_params", k),
+        lambda: F.expr(
+            "array(" + ",".join(
+                f"named_struct('a', {a}L, 'b', {b}L)"
+                for a, b in _perm_constants(k)
+            ) + ")"
+        ),
     )
 
     def sig_of(hs):
@@ -748,16 +758,22 @@ def minhash_lsh_pairs(
         band_src = groups
     else:
         band_src = sig
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at(F.col("mhs"), b * r + i + 1) for i in range(r)]
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ]
+    # static band-key structs over the fixed internal column name
+    # `mhs` — cached parsed expression, same rationale as the
+    # minhash params (bands × (r element_at + xxhash64) Column calls
+    # were ~0.2 s of py4j chatter per build)
+    from aws_csp_datapipeline_spark.exprcache import cached_column
+
+    band_cols = cached_column(
+        ("lsh_band_cols", bands, r),
+        lambda: F.expr(
+            "array(" + ",".join(
+                f"named_struct('band', {b}, 'key', xxhash64("
+                + ",".join(f"element_at(mhs, {b * r + i + 1})" for i in range(r))
+                + "))"
+                for b in range(bands)
+            ) + ")"
+        ),
     )
     banded = band_src.select("doc", F.explode(band_cols).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")

@@ -113,39 +113,74 @@ def _candidate_name_pairs(
     # (the _expand_to_ids precedent; explicit repartitions are exempt
     # from AQE re-coalescing).
     names = names.repartition(shuffle_partitions(df.sparkSession))
-    name = F.col(name_col)
-    ln = F.length(name)
-    s = F.substring(name, F.greatest(F.lit(1), ln - 8), F.lit(9))
 
-    def sub(col, pos: int, n: int):
-        return F.substring(col, pos, n)
-
-    lanes = []
+    # Shared lane-key sub-expressions (r13, guide §1.2 — the er3
+    # treatment applied to the aligned lanes): the 9 lane structs
+    # re-derived the block casts + length string 9×, the suffix
+    # window per piece, and each complement per bigram/xs extract.
+    # Two stacked projections below the explode compute the prefix +
+    # suffix once, then the 3 triples + 3 complements from the
+    # suffix; each lane key is then a 6-piece concat_ws of
+    # precomputed columns and each xs entry a 1-char substring of a
+    # precomputed complement. CollapseProject cannot re-inline them
+    # (non-cheap aliases referenced more than once). Key bytes are
+    # unchanged: concat_ws(s, concat_ws(s, blocks…, L), t, …) ==
+    # concat_ws(s, blocks…, L, t, …) for non-null fields (the
+    # all-NULL-block corner is a consistent key remap; candidates
+    # are levenshtein-verified downstream regardless). The parsed
+    # trees are memoized per (name_col, block_cols) — exprcache.
+    _nm = f"`{name_col}`"
+    _blocks_sql = ", ".join(f"cast(`{b}` as string)" for b in block_cols)
+    ckey = (name_col, tuple(block_cols))
+    shared1 = {
+        "_g_pre": (
+            f"concat_ws(chr(31), {_blocks_sql},"
+            f" cast(length({_nm}) as string))"
+        ),
+        "_g_s": f"substring({_nm}, greatest(1, length({_nm}) - 8), 9)",
+    }
+    shared2 = {
+        "_g_tr0": "substring(_g_s, 1, 3)",
+        "_g_tr1": "substring(_g_s, 4, 3)",
+        "_g_tr2": "substring(_g_s, 7, 3)",
+        "_g_cp0": "substring(_g_s, 4, 6)",
+        "_g_cp1": "concat(substring(_g_s, 1, 3), substring(_g_s, 7, 3))",
+        "_g_cp2": "substring(_g_s, 1, 6)",
+    }
+    lane_sqls = []
     for t in range(3):
-        triple = sub(s, 3 * t + 1, 3)
-        if t == 0:
-            comp = sub(s, 4, 6)
-        elif t == 1:
-            comp = F.concat(sub(s, 1, 3), sub(s, 7, 3))
-        else:
-            comp = sub(s, 1, 6)
         for j in range(3):
-            key = F.concat_ws(
-                _SEP,
-                *[F.col(b).cast("string") for b in block_cols],
-                ln.cast("string"),
-                F.lit(str(t)),
-                triple,
-                F.lit(str(j)),
-                sub(comp, 2 * j + 1, 2),
+            key = (
+                f"concat_ws(chr(31), _g_pre, '{t}', _g_tr{t}, '{j}',"
+                f" substring(_g_cp{t}, {2 * j + 1}, 2))"
             )
-            xs = F.array(*[sub(comp, u, 1) for u in _UNPINNED[j]])
-            lanes.append(F.struct(key.alias("k"), xs.alias("xs")))
+            xs = "array(" + ",".join(
+                f"substring(_g_cp{t}, {u}, 1)" for u in _UNPINNED[j]
+            ) + ")"
+            lane_sqls.append(f"named_struct('k', {key}, 'xs', {xs})")
 
-    laned = names.select(
-        *block_cols,
-        name.alias("_n"),
-        F.explode(F.array(*lanes)).alias("l"),
+    def _shared_select(frame: DataFrame, sqls: dict, extra: list) -> DataFrame:
+        return frame.select(
+            *extra,
+            *[
+                cached_column(
+                    ("er2_shared", alias, *ckey),
+                    lambda s=sql, a=alias: F.expr(s).alias(a),
+                )
+                for alias, sql in sqls.items()
+            ],
+        )
+
+    base = _shared_select(
+        names, shared1, [*block_cols, F.col(name_col).alias("_n")]
+    )
+    base = _shared_select(base, shared2, [*block_cols, "_n", "_g_pre"])
+    arr = cached_column(
+        ("er2_lane_arr", *ckey),
+        lambda: F.expr(f"array({', '.join(lane_sqls)})"),
+    )
+    laned = base.select(
+        *block_cols, "_n", F.explode(arr).alias("l")
     ).select(
         *block_cols, "_n", F.col("l.k").alias("k"), F.col("l.xs").alias("xs")
     )

@@ -43,9 +43,12 @@ def test_er2_lane_exchange_is_reused(no_aqe, sf_oracle):
         "so the lane pipeline is computed once — see "
         "linkage._candidate_name_pairs"
     )
-    # the lane Generate (the ×9 explode) must appear exactly once:
+    # the lane Generate (the ×9 explode) must appear exactly once —
     # a second one means a side stopped reusing and rebuilt the lanes
-    assert plan.count("Generate explode(array(struct(k, concat_ws") == 1
+    # — and the subkeys Generate (the over-cap split explode, a CASE
+    # WHEN over the window count) exactly once for the same reason
+    assert plan.count("Generate explode(array(named_struct(k,") == 1, plan
+    assert plan.count("Generate explode(") == 2
 
 
 def _optimized(df) -> str:
