@@ -181,6 +181,12 @@ def main() -> None:
     timings = {n: round(min(s), 4) for n, s in samples.items()}
     medians = {n: round(statistics.median(s), 4) for n, s in samples.items()}
     total = round(sum(timings.values()), 4)
+    # The JSON line is the bench contract; guarantee it is the LAST
+    # thing on stdout and flushed (r13, VERDICT r12 item 8: the r11
+    # record was captured truncated/unparsed, erasing a whole
+    # round-over-round comparison — Spark logs go to stderr, and an
+    # explicit flush means a capture that kills the process right
+    # after reading the line still has the complete record).
     print(
         json.dumps(
             {
@@ -194,7 +200,8 @@ def main() -> None:
                 "reps": reps,
                 "rep_totals": rep_totals,
             }
-        )
+        ),
+        flush=True,
     )
 
 

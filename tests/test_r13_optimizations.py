@@ -67,6 +67,44 @@ class TestLoadTableMemo:
         assert b.count() == 4
 
 
+class TestZeroEagerJobsAtPlanBuild:
+    """VERDICT r12 item 9: building every headline DataFrame must
+    launch ZERO Spark jobs — a hidden eager action at plan build
+    (d3's former count(), er2/er3's former preflight aggregate) is a
+    full input scan per invocation at 100 TB. All remaining knobs
+    read parquet footer metadata driver-side instead."""
+
+    def test_headline_builds_launch_no_jobs(self, spark, sf_oracle):
+        import bench
+        from aws_csp_datapipeline_spark.plans.registry import queries as qreg
+
+        qs = qreg()
+        sc = spark.sparkContext
+        # One warm pass first: Spark fires a tiny footer job per
+        # FIRST read.parquet of a path, and s1 fetches its scalar
+        # query vector once — both one-time per-session costs now
+        # that load_table / query_vector memoize. The pin is that a
+        # REPEAT build (what every bench rep after the first pays)
+        # launches nothing.
+        for name in bench.HEADLINE:
+            if name in qs:
+                qs[name](spark, sf_oracle)
+        group = "r13-plan-build-probe"
+        sc.setJobGroup(group, "plan build must stay lazy")
+        try:
+            for name in bench.HEADLINE:
+                if name in qs:
+                    qs[name](spark, sf_oracle)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        ids = sc.statusTracker().getJobIdsForGroup(group)
+        assert list(ids) == [], (
+            f"headline plan builds launched Spark jobs {sorted(ids)} — "
+            "an eager action crept into a builder (replace it with "
+            "footer metadata via catalog.table_row_count)"
+        )
+
+
 class TestEr3SharedLaneSubexpressions:
     """The lv1 lane keys are 3-piece concat_ws over SHARED prefix /
     content columns computed once per row in a projection that must
