@@ -1093,19 +1093,14 @@ def tt16_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def model(bg, toks):
         bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-        # heads aggregates the STREAM, not bgc (r12): deriving c1 as
-        # sum(c12) over bgc made bgc a two-consumer subtree (heads +
-        # the scoring join), and exchange reuse does not fire across
-        # the differing consumer projections — the executed plan
-        # aggregated the full bigram stream TWICE per model (measured:
-        # duplicate stage pairs at sf0.1). c1 = count of stream rows
-        # per head is the identical exact integer, map-side combined
-        # to the same |heads|-sized shuffle.
+        # heads from bgc, not the stream — measured decision, see
+        # the t25 site (r13: stream form 1.13x slower here at sf1).
         heads = (
-            bg.groupBy(
-                F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+            bgc.withColumn(
+                "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
             )
-            .agg(F.count(F.lit(1)).alias("c1"))
+            .groupBy("w1")
+            .agg(F.sum("c12").alias("c1"))
         )
         vocab = toks.agg(F.count_distinct("tok").alias("vocab"))
         return bgc, heads, vocab

@@ -835,17 +835,20 @@ def t25_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(X.bigrams(F.col("text"))).alias("bigram")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     bgc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    # heads aggregates the cached STREAM, not bgc (r12): the bgc-
-    # derived form made bgc a two-consumer subtree (heads + probs)
-    # that the executed plan aggregated twice — c1 as a per-head
-    # stream count is the identical exact integer off the same
-    # map-side-combined shuffle width (see tt16 for the measured
-    # duplicate-stage evidence).
+    # heads = sum(c12) OVER BGC, not a second stream aggregation —
+    # SETTLED r13 (VERDICT r12 item 3): the r12 heads-from-stream
+    # rewrite was re-A/B'd at sf1 (interleaved, 3 rounds, reps=2,
+    # .scratch/ab_heads_*.jsonl) and measured SLOWER — t25 1.10x,
+    # t26 1.03x, tt16 1.13x — matching the committed r12 anchor
+    # (1.11-1.13x). Both forms aggregate the bigram stream twice
+    # (bgc for scoring + one heads pass); this form's heads pass
+    # runs over |distinct bigrams| rows instead of the full stream,
+    # so its per-row split_part + combine work is strictly smaller.
+    # Reverted to this form on that measurement.
     heads = (
-        bg.groupBy(
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
-        )
-        .agg(F.count(F.lit(1)).alias("c1"))
+        bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
     )
     vocab = nar.select(
         F.explode(X.tokens(F.col("text"))).alias("tok")
@@ -958,13 +961,12 @@ def t26_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = nar.filter(F.col("source") != "src0")
     rbg = ref.select(F.explode(X.bigrams(F.col("text"))).alias("bigram"))
     bgc = rbg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
-    # heads from the stream, not bgc — single-consumer subtrees (r12;
-    # see t25/tt16). Same exact integers.
+    # heads from bgc, not the stream — measured decision, see the
+    # t25 site (r13: stream form 1.03-1.13x slower at sf1).
     heads = (
-        rbg.groupBy(
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
-        )
-        .agg(F.count(F.lit(1)).alias("c1"))
+        bgc.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
     )
     vocab = ref.select(
         F.explode(X.tokens(F.col("text"))).alias("tok")
