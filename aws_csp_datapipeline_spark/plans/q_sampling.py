@@ -301,11 +301,26 @@ def pipe1_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     keep = docs.join(keep_ids, "doc_id", "left_semi")
-    canon = exact_dedup(keep, "text", "doc_id")
+    # token_count BEFORE the dedup semi-join (r13 — the pipe4 fix,
+    # same reasoning at that site): with the count in the final
+    # aggregate, `text` had to ride through exact_dedup's semi-join
+    # exchange; computing __tok first lets pruning narrow the join's
+    # left side to (doc_id, lang, __tok), so bodies are read in the
+    # gate/fingerprint scans and never shuffled.
+    canon = exact_dedup(
+        keep.select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("__tok"),
+            "text",
+        ),
+        "text",
+        "doc_id",
+    ).select("doc_id", "lang", "__tok")
     final = SMP.hash_split(canon, "doc_id", 0.75)
     return final.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+        F.sum("__tok").cast("long").alias("total_tokens"),
     )
 
 
@@ -450,20 +465,33 @@ def pipe4_full_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = d.select("doc_id", "source", "lang", "text").join(
         gated_keys, "doc_id"
     )
-    # token_count rides the scan-side projection and text is DROPPED
-    # before the cap window: the per-source row_number sort then moves
-    # narrow (id, source, lang, __q, __tok) rows, never document
-    # bodies — at 100 TB a mega-source would otherwise sort its whole
-    # corpus of bodies in one shuffle partition. Counting tokens on
-    # pre-cap survivors is a linear codegen'd projection; shuffling
-    # bodies is not.
-    deduped = exact_dedup(gated, "text", "doc_id").select(
+    # token_count is computed BEFORE the dedup semi-join (r13,
+    # VERDICT r12 item 7; guide §8 "decide with small rows"): with
+    # __tok in the post-projection, `text` had to survive the join
+    # and the r12 executed plan shuffled document BODIES into the
+    # SMJ LeftSemi (the keep side's aggregate estimate is large, so
+    # the static plan never broadcasts it, and AQE's runtime flip
+    # comes after the body exchange has already materialized).
+    # Deriving __tok first lets column pruning strip text from the
+    # join's left side entirely — the dedup exchange now carries
+    # (doc_id, source, lang, __q, __tok) only; bodies are read in
+    # the fingerprint scan and never shuffled, at ANY scale and
+    # under ANY join strategy. Cost: token_count also runs on rows
+    # the dedup would drop — a linear codegen'd projection on the
+    # scan side, cheap against body bytes in a shuffle. The cap
+    # window below keeps its narrow-row story unchanged.
+    deduped = exact_dedup(
+        gated.select(
+            "doc_id",
+            "source",
+            "lang",
+            "__q",
+            X.token_count(F.col("text")).alias("__tok"),
+            "text",
+        ),
+        "text",
         "doc_id",
-        "source",
-        "lang",
-        "__q",
-        X.token_count(F.col("text")).alias("__tok"),
-    )
+    ).select("doc_id", "source", "lang", "__q", "__tok")
     # skew-proof cap: gate on the RAW documents count (metadata-only
     # count-star) — counting `deduped` would execute the whole
     # gate+dedup subplan once just to pick the knob
