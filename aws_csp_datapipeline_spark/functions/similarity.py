@@ -543,12 +543,20 @@ def _cells_and_units(
     if bucket is None:  # sign_bits == 0: all residual splitting to IVF
         bucket = F.lit(0)
     bucket = bucket.cast("long")
-    # NOT spread (r12 A/B): an ensure_min_parallelism here
-    # parallelized the per-row norm/quantize work but measured d10
-    # 1.07×, inc3 1.42× SLOWER at sf0.1 — the spread leaves a
-    # 32-block cache whose many tiny partitions tax every downstream
-    # cache-read stage more than the serialized normalize costs.
-    src = df.select(F.col(id_col).alias("__id"), v.alias("__v"))
+    # Spread to a SMALL fixed width, not the core count (r13,
+    # VERDICT r12 item 6): the r12 full-width spread parallelized
+    # the per-row norm/quantize work but measured d10 1.07×, inc3
+    # 1.42× SLOWER at sf0.1 — a 32-block cache taxes every
+    # downstream cache-read stage with tiny-task overhead. 8 blocks
+    # keeps the normalize off a single core while the cache stays
+    # coarse; ensure_min_parallelism no-ops on layouts that already
+    # scan ≥8 tasks, so no exchange is added at scale.
+    from aws_csp_datapipeline_spark.parallelism import ensure_min_parallelism
+
+    src = ensure_min_parallelism(
+        df.select(F.col(id_col).alias("__id"), v.alias("__v")),
+        min_partitions=8,
+    )
     if ivf_cells > 0:
         # composite cell id: KMeans coarse cell in the high bits, sign
         # bits in the low bits — the beyond-the-cap quantizer
